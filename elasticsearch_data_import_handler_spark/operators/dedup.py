@@ -1,0 +1,231 @@
+"""Deduplication operators: C1 latest-wins + training-data dedup family.
+
+C1 ``dedup_latest`` reproduces the reference's sink semantics: the es-hadoop
+bulk write with ``es.mapping.id = idField`` makes imports idempotent per key,
+*last write wins* (SURVEY.md §2A A9).  Without it, incremental re-crawls
+would double-count documents and silently change BM25 scores.
+
+The rest is the large-corpus training-data dedup family: exact content dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard.  All are declarative
+DataFrame ops (shuffle-by-key + window / self-join on LSH buckets); the only
+Python is inside vectorized pandas UDFs where a hash kernel is needed.
+
+Scale notes: every variant shuffles on a bounded-cardinality key (url,
+content hash, LSH bucket). LSH bucket joins avoid the O(n²) pair explosion —
+the candidate-pair count is Σ_bucket |bucket|², controlled by band width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dedup_latest(pages: DataFrame, key: str = "url", order: str = "warc_ts") -> DataFrame:
+    """One row per key; greatest ``order`` wins, xxhash64(html) breaks exact ties
+    deterministically (C1).  Single shuffle on the key."""
+    tie = F.xxhash64("html") if "html" in pages.columns else F.lit(0)
+    w = Window.partitionBy(key).orderBy(F.desc(order), F.desc(tie))
+    return (
+        pages.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: keep the smallest id per identical text.
+
+    Hash-groupBy on xxhash64(text) — the raw text never shuffles, only
+    (hash, id), so this survives 100 TB (collision safety: winner chosen per
+    full-hash group; at 10^12 docs add a second hash — documented caveat).
+    """
+    w = Window.partitionBy(F.xxhash64(text_col)).orderBy(F.asc(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Word n-gram shingle array (distinct), built JVM-side from the token
+    array: slide a window over tokens with transform + slice."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def minhash_signature_col(shingle_col, num_hashes: int = 64):
+    """MinHash signature as array<bigint>: min over shingles of
+    xxhash64(shingle, seed=i) per hash function — all JVM-side.
+
+    xxhash64 with per-function seed i is a standard pairwise-independent
+    family for MinHash; array_min over a transform keeps it codegen'd.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingle_col, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 64, bands: int = 16,
+                      jaccard_threshold: float = 0.8) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs with estimated Jaccard.
+
+    shingle → minhash → band → bucket self-join (the classic MMDS ch.3
+    pipeline).  Returns (id_a, id_b, est_jaccard) with id_a < id_b,
+    est_jaccard = fraction of matching minhash components ≥ threshold.
+    Shuffles only on (band, bucket_hash); candidate pairs are verified by
+    comparing full signatures, never full texts.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_col(shingles_col(text_col), num_hashes).alias("sig"),
+    ).filter(F.size("sig") > 0)
+    banded = sig.select(
+        "id", "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    eq = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("est_jaccard", eq / F.lit(num_hashes))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, bucket_cols: list[str], id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within the same bucket.
+
+    Buckets bound the pair explosion (at scale: LSH buckets; in the oracle
+    checks: (source, lang)).  Jaccard = |A∩B| / |A∪B| over distinct shingle
+    sets, computed by exploding shingles and counting co-occurrences —
+    no array comparison ships between executors, only (shingle_hash, id).
+    """
+    sh = df.select(
+        *[F.col(c) for c in bucket_cols],
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(text_col, n)).alias("shingle"),
+    ).withColumn("sh", F.xxhash64("shingle")).drop("shingle")
+    sizes = sh.groupBy(*bucket_cols, "id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, [*bucket_cols, "sh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(*bucket_cols, F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(*bucket_cols, F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(*bucket_cols, F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, [*bucket_cols, "id_a"]).join(sb, [*bucket_cols, "id_b"])
+        .withColumn("jaccard",
+                    F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.col("jaccard").cast("double").alias("jaccard"))
+    )
+
+
+def simhash_col(text_col: str = "text", bits: int = 64):
+    """64-bit SimHash fingerprint, fully JVM-side.
+
+    Per token: h = xxhash64(token); each bit votes ±tf; fingerprint bit i set
+    iff the weighted vote is positive.  Expressed as an aggregate over the
+    token array — no Python boundary.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    # vote vector: for each of 64 bits, sum over tokens of (+1 if bit set else -1)
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                                 F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+
+
+def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ≤ max_hamming.
+
+    Banding on 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one of 4
+    chunks equal) keeps the self-join keyed, never all-pairs.
+    """
+    sh = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sim"))
+    chunks = sh.select(
+        "id", "sim",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.struct(
+                    c.alias("chunk"),
+                    F.shiftright("sim", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                ),
+            )
+        ).alias("ck"),
+    ).select("id", "sim", "ck.chunk", "ck.key")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                ham.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,102 @@
+"""Property tests for the varbyte/delta codec (FIXTURES.md §5, SURVEY §5.2.4)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from elasticsearch_data_import_handler_spark.functions.varbyte import (
+    bm25_partial,
+    decode_posting_list,
+    delta_decode,
+    delta_encode,
+    encode_posting_list,
+    varbyte_decode,
+    varbyte_encode,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+
+@pytest.mark.parametrize("n", [0, 1, 127, 128, 129, 10_000])
+def test_varbyte_roundtrip_lengths(n):
+    rng = np.random.default_rng(42)
+    v = rng.integers(0, 2**62, size=n, dtype=np.int64).astype(np.uint64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(v)), v)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip_hypothesis(vals):
+    v = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(v)), v)
+
+
+def test_varbyte_edge_values():
+    v = np.array([0, 1, 127, 128, 16383, 16384, 2**63 - 1, 2**64 - 1], dtype=np.uint64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(v)), v)
+
+
+@given(st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1), max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_zigzag_roundtrip(vals):
+    v = np.array(vals, dtype=np.int64)
+    assert np.array_equal(zigzag_decode(zigzag_encode(v)), v)
+
+
+def test_delta_roundtrip_monotone():
+    rng = np.random.default_rng(42)
+    for n in [0, 1, 127, 128, 129, 10_000]:
+        v = np.sort(rng.choice(2**62, size=n, replace=False).astype(np.uint64)) if n else np.empty(0, np.uint64)
+        assert np.array_equal(delta_decode(delta_encode(v)), v)
+
+
+def test_posting_list_roundtrip_and_block_max():
+    rng = np.random.default_rng(42)
+    n = 1000
+    doc_ids = rng.choice(2**63 - 1, size=n, replace=False).astype(np.int64) - 2**62
+    tfs = rng.integers(1, 1000, n)
+    dls = rng.integers(5, 2000, n)
+    idf, avgdl = 1.7, 120.0
+    n_out, meta, dvb, tvb, lvb = encode_posting_list(doc_ids, tfs, dls, idf, avgdl)
+    assert n_out == n
+    assert len(meta) == (n + 127) // 128
+    d2, t2, l2 = decode_posting_list(dvb, tvb, lvb)
+    order = np.argsort(doc_ids, kind="stable")
+    assert np.array_equal(d2, doc_ids[order])
+    assert np.array_equal(t2, tfs[order])
+    assert np.array_equal(l2, dls[order])
+    assert np.all(np.diff(d2) > 0)
+    # block maxima dominate every member score / tf; max_doc is the block's last id
+    scores = bm25_partial(t2, l2, idf, avgdl)
+    for bi, (max_doc, max_tf, max_score) in enumerate(meta):
+        s, e = bi * 128, min((bi + 1) * 128, n)
+        assert max_doc == int(d2[e - 1])
+        assert max_tf == int(t2[s:e].max())
+        assert max_score >= scores[s:e].max() - 1e-9
+
+
+def test_salted_split_union_equals_original():
+    """FIXTURES.md §5: salt-split union == unsalted list, for s ∈ {1,2,7}."""
+    rng = np.random.default_rng(42)
+    n = 777
+    doc_ids = rng.choice(10**9, size=n, replace=False).astype(np.int64)
+    tfs = rng.integers(1, 50, n)
+    dls = rng.integers(5, 2000, n)
+    for s in [1, 2, 7]:
+        salt = np.mod(np.abs(doc_ids), s)
+        parts = []
+        for i in range(s):
+            m = salt == i
+            if m.sum() == 0:
+                continue
+            _, _, dvb, tvb, lvb = encode_posting_list(doc_ids[m], tfs[m], dls[m], 1.0, 100.0)
+            d2, t2, l2 = decode_posting_list(dvb, tvb, lvb)
+            parts.append(np.stack([d2, t2, l2]))
+        merged = np.concatenate(parts, axis=1)
+        order = np.argsort(merged[0])
+        merged = merged[:, order]
+        base_order = np.argsort(doc_ids)
+        assert np.array_equal(merged[0], doc_ids[base_order])
+        assert np.array_equal(merged[1], tfs[base_order])
+        assert np.array_equal(merged[2], dls[base_order])
