@@ -20,11 +20,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def dedup_latest(pages: DataFrame, key: str = "url", order: str = "warc_ts") -> DataFrame:
-    """One row per key; greatest ``order`` wins, xxhash64(html) breaks exact ties
-    deterministically (C1).  Single shuffle on the key."""
-    tie = F.xxhash64("html") if "html" in pages.columns else F.lit(0)
-    w = Window.partitionBy(key).orderBy(F.desc(order), F.desc(tie))
+def dedup_latest(pages: DataFrame, key: str = "url", order: str = "warc_ts",
+                 tie_cols: list[str] | None = None) -> DataFrame:
+    """One row per key; greatest ``order`` wins; ties broken deterministically
+    by ``tie_cols`` (default: xxhash64(html) when present) (C1).  Single
+    shuffle on the key."""
+    if tie_cols:
+        ties = [F.desc(c) for c in tie_cols]
+    elif "html" in pages.columns:
+        ties = [F.desc(F.xxhash64("html"))]
+    else:
+        ties = []
+    w = Window.partitionBy(key).orderBy(F.desc(order), *ties)
     return (
         pages.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -61,11 +68,9 @@ def shingles_col(text_col: str = "text", n: int = 3):
 
 
 def minhash_signature_col(shingle_col, num_hashes: int = 64):
-    """MinHash signature as array<bigint>: min over shingles of
-    xxhash64(shingle, seed=i) per hash function — all JVM-side.
-
-    xxhash64 with per-function seed i is a standard pairwise-independent
-    family for MinHash; array_min over a transform keeps it codegen'd.
+    """MinHash signature as array<bigint>: the i-th hash function is
+    xxhash64(shingle, i) (the hash of the pair — a keyed-hash family),
+    min'd over the shingle set — all JVM-side, codegen'd.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -166,37 +171,38 @@ def ngram_jaccard_pairs(df: DataFrame, bucket_cols: list[str], id_col: str = "do
     )
 
 
-def simhash_col(text_col: str = "text", bits: int = 64):
-    """64-bit SimHash fingerprint, fully JVM-side.
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint per document, fully JVM-side.
 
-    Per token: h = xxhash64(token); each bit votes ±tf; fingerprint bit i set
-    iff the weighted vote is positive.  Expressed as an aggregate over the
-    token array — no Python boundary.
+    Per distinct (doc, term): h = xxhash64(term); each bit of h votes ±tf.
+    Fingerprint bit i is set iff the weighted vote is positive.  Expressed as
+    explode → groupBy(doc) with 64 static conditional sums — one shuffle on
+    doc_id, whole-stage codegen, no Python boundary.  (The per-row
+    array-aggregate alternative builds a 64-wide expression per token —
+    this grouped form is both analyzable and faster at scale.)
     """
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-    # vote vector: for each of 64 bits, sum over tokens of (+1 if bit set else -1)
-    votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
-                                 F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")),
-            ),
-            lambda a, v: a + v,
-        ),
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.xxhash64("term"))
     )
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseXOR(x),
-    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    voted = tf.groupBy("id").agg(*votes)
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseXOR(bit)
+    return voted.select("id", sim.alias("sim"))
 
 
 def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -206,18 +212,16 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     Banding on 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one of 4
     chunks equal) keeps the self-join keyed, never all-pairs.
     """
-    sh = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sim"))
+    sh = simhash(df, id_col, text_col)
     chunks = sh.select(
         "id", "sim",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.shiftright("sim", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                ),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("sim", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
             )
-        ).alias("ck"),
+            for c in range(4)
+        ])).alias("ck"),
     ).select("id", "sim", "ck.chunk", "ck.key")
     a, b = chunks.alias("a"), chunks.alias("b")
     ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
