@@ -19,6 +19,21 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
+def varbyte_nbytes(values: np.ndarray) -> np.ndarray:
+    """Byte length of each value's varbyte encoding (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    thresh = np.uint64(1 << 7)
+    work = v.copy()
+    for _ in range(9):
+        more = work >= thresh
+        if not more.any():
+            break
+        nbytes[more] += 1
+        work = work >> np.uint64(7)
+    return nbytes
+
+
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Vectorized varbyte encode of a non-negative int64/uint64 array."""
     v = np.asarray(values, dtype=np.uint64)
@@ -92,48 +107,114 @@ def zigzag_decode(u: np.ndarray) -> np.ndarray:
     return ((u >> np.uint64(1)) ^ (-(u & np.uint64(1))).astype(np.uint64)).astype(np.int64)
 
 
+def _block_starts(n: int) -> np.ndarray:
+    return np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
+
+
 def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
                         idf: float, avgdl: float, k1: float = 1.2, b: float = 0.75):
-    """Encode one (term, salt) posting list.
+    """Encode one (term, salt) posting list with block-independent blocks.
 
-    doc_ids: int64 (signed, xxhash64-derived), will be sorted ascending.
-    Returns (n_docs, block_meta, doc_ids_vb, tfs_vb, dls_vb) where block_meta
-    is a list of (max_doc:int, max_tf:int, max_score:float) per 128-block.
+    doc_ids: int64 (signed, xxhash64-derived), sorted ascending here.
+    The doc_id stream is delta-encoded **within** each 128-posting block,
+    with the block's first value stored absolute (order-preserving
+    signed→unsigned map), so any block can be decoded without its
+    predecessors — the classic restart-point layout block-max WAND needs.
 
-    Note: we store doc_len per posting (``dls_vb``) so query-time scoring is
-    exact without a doc_stats join — deviates from FIXTURES.md §4 by one
-    column, documented there as the score-exactness requirement.
+    Returns a dict with n_docs, per-block metadata arrays
+    (max_doc / max_tf / max_score and byte offsets into each stream), and
+    the three varbyte streams.  doc_len travels with the posting (dls_vb)
+    so query-time scoring needs no doc_stats join — documented deviation
+    from FIXTURES.md §4.
     """
     order = np.argsort(doc_ids, kind="stable")
     d = np.asarray(doc_ids, dtype=np.int64)[order]
     t = np.asarray(tfs, dtype=np.int64)[order]
     dl = np.asarray(doc_lens, dtype=np.int64)[order]
     n = d.size
-    # delta over zigzag(doc_id) keeps gaps small only if ids cluster; xxhash64
-    # ids are uniform, so gaps are ~2^64/df — varbyte still caps at 10 bytes
-    # and compresses tf/dl streams hard.  Sorted order is what WAND requires.
     u = d.astype(np.uint64) ^ np.uint64(1 << 63)  # order-preserving signed→unsigned
-    gaps = delta_encode(u)
+    stream = delta_encode(u)
+    starts = _block_starts(n)
+    stream[starts] = u[starts]  # block-first values absolute → independent blocks
     scores = bm25_partial(t, dl, idf, avgdl, k1, b)
-    meta = []
-    for s in range(0, n, BLOCK_SIZE):
-        e = min(s + BLOCK_SIZE, n)
-        meta.append((int(d[e - 1]), int(t[s:e].max()), float(scores[s:e].max())))
-    return (
-        int(n),
-        meta,
-        varbyte_encode(gaps),
-        varbyte_encode(t.astype(np.uint64)),
-        varbyte_encode(dl.astype(np.uint64)),
-    )
+    tu = t.astype(np.uint64)
+    dlu = dl.astype(np.uint64)
+    # per-block byte offsets for each stream (prefix sums of value byte widths)
+    offs = {}
+    for name, vals in (("d", stream), ("t", tu), ("l", dlu)):
+        nb = varbyte_nbytes(vals)
+        cum = np.concatenate(([0], np.cumsum(nb)))
+        offs[name] = cum[starts].astype(np.int64)
+    ends = np.minimum(starts + BLOCK_SIZE, n)
+    # block maxima via reduceat (vectorized)
+    max_doc = d[ends - 1]
+    max_tf = np.maximum.reduceat(t, starts) if n else np.empty(0, np.int64)
+    max_score = np.maximum.reduceat(scores, starts) if n else np.empty(0, np.float64)
+    return {
+        "n_docs": int(n),
+        "block_max_doc": max_doc.astype(np.int64),
+        "block_max_tf": max_tf.astype(np.int32),
+        "block_max_score": max_score.astype(np.float32),
+        "off_d": offs["d"], "off_t": offs["t"], "off_l": offs["l"],
+        "doc_ids_vb": varbyte_encode(stream),
+        "tfs_vb": varbyte_encode(tu),
+        "dls_vb": varbyte_encode(dlu),
+    }
 
 
-def decode_posting_list(doc_ids_vb: bytes, tfs_vb: bytes, dls_vb: bytes):
-    """Inverse of :func:`encode_posting_list` → (doc_ids int64 asc, tfs, dls)."""
-    u = delta_decode(varbyte_decode(doc_ids_vb))
+def _cumsum_with_block_resets(vals: np.ndarray, starts_idx: np.ndarray) -> np.ndarray:
+    """Given a delta stream whose block-first values are absolute, return the
+    absolute values — vectorized cumsum with resets at block starts."""
+    c = np.cumsum(vals, dtype=np.uint64)
+    # value at position i in block starting at s: c[i] - c[s] + vals[s]
+    block_of = np.searchsorted(starts_idx, np.arange(vals.size), side="right") - 1
+    base = (c[starts_idx] - vals[starts_idx])[block_of]
+    return c - base
+
+
+def decode_posting_list(doc_ids_vb: bytes, tfs_vb: bytes, dls_vb: bytes,
+                        n_docs: int | None = None):
+    """Full decode → (doc_ids int64 asc, tfs, dls)."""
+    stream = varbyte_decode(doc_ids_vb)
+    n = stream.size
+    starts = _block_starts(n)
+    u = _cumsum_with_block_resets(stream, starts)
     d = (u ^ np.uint64(1 << 63)).astype(np.int64)
     t = varbyte_decode(tfs_vb).astype(np.int64)
     dl = varbyte_decode(dls_vb).astype(np.int64)
+    return d, t, dl
+
+
+def decode_blocks(doc_ids_vb: bytes, tfs_vb: bytes, dls_vb: bytes,
+                  off_d: np.ndarray, off_t: np.ndarray, off_l: np.ndarray,
+                  n_docs: int, block_idx: np.ndarray):
+    """Selective decode of the given block indices (sorted) → (d, t, dl).
+
+    Slices the chosen blocks' byte ranges out of each stream, decodes them in
+    one vectorized pass, and rebuilds absolutes per block — never touching
+    skipped blocks' bytes (the I/O/CPU saving block-max pruning buys).
+    """
+    block_idx = np.asarray(block_idx, dtype=np.int64)
+    if block_idx.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    n_blocks = off_d.size
+    ends_d = np.concatenate((off_d[1:], [len(doc_ids_vb)]))
+    ends_t = np.concatenate((off_t[1:], [len(tfs_vb)]))
+    ends_l = np.concatenate((off_l[1:], [len(dls_vb)]))
+
+    def _sel(buf, offs, ends):
+        return b"".join(bytes(buf[offs[b]:ends[b]]) for b in block_idx)
+
+    stream = varbyte_decode(_sel(doc_ids_vb, off_d, ends_d))
+    # block lengths in values: BLOCK_SIZE except possibly the last block
+    lens = np.full(n_blocks, BLOCK_SIZE, dtype=np.int64)
+    lens[-1] = n_docs - BLOCK_SIZE * (n_blocks - 1)
+    sel_lens = lens[block_idx]
+    starts = np.concatenate(([0], np.cumsum(sel_lens)[:-1]))
+    u = _cumsum_with_block_resets(stream, starts)
+    d = (u ^ np.uint64(1 << 63)).astype(np.int64)
+    t = varbyte_decode(_sel(tfs_vb, off_t, ends_t)).astype(np.int64)
+    dl = varbyte_decode(_sel(dls_vb, off_l, ends_l)).astype(np.int64)
     return d, t, dl
 
 

@@ -1,0 +1,141 @@
+"""Block-max WAND top-k over the persisted index (C11/C12, the scale path).
+
+Query plan (SURVEY.md §3.4):
+
+  lexicon (pruned to query terms, broadcast)
+    → postings scan, partition-pruned by bucket(term) + term filter
+    → broadcast-join query terms onto posting rows
+    → groupBy(query_id, salt).applyInPandas(score_shard)   ← the only shuffle
+    → global top-k merge (≤ S·k rows per query, window row_number)
+
+Because every term's postings are sharded by the same doc-hash (build.py),
+the (query_id, salt) group holds a *complete, disjoint document subspace*:
+all query terms' postings for exactly the docs with pmod(xxhash64(doc_id), S)
+== salt.  WAND therefore runs shard-locally with no posting replication, and
+the global top-k is an exact merge of shard top-ks.  Group size is bounded
+by |query terms| × τ postings — constant in corpus size.
+
+The shard scorer is the vectorized-exact block-max variant (after Ding &
+Suel's BMW, SIGIR'11): seed a valid lower bound θ from the best block of the
+strongest term (decoded true partial scores are lower bounds of true totals;
+the k-th largest of any subset's true scores lower-bounds the k-th overall),
+then skip every block b of term t with
+    block_max(t, b) + Σ_{t'≠t} global_max(t') < θ
+— any doc in such a block provably scores < θ, and a doc scored *partially*
+because one of its blocks was skipped also provably scores < θ, so the final
+top-k is exact.  All block math is numpy; no per-posting Python anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.varbyte import bm25_partial, decode_blocks
+
+
+def _score_shard_factory(tombstones: frozenset[int]):
+    ts_arr = np.sort(np.fromiter(tombstones, dtype=np.int64)) if tombstones else None
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        query_id = int(pdf["query_id"].iloc[0])
+        k = int(pdf["k"].iloc[0])
+        avgdl = float(pdf["avgdl"].iloc[0])
+        pdf = pdf.sort_values("term", kind="stable")  # deterministic float order
+        n_terms = len(pdf)
+        gmax = np.array([float(np.max(r)) if len(r) else 0.0
+                         for r in pdf["block_max_score"]])
+        # --- seed θ: decode the single best block of the strongest term and
+        # take the k-th largest *achieved* partial score (a valid lower bound)
+        theta = 0.0
+        if n_terms > 0:
+            i_star = int(np.argmax(gmax))
+            row = pdf.iloc[i_star]
+            bms = np.asarray(row["block_max_score"], dtype=np.float64)
+            if bms.size:
+                b_star = int(np.argmax(bms))
+                d, t, dl = decode_blocks(
+                    row["doc_ids_vb"], row["tfs_vb"], row["dls_vb"],
+                    np.asarray(row["off_d"]), np.asarray(row["off_t"]),
+                    np.asarray(row["off_l"]), int(row["n_docs"]),
+                    np.array([b_star]),
+                )
+                seed = bm25_partial(t, dl, float(row["idf"]), avgdl)
+                if ts_arr is not None:
+                    seed = seed[~np.isin(d, ts_arr)]
+                if seed.size >= k:
+                    theta = float(np.partition(seed, -k)[-k])
+        other_sum = gmax.sum() - gmax  # Σ_{t'≠t} global_max(t') per term
+        # --- decode surviving blocks, score vectorized
+        all_docs, all_scores = [], []
+        for i in range(n_terms):
+            row = pdf.iloc[i]
+            bms = np.asarray(row["block_max_score"], dtype=np.float64)
+            keep = np.nonzero(bms + other_sum[i] >= theta)[0]
+            if keep.size == 0:
+                continue
+            d, t, dl = decode_blocks(
+                row["doc_ids_vb"], row["tfs_vb"], row["dls_vb"],
+                np.asarray(row["off_d"]), np.asarray(row["off_t"]),
+                np.asarray(row["off_l"]), int(row["n_docs"]), keep,
+            )
+            all_docs.append(d)
+            all_scores.append(bm25_partial(t, dl, float(row["idf"]), avgdl))
+        if not all_docs:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int32"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        docs = np.concatenate(all_docs)
+        scores = np.concatenate(all_scores)
+        order = np.argsort(docs, kind="stable")
+        docs, scores = docs[order], scores[order]
+        uniq, starts = np.unique(docs, return_index=True)
+        totals = np.add.reduceat(scores, starts)
+        if ts_arr is not None:
+            m = ~np.isin(uniq, ts_arr)
+            uniq, totals = uniq[m], totals[m]
+        if uniq.size > k:
+            # top-k with the engine total order: score desc, doc_id asc
+            idx = np.lexsort((uniq, -totals))[:k]
+        else:
+            idx = np.lexsort((uniq, -totals))
+        return pd.DataFrame({
+            "query_id": np.full(idx.size, query_id, dtype=np.int32),
+            "doc_id": uniq[idx],
+            "score": totals[idx],
+        })
+
+    return score_shard
+
+
+def bm25_topk_wand(spark: SparkSession, reader, qterms: DataFrame | None = None,
+                   round_to: int | None = None) -> DataFrame:
+    """Top-k via the persisted index.  ``reader`` is a plans.build.IndexReader.
+
+    Returns (query_id, rank, doc_id, score) ordered by (query_id, rank) —
+    identical to operators.scoring.bm25_topk (test-enforced).
+    """
+    from .scoring import query_terms_df
+
+    if qterms is None:
+        qterms = query_terms_df(spark)
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    post = reader.postings_for_terms(terms)
+    q_lex = qterms.join(reader.lexicon().select("term", "idf"), "term")
+    avgdl = F.broadcast(reader.corpus_stats().select("avgdl"))
+    joined = post.join(F.broadcast(q_lex), "term").crossJoin(avgdl)
+    scorer = _score_shard_factory(frozenset(reader.tombstones()))
+    shard_topk = joined.groupBy("query_id", "salt").applyInPandas(
+        scorer, schema="query_id int, doc_id bigint, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        shard_topk.join(F.broadcast(qterms.select("query_id", "k").distinct()), "query_id")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out.orderBy("query_id", "rank")

@@ -1,0 +1,72 @@
+"""M2: persisted compressed index + block-max WAND ≡ join-scorer ≡ oracle."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_data_import_handler_spark.operators.indexing import docs_from_pages
+from elasticsearch_data_import_handler_spark.operators.scoring import bm25_topk
+from elasticsearch_data_import_handler_spark.operators.wand import bm25_topk_wand
+from elasticsearch_data_import_handler_spark.plans.build import IndexReader, build_index
+from elasticsearch_data_import_handler_spark.plans.state import BuildLock, read_lineage, read_state
+from elasticsearch_data_import_handler_spark.sources.corpus import synth_pages
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    pages = synth_pages(spark, 400, seed=42)
+    # tau small → multiple doc-hash shards, exercising the sharded WAND merge
+    metrics = build_index(spark, pages, d, tau=100, n_buckets=4)
+    assert metrics["s_shards"] == 4  # 400 docs / tau=100 → 4 shards
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_wand_equals_join_scorer(spark, index_dir):
+    pages = synth_pages(spark, 400, seed=42)
+    from elasticsearch_data_import_handler_spark.operators.dedup import dedup_latest
+
+    docs = docs_from_pages(dedup_latest(pages))
+    expected = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+                for r in bm25_topk(spark, docs, round_to=None).collect()}
+    reader = IndexReader(spark, index_dir)
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+           for r in bm25_topk_wand(spark, reader).collect()}
+    assert set(got) == set(expected)
+    for key, (gd, gs) in got.items():
+        ed, es = expected[key]
+        assert gd == ed, f"{key}: doc {gd} != {ed}"
+        assert abs(gs - es) <= 1e-6, f"{key}: score {gs} != {es}"
+
+
+def test_index_layout_and_state(spark, index_dir):
+    st = read_state(index_dir)
+    assert st is not None and st.s_shards == 4 and st.n_buckets == 4
+    post = spark.read.parquet(f"{index_dir}/postings")
+    # bucket is the parquet partition column; salts within [0, S)
+    assert set(post.select("salt").distinct().toPandas()["salt"]) <= set(range(4))
+    # n_docs per (term, salt) bounded by ~tau + slack (uniform sharding works)
+    assert post.agg(F.max("n_docs")).first()[0] <= 100 * 3
+    lin = read_lineage(index_dir)
+    assert len(lin) == 1 and lin.iloc[0]["status"] == "done"
+    assert lin.iloc[0]["n_docs"] == 400
+
+
+def test_build_lock_blocks_concurrent(spark, index_dir):
+    with BuildLock(index_dir):
+        lock2 = BuildLock(index_dir)
+        assert lock2.acquire() is False
+
+
+def test_partition_pruned_scan(spark, index_dir):
+    """The postings scan for a query must touch only the term's bucket
+    (partition pruning visible in the physical plan)."""
+    reader = IndexReader(spark, index_dir)
+    df = reader.postings_for_terms(["spark"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan  # partition filter present
+    rows = df.collect()
+    assert all(r["term"] == "spark" for r in rows)
+    assert len({r["bucket"] for r in rows}) == 1

@@ -7,6 +7,7 @@ from hypothesis import strategies as st
 
 from elasticsearch_data_import_handler_spark.functions.varbyte import (
     bm25_partial,
+    decode_blocks,
     decode_posting_list,
     delta_decode,
     delta_encode,
@@ -58,10 +59,11 @@ def test_posting_list_roundtrip_and_block_max():
     tfs = rng.integers(1, 1000, n)
     dls = rng.integers(5, 2000, n)
     idf, avgdl = 1.7, 120.0
-    n_out, meta, dvb, tvb, lvb = encode_posting_list(doc_ids, tfs, dls, idf, avgdl)
-    assert n_out == n
-    assert len(meta) == (n + 127) // 128
-    d2, t2, l2 = decode_posting_list(dvb, tvb, lvb)
+    enc = encode_posting_list(doc_ids, tfs, dls, idf, avgdl)
+    n_blocks = (n + 127) // 128
+    assert enc["n_docs"] == n
+    assert len(enc["block_max_score"]) == n_blocks
+    d2, t2, l2 = decode_posting_list(enc["doc_ids_vb"], enc["tfs_vb"], enc["dls_vb"])
     order = np.argsort(doc_ids, kind="stable")
     assert np.array_equal(d2, doc_ids[order])
     assert np.array_equal(t2, tfs[order])
@@ -69,11 +71,34 @@ def test_posting_list_roundtrip_and_block_max():
     assert np.all(np.diff(d2) > 0)
     # block maxima dominate every member score / tf; max_doc is the block's last id
     scores = bm25_partial(t2, l2, idf, avgdl)
-    for bi, (max_doc, max_tf, max_score) in enumerate(meta):
+    for bi in range(n_blocks):
         s, e = bi * 128, min((bi + 1) * 128, n)
-        assert max_doc == int(d2[e - 1])
-        assert max_tf == int(t2[s:e].max())
-        assert max_score >= scores[s:e].max() - 1e-9
+        assert enc["block_max_doc"][bi] == int(d2[e - 1])
+        assert enc["block_max_tf"][bi] == int(t2[s:e].max())
+        assert enc["block_max_score"][bi] >= scores[s:e].max() - 1e-6
+
+
+def test_selective_block_decode():
+    """decode_blocks on a subset must equal the matching slices of full decode."""
+    rng = np.random.default_rng(7)
+    for n in [1, 100, 128, 129, 1000, 5000]:
+        doc_ids = np.sort(rng.choice(2**62, size=n, replace=False).astype(np.int64))
+        tfs = rng.integers(1, 100, n)
+        dls = rng.integers(5, 2000, n)
+        enc = encode_posting_list(doc_ids, tfs, dls, 1.5, 100.0)
+        d_all, t_all, l_all = decode_posting_list(
+            enc["doc_ids_vb"], enc["tfs_vb"], enc["dls_vb"])
+        n_blocks = len(enc["off_d"])
+        pick = np.unique(rng.choice(n_blocks, size=max(1, n_blocks // 2), replace=False))
+        d, t, l = decode_blocks(
+            enc["doc_ids_vb"], enc["tfs_vb"], enc["dls_vb"],
+            np.asarray(enc["off_d"]), np.asarray(enc["off_t"]),
+            np.asarray(enc["off_l"]), n, pick,
+        )
+        exp = np.concatenate([np.arange(b * 128, min((b + 1) * 128, n)) for b in pick])
+        assert np.array_equal(d, d_all[exp])
+        assert np.array_equal(t, t_all[exp])
+        assert np.array_equal(l, l_all[exp])
 
 
 def test_salted_split_union_equals_original():
@@ -90,8 +115,8 @@ def test_salted_split_union_equals_original():
             m = salt == i
             if m.sum() == 0:
                 continue
-            _, _, dvb, tvb, lvb = encode_posting_list(doc_ids[m], tfs[m], dls[m], 1.0, 100.0)
-            d2, t2, l2 = decode_posting_list(dvb, tvb, lvb)
+            enc = encode_posting_list(doc_ids[m], tfs[m], dls[m], 1.0, 100.0)
+            d2, t2, l2 = decode_posting_list(enc["doc_ids_vb"], enc["tfs_vb"], enc["dls_vb"])
             parts.append(np.stack([d2, t2, l2]))
         merged = np.concatenate(parts, axis=1)
         order = np.argsort(merged[0])
