@@ -92,6 +92,71 @@ def q_bm25_topk(spark, sf_dir):
     return S.bm25_topk(spark, _docs(spark, sf_dir), round_to=4)
 
 
+def q_bm25_topk_wand(spark, sf_dir):
+    """End-to-end scale path: build the persisted compressed index (SPIMI →
+    varbyte segments), query it with block-max WAND, and map versioned
+    doc_ids back to the documents table's native ids so the SAME DuckDB BM25
+    oracle validates the whole pipeline."""
+    import tempfile
+
+    from elasticsearch_data_import_handler_spark.operators.wand import bm25_topk_wand
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        IndexReader, build_index)
+    from elasticsearch_data_import_handler_spark.sources.corpus import (
+        pages_from_documents)
+
+    from pyspark.sql import Window
+
+    d = tempfile.mkdtemp(prefix="eidh_wand_gate_")
+    build_index(spark, pages_from_documents(spark, sf_dir), d,
+                tau=200, n_buckets=8)
+    reader = IndexReader(spark, d)
+    # tie-inclusive candidate pool, then rank under the NATIVE doc-id order
+    # so exact-score ties break identically to the SQL oracle
+    cand = bm25_topk_wand(spark, reader, candidates=True)
+    ds = reader.doc_stats().select("doc_id", "url")
+    native = cand.join(ds, "doc_id").select(
+        "query_id", "k", "score",
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        native.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", F.round("score", 4).alias("score"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_windowed_events(spark, sf_dir):
+    from elasticsearch_data_import_handler_spark.streaming.ingest import (
+        windowed_event_counts)
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    out = windowed_event_counts(ev, window="1 hour")
+    # stringify window bounds so the value-hash is timezone-representation-proof
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n", "sum_value")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Rows-only: binary-column feature plumbing over synthetic media
+    (decode kernels stubbed — libs not in container; plumbing is real)."""
+    from elasticsearch_data_import_handler_spark.operators.multimodal import (
+        extract_features, synth_media)
+
+    return extract_features(synth_media(spark, n=96), deterministic_stub=True)
+
+
+def q_frame_sampling(spark, sf_dir):
+    """Rows-only: video frame-sample plumbing (explode timestamps per blob)."""
+    from elasticsearch_data_import_handler_spark.operators.multimodal import (
+        sample_frames, synth_media)
+
+    return sample_frames(synth_media(spark, n=96), every_ms=5000)
+
+
 # ---------------------------------------------------------------- dedup ops
 
 def q_dedup_latest(spark, sf_dir):
@@ -274,6 +339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon": q_lexicon,
         "salt_plan": q_salt_plan,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_wand": q_bm25_topk_wand,
+        "windowed_events": q_windowed_events,
+        "multimodal_features": q_multimodal_features,
+        "frame_sampling": q_frame_sampling,
         "dedup_latest": q_dedup_latest,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -351,6 +420,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT query_id, rank, doc_id, round(score, 4) AS score "
             "FROM ranked WHERE rank <= k"
+        ),
+        "bm25_topk_wand": (
+            f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
+            f"{_query_values_sql()}, "
+            f"scored AS (SELECT q.query_id, tf.doc_id, any_value(q.k) AS k, "
+            f"sum({bm25_contrib}) AS score "
+            "FROM q JOIN tf USING (term) JOIN dfreq USING (term) "
+            "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s "
+            "GROUP BY q.query_id, tf.doc_id), "
+            "ranked AS (SELECT query_id, doc_id, score, k, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank "
+            "FROM scored) "
+            "SELECT query_id, rank, doc_id, round(score, 4) AS score "
+            "FROM ranked WHERE rank <= k"
+        ),
+        "windowed_events": (
+            "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') "
+            "AS window_start, event_type, count(*)::BIGINT AS n, "
+            "round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY 1, 2"
         ),
         "dedup_latest": (
             "SELECT user_id, event_id, event_type FROM ("

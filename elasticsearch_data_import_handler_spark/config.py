@@ -1,0 +1,116 @@
+"""Config model: the reference's JSON-config-driven import pipeline.
+
+Mirrors the upstream config surface (SURVEY.md §2A, capability-for-capability
+— not a code port; /root/reference was empty, shape reconstructed from the
+upstream README):
+
+  sources.filesystem[]  — directory + filespec + format → temp view (A2)
+  sources.table[]       — parquet/orc path → temp view (A1 analog; JDBC is
+                          declared but rejected in-sandbox with a clear error)
+  prepStatements[]      — ordered Spark SQL run before imports (A4)
+  importSteps[].statements[] — {id, sqlQuery|sqlFile, idField, target*} whose
+    result is written idempotently:
+      targetIndex → full-text index commit (replaces "push to ES, let ES
+                    index" — the engine indexes itself)
+      targetTable → parquet upsert keyed by idField, latest-wins (A9)
+    with {lastRun} macro substitution (A5), per-statement state (A6) and
+    lock (A7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class FilesystemSource:
+    directory: str
+    format: str = "parquet"
+    filespecs: list[str] = field(default_factory=lambda: ["*"])
+    spark_table: str = ""
+    options: dict = field(default_factory=dict)
+
+
+@dataclass
+class TableSource:
+    path: str
+    spark_table: str
+    format: str = "parquet"
+
+
+@dataclass
+class Statement:
+    id: str
+    sql_query: str = ""
+    sql_file: str = ""
+    id_field: str = ""
+    order_field: str = ""              # latest-wins ordering col (A9 upsert)
+    target_index: str = ""             # full-text index dir
+    target_table: str = ""             # parquet table dir
+    new_index_settings: dict = field(default_factory=dict)  # A8: tau/buckets
+
+
+@dataclass
+class ImportStep:
+    statements: list[Statement] = field(default_factory=list)
+
+
+@dataclass
+class PipelineConfig:
+    filesystem_sources: list[FilesystemSource] = field(default_factory=list)
+    table_sources: list[TableSource] = field(default_factory=list)
+    prep_statements: list[str] = field(default_factory=list)
+    import_steps: list[ImportStep] = field(default_factory=list)
+    state_dir: str = ""
+
+
+def load_config(path: str) -> PipelineConfig:
+    with open(path) as f:
+        raw = json.load(f)
+    src = raw.get("sources", {})
+    if src.get("jdbc"):
+        raise ValueError(
+            "jdbc sources are declared in the config model but no JDBC driver "
+            "ships in this sandbox; use filesystem/table sources"
+        )
+    fs = [
+        FilesystemSource(
+            directory=s["directory"],
+            format=s.get("format", "parquet"),
+            filespecs=s.get("filespecs", ["*"]),
+            spark_table=s.get("sparkTable") or s.get("spark_table", ""),
+            options=s.get("options", {}),
+        )
+        for s in src.get("filesystem", [])
+    ]
+    tbl = [
+        TableSource(path=s["path"],
+                    spark_table=s.get("sparkTable") or s.get("spark_table", ""),
+                    format=s.get("format", "parquet"))
+        for s in src.get("table", [])
+    ]
+    steps = []
+    for step in raw.get("importSteps", []):
+        stmts = [
+            Statement(
+                id=s["id"],
+                sql_query=s.get("sqlQuery", ""),
+                sql_file=s.get("sqlFile", ""),
+                id_field=s.get("idField", ""),
+                order_field=s.get("orderField", ""),
+                target_index=s.get("targetIndex", ""),
+                target_table=s.get("targetTable", ""),
+                new_index_settings=s.get("newIndexSettings", {}),
+            )
+            for s in step.get("statements", [])
+        ]
+        steps.append(ImportStep(statements=stmts))
+    return PipelineConfig(
+        filesystem_sources=fs,
+        table_sources=tbl,
+        prep_statements=raw.get("prepStatements", []),
+        import_steps=steps,
+        state_dir=raw.get("stateDir", os.path.join(os.getcwd(), "_dih_state")),
+    )

@@ -111,8 +111,7 @@ def _block_starts(n: int) -> np.ndarray:
     return np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
 
 
-def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
-                        idf: float, avgdl: float, k1: float = 1.2, b: float = 0.75):
+def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray):
     """Encode one (term, salt) posting list with block-independent blocks.
 
     doc_ids: int64 (signed, xxhash64-derived), sorted ascending here.
@@ -121,11 +120,16 @@ def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarr
     signed→unsigned map), so any block can be decoded without its
     predecessors — the classic restart-point layout block-max WAND needs.
 
-    Returns a dict with n_docs, per-block metadata arrays
-    (max_doc / max_tf / max_score and byte offsets into each stream), and
-    the three varbyte streams.  doc_len travels with the posting (dls_vb)
-    so query-time scoring needs no doc_stats join — documented deviation
-    from FIXTURES.md §4.
+    Block metadata is **stats-independent**: (max_doc, max_tf, min_dl) per
+    block.  The BM25 contribution is increasing in tf and decreasing in dl,
+    so idf·f(max_tf, min_dl) computed with *current* idf/avgdl is a correct
+    block upper bound even after incremental batches shift corpus stats —
+    a baked-in max_score would go stale and make pruning unsound.
+
+    Returns a dict with n_docs, per-block metadata arrays + byte offsets,
+    and the three varbyte streams.  doc_len travels with the posting
+    (dls_vb) so query-time scoring needs no doc_stats join — documented
+    deviation from FIXTURES.md §4.
     """
     order = np.argsort(doc_ids, kind="stable")
     d = np.asarray(doc_ids, dtype=np.int64)[order]
@@ -136,7 +140,6 @@ def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarr
     stream = delta_encode(u)
     starts = _block_starts(n)
     stream[starts] = u[starts]  # block-first values absolute → independent blocks
-    scores = bm25_partial(t, dl, idf, avgdl, k1, b)
     tu = t.astype(np.uint64)
     dlu = dl.astype(np.uint64)
     # per-block byte offsets for each stream (prefix sums of value byte widths)
@@ -146,15 +149,14 @@ def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarr
         cum = np.concatenate(([0], np.cumsum(nb)))
         offs[name] = cum[starts].astype(np.int64)
     ends = np.minimum(starts + BLOCK_SIZE, n)
-    # block maxima via reduceat (vectorized)
-    max_doc = d[ends - 1]
+    max_doc = d[ends - 1] if n else np.empty(0, np.int64)
     max_tf = np.maximum.reduceat(t, starts) if n else np.empty(0, np.int64)
-    max_score = np.maximum.reduceat(scores, starts) if n else np.empty(0, np.float64)
+    min_dl = np.minimum.reduceat(dl, starts) if n else np.empty(0, np.int64)
     return {
         "n_docs": int(n),
         "block_max_doc": max_doc.astype(np.int64),
         "block_max_tf": max_tf.astype(np.int32),
-        "block_max_score": max_score.astype(np.float32),
+        "block_min_dl": min_dl.astype(np.int32),
         "off_d": offs["d"], "off_t": offs["t"], "off_l": offs["l"],
         "doc_ids_vb": varbyte_encode(stream),
         "tfs_vb": varbyte_encode(tu),

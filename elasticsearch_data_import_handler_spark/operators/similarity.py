@@ -79,38 +79,52 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.92,
 
 
 def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
-                      n_planes: int = 8, seed: int = 42,
+                      n_planes: int = 4, n_tables: int = 8, seed: int = 42,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Sign-random-projection LSH ANN: bucket = sign bits of dot(vec, plane_j).
+    """Sign-random-projection LSH ANN with L hash tables (multi-table LSH).
 
-    Planes are deterministic pseudo-random (hash-derived, seed 42).  Queries
-    only score candidates in their own bucket — the 100 TB path, where the
-    bucketed table is partitioned by sig.  Recall < 1 by construction; the
-    baseline above is the exactness reference (recall is asserted ≥ 0.4 in
-    tests and measured in bench)."""
+    Each table buckets by the sign bits of ``n_planes`` random hyperplanes;
+    candidates are the union of same-bucket vectors over all tables — the
+    standard recall lever (P[collide in ≥1 table] = 1-(1-p^m)^L).  Planes are
+    deterministic (seed 42).  At 100 TB the bucketed table is persisted
+    partitioned by (table, sig) so a query prunes to L partitions.  Recall <
+    1 by construction; the brute-force baseline above is the exactness
+    reference (recall asserted in tests, measured in bench)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
     dim = len(embeddings.select(vec_col).first()[0])
-    planes = rng.standard_normal((n_planes, dim))
-    sig = None
-    for j in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
-        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
-        sig = bit if sig is None else sig * 2 + bit
-    e = embeddings.withColumn("sig", sig)
+    tables = []
+    for tbl in range(n_tables):
+        planes = rng.standard_normal((n_planes, dim))
+        sig = None
+        for j in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+            bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
+            sig = bit if sig is None else sig * 2 + bit
+        tables.append(F.struct(F.lit(tbl).alias("tbl"), sig.alias("sig")))
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*tables)).alias("ts"),
+    ).select(id_col, vec_col, "ts.tbl", "ts.sig")
     q = F.broadcast(
         e.filter(F.col(id_col) < n_queries).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "sig"
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+            "tbl", "sig",
         )
     )
     c = e.filter(F.col(id_col) >= n_queries).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"), "sig"
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"), "tbl", "sig"
     )
-    scored = q.join(c, "sig").select(
-        "query_id", "vec_id",
-        (_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
-         ).alias("cos"),
+    scored = (
+        q.join(c, ["tbl", "sig"])
+        .select("query_id", "vec_id", "qvec", "cvec")
+        .dropDuplicates(["query_id", "vec_id"])
+        .select(
+            "query_id", "vec_id",
+            (_dot(F.col("qvec"), F.col("cvec"))
+             / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

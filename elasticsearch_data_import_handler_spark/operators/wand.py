@@ -42,17 +42,33 @@ def _score_shard_factory(tombstones: frozenset[int]):
         query_id = int(pdf["query_id"].iloc[0])
         k = int(pdf["k"].iloc[0])
         avgdl = float(pdf["avgdl"].iloc[0])
-        pdf = pdf.sort_values("term", kind="stable")  # deterministic float order
-        n_terms = len(pdf)
-        gmax = np.array([float(np.max(r)) if len(r) else 0.0
-                         for r in pdf["block_max_score"]])
-        # --- seed θ: decode the single best block of the strongest term and
+        # deterministic float-reduction order: sort segment rows by (term, n_docs)
+        pdf = pdf.sort_values(["term", "n_docs"], kind="stable")
+        n_rows = len(pdf)
+        # Block upper bounds computed with *current* idf/avgdl from the
+        # stats-independent (max_tf, min_dl) metadata — stays correct as
+        # incremental batches shift corpus statistics.
+        row_ubs = []
+        for i in range(n_rows):
+            row = pdf.iloc[i]
+            ub = bm25_partial(np.asarray(row["block_max_tf"], dtype=np.float64),
+                              np.asarray(row["block_min_dl"], dtype=np.float64),
+                              float(row["idf"]), avgdl)
+            row_ubs.append(ub)
+        gmax_row = np.array([ub.max() if ub.size else 0.0 for ub in row_ubs])
+        # per-term global max: a doc appears in ≤1 segment row per term
+        terms = pdf["term"].to_numpy()
+        term_max: dict[str, float] = {}
+        for i in range(n_rows):
+            term_max[terms[i]] = max(term_max.get(terms[i], 0.0), gmax_row[i])
+        total_max = sum(term_max.values())
+        # --- seed θ: decode the single best block of the strongest row and
         # take the k-th largest *achieved* partial score (a valid lower bound)
         theta = 0.0
-        if n_terms > 0:
-            i_star = int(np.argmax(gmax))
+        if n_rows > 0:
+            i_star = int(np.argmax(gmax_row))
             row = pdf.iloc[i_star]
-            bms = np.asarray(row["block_max_score"], dtype=np.float64)
+            bms = row_ubs[i_star]
             if bms.size:
                 b_star = int(np.argmax(bms))
                 d, t, dl = decode_blocks(
@@ -66,13 +82,12 @@ def _score_shard_factory(tombstones: frozenset[int]):
                     seed = seed[~np.isin(d, ts_arr)]
                 if seed.size >= k:
                     theta = float(np.partition(seed, -k)[-k])
-        other_sum = gmax.sum() - gmax  # Σ_{t'≠t} global_max(t') per term
         # --- decode surviving blocks, score vectorized
         all_docs, all_scores = [], []
-        for i in range(n_terms):
+        for i in range(n_rows):
             row = pdf.iloc[i]
-            bms = np.asarray(row["block_max_score"], dtype=np.float64)
-            keep = np.nonzero(bms + other_sum[i] >= theta)[0]
+            other_sum = total_max - term_max[terms[i]]
+            keep = np.nonzero(row_ubs[i] + other_sum >= theta)[0]
             if keep.size == 0:
                 continue
             d, t, dl = decode_blocks(
@@ -95,11 +110,14 @@ def _score_shard_factory(tombstones: frozenset[int]):
         if ts_arr is not None:
             m = ~np.isin(uniq, ts_arr)
             uniq, totals = uniq[m], totals[m]
+        idx = np.lexsort((uniq, -totals))
         if uniq.size > k:
-            # top-k with the engine total order: score desc, doc_id asc
-            idx = np.lexsort((uniq, -totals))[:k]
-        else:
-            idx = np.lexsort((uniq, -totals))
+            # tie-inclusive cut: keep everything scoring >= the k-th score so
+            # downstream re-ranking under a different doc-id order (e.g. the
+            # oracle gate's native ids) still sees every tied candidate
+            cutoff = totals[idx[k - 1]]
+            n_keep = int((totals >= cutoff).sum())
+            idx = idx[:max(k, n_keep)]
         return pd.DataFrame({
             "query_id": np.full(idx.size, query_id, dtype=np.int32),
             "doc_id": uniq[idx],
@@ -110,11 +128,15 @@ def _score_shard_factory(tombstones: frozenset[int]):
 
 
 def bm25_topk_wand(spark: SparkSession, reader, qterms: DataFrame | None = None,
-                   round_to: int | None = None) -> DataFrame:
+                   round_to: int | None = None,
+                   candidates: bool = False) -> DataFrame:
     """Top-k via the persisted index.  ``reader`` is a plans.build.IndexReader.
 
     Returns (query_id, rank, doc_id, score) ordered by (query_id, rank) —
-    identical to operators.scoring.bm25_topk (test-enforced).
+    identical to operators.scoring.bm25_topk (test-enforced).  With
+    ``candidates=True`` returns the unranked tie-inclusive candidate pool
+    (query_id, doc_id, score, k) so callers can rank under their own doc-id
+    order (used by the oracle gate, which ranks by native table ids).
     """
     from .scoring import query_terms_df
 
@@ -129,9 +151,13 @@ def bm25_topk_wand(spark: SparkSession, reader, qterms: DataFrame | None = None,
     shard_topk = joined.groupBy("query_id", "salt").applyInPandas(
         scorer, schema="query_id int, doc_id bigint, score double"
     )
+    with_k = shard_topk.join(
+        F.broadcast(qterms.select("query_id", "k").distinct()), "query_id")
+    if candidates:
+        return with_k
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     out = (
-        shard_topk.join(F.broadcast(qterms.select("query_id", "k").distinct()), "query_id")
+        with_k
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")

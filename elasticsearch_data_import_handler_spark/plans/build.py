@@ -1,12 +1,20 @@
-"""Index build plan (C8/C10 + C13): pages → compressed, sharded posting lists.
+"""Index build plan: full + incremental (segment model) with resume (C8–C10, C13).
 
-Dataflow (SURVEY.md §3.4) — three shuffles, everything else map-side:
+Dataflow per batch (SURVEY.md §3.4):
 
-  pages ──C1 dedup (shuffle by url)──►
-  docs  ──tokenize/xxhash64 (JVM, codegen)──►
+  pages batch ──C1 dedup-within-batch (shuffle by url)──►
+  upsert resolve vs committed doc_stats (join on url; latest warc_ts wins;
+    losers → tombstones — the reference's ES ``_id`` upsert semantics, A9)──►
+  docs ──tokenize/xxhash64 (JVM, codegen)──►
   term_freqs ──explode + partial/final agg (shuffle by (term, doc_id))──►
-  join doc_len + idf ──repartition(term, salt) (shuffle 3)──►
-  applyInPandas(encode) ──► postings parquet partitioned by bucket(term)
+  repartition(term, salt) ──applyInPandas encode──►
+  postings/batch=K/bucket=J/  (one segment per batch, Lucene-style)
+
+then driver-side: exact df corrections for tombstoned docs (vectorized
+decode-scan of prior segments, pruned to the tombstones' salt shards),
+lexicon + corpus_stats recomputed exactly, lineage appended, state committed
+last (atomic rename) — a crash before the state commit leaves the batch
+invisible and a resume overwrites its directory (idempotent retry, A6).
 
 Layout decisions, stated for the 100 TB case:
 
@@ -14,33 +22,37 @@ Layout decisions, stated for the 100 TB case:
   S a power of two derived from corpus size / τ).  This subsumes per-term
   skew salting (SURVEY C7): a stopword's 10^11-posting list becomes S groups
   of ≤ ~τ postings — no ``applyInPandas`` group can exceed τ — while a df=1
-  term still occupies exactly one row (empty shards don't materialize).
+  term still occupies exactly one row (empty shards never materialize).
   Crucially the shards are *doc-space aligned across terms*, so query-time
   WAND runs per (query, shard) with zero posting-list replication and a
   final k-way merge — the same document-sharded design as Lucene/ES shards.
-* **Term-hash buckets** as the parquet partition column: queries prune to
-  the buckets of their terms at scan time (partition pruning, no shuffle).
-* Posting bytes: doc_ids delta+varbyte (sorted asc), tf/doc_len varbyte,
-  per-128 block (max_doc, max_tf, max_score) for block-max pruning.
-  doc_len travels with the posting so scoring needs no doc_stats join.
+* **Term-hash buckets** as a parquet partition column: queries prune to the
+  buckets of their terms at scan time (partition pruning, no shuffle).
+* **Segments**: a batch appends ``batch=K`` partitions; the scorer already
+  concatenates multiple rows per (term, salt), so segments need no eager
+  merge.  ``compact_index`` folds segments + tombstones back into one
+  segment (the Lucene merge analog) when segment count grows.
+* **doc_id = xxhash64(url || '|' || warc_ts)** — unique per crawl *version*
+  so an upsert is append-new + tombstone-old, never in-place posting edits.
+  (SURVEY §1.2 said xxhash64(url); versioned ids are the refinement that
+  makes incremental upserts exact — noted there.)
+* Exact-df deletes: the decode-scan is O(affected shards' doc_id streams)
+  per batch.  At web scale you would amortize via compaction instead;
+  both paths are implemented and the scan is metadata-pruned by salt.
 """
 
 from __future__ import annotations
 
-import os
 import time
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.varbyte import encode_posting_list
+from ..functions.varbyte import encode_posting_list, varbyte_decode, _cumsum_with_block_resets, _block_starts
 from ..operators.dedup import dedup_latest
-from ..operators.indexing import (
-    corpus_stats,
-    docs_from_pages,
-    lexicon,
-    term_freqs,
-)
+from ..operators.indexing import term_freqs
+from ..functions.textanalysis import jvm_tokens_col
 from .state import (
     BuildLock,
     IndexState,
@@ -55,10 +67,25 @@ from .state import (
 # hands these to the scorer UDF as numpy arrays with zero per-block Python.
 POSTINGS_SCHEMA = (
     "term string, salt int, n_docs int, "
-    "block_max_doc array<bigint>, block_max_tf array<int>, block_max_score array<float>, "
+    "block_max_doc array<bigint>, block_max_tf array<int>, block_min_dl array<int>, "
     "off_d array<bigint>, off_t array<bigint>, off_l array<bigint>, "
     "doc_ids_vb binary, tfs_vb binary, dls_vb binary, bucket int"
 )
+
+
+def _batch_dirs(index_dir: str, sub: str, committed: list[int]) -> list[str]:
+    """Existing, non-empty batch partition dirs (an empty batch writes no
+    data files — e.g. a re-import where every url was stale)."""
+    import glob
+    import os
+
+    out = []
+    for b in committed:
+        d = f"{index_dir}/{sub}/batch={b}"
+        if os.path.isdir(d) and (glob.glob(f"{d}/*.parquet")
+                                 or glob.glob(f"{d}/*/*.parquet")):
+            out.append(d)
+    return out
 
 
 def _next_pow2(n: int) -> int:
@@ -68,12 +95,22 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def docs_versioned(pages: DataFrame) -> DataFrame:
+    """pages → docs with version-unique doc_id = xxhash64(url || '|' || warc_ts)."""
+    return pages.select(
+        F.xxhash64(F.concat(F.col("url"), F.lit("|"),
+                            F.col("warc_ts").cast("string"))).alias("doc_id"),
+        "url",
+        F.col("warc_ts"),
+        jvm_tokens_col("text").alias("tokens"),
+    ).withColumn("doc_len", F.size("tokens"))
+
+
 def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas kernel: one (term, salt) group → one postings row.
     numpy-vectorized (no per-row Python inside the codec)."""
     enc = encode_posting_list(
-        pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["doc_len"].to_numpy(),
-        idf=float(pdf["idf"].iloc[0]), avgdl=float(pdf["avgdl"].iloc[0]),
+        pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["doc_len"].to_numpy()
     )
     return pd.DataFrame(
         [{
@@ -82,7 +119,7 @@ def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
             "n_docs": enc["n_docs"],
             "block_max_doc": enc["block_max_doc"],
             "block_max_tf": enc["block_max_tf"],
-            "block_max_score": enc["block_max_score"],
+            "block_min_dl": enc["block_min_dl"],
             "off_d": enc["off_d"], "off_t": enc["off_t"], "off_l": enc["off_l"],
             "doc_ids_vb": enc["doc_ids_vb"], "tfs_vb": enc["tfs_vb"],
             "dls_vb": enc["dls_vb"],
@@ -92,70 +129,302 @@ def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def build_postings(docs: DataFrame, s_shards: int, n_buckets: int,
-                   shuffle_partitions: int | None = None) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """docs(doc_id, tokens, doc_len) → (postings, lexicon, doc_stats) frames.
-
-    The lexicon join is on term (co-partitioned with the encode repartition);
-    avgdl is a broadcast scalar.
-    """
-    dstats = docs.select("doc_id", "doc_len",
-                         *(["url"] if "url" in docs.columns else []))
+                   shuffle_partitions: int | None = None) -> DataFrame:
+    """docs(doc_id, tokens, doc_len) → postings frame (one row per term×salt)."""
     tf = term_freqs(docs)
-    cstats = corpus_stats(dstats)
-    lex = lexicon(tf, cstats)
     enriched = (
         tf.join(docs.select("doc_id", "doc_len"), "doc_id")
-        .join(lex.select("term", "idf"), "term")
-        .crossJoin(F.broadcast(cstats.select("avgdl")))
         .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(s_shards)).cast("int"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
     )
     if shuffle_partitions:
         enriched = enriched.repartition(shuffle_partitions, "term", "salt")
-    postings = enriched.groupBy("term", "salt").applyInPandas(
+    return enriched.groupBy("term", "salt").applyInPandas(
         _encode_groups, schema=POSTINGS_SCHEMA
     )
-    return postings, lex, dstats
+
+
+def _resolve_upserts(new_docs: DataFrame, existing: DataFrame | None):
+    """Latest-wins per url across batches (A9 semantics).
+
+    Returns (kept_new_docs, tombstone_doc_ids_df).  Ties on warc_ts mean the
+    same doc_id (identical version) → incoming row dropped (idempotent)."""
+    if existing is None:
+        return new_docs, None
+    ex = existing.select(F.col("doc_id").alias("old_doc_id"), "url",
+                         F.col("warc_ts").alias("old_ts"))
+    j = new_docs.join(ex, "url", "left")
+    kept = (
+        j.filter(F.col("old_ts").isNull() | (F.col("warc_ts") > F.col("old_ts")))
+        .select(new_docs.columns)
+    )
+    tombs = (
+        j.filter(F.col("old_ts").isNotNull() & (F.col("warc_ts") > F.col("old_ts")))
+        .select(F.col("old_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return kept, tombs
+
+
+def _df_corrections(spark: SparkSession, index_dir: str, committed: list[int],
+                    tombstones: pd.DataFrame, s_shards: int) -> pd.DataFrame:
+    """Exact per-term df decrements for tombstoned docs: vectorized decode-scan
+    of prior segments' doc_id streams, pruned to the tombstones' salt shards."""
+    if tombstones.empty or not committed:
+        return pd.DataFrame({"term": pd.Series(dtype=object),
+                             "delta": pd.Series(dtype="int64")})
+    ts_ids = np.sort(tombstones["doc_id"].to_numpy(np.int64))
+    # salt of a doc uses xxhash64(doc_id) like the build; compute via Spark
+    salts_df = (
+        spark.createDataFrame(tombstones, schema="doc_id long")
+        .select(F.pmod(F.xxhash64("doc_id"), F.lit(s_shards)).cast("int").alias("salt"))
+        .distinct().toPandas()
+    )
+    salts = sorted(salts_df["salt"].tolist())
+    post = spark.read.option("basePath", f"{index_dir}/postings").parquet(
+        *_batch_dirs(index_dir, "postings", committed)
+    ).filter(F.col("salt").isin(salts)).select("term", "n_docs", "doc_ids_vb")
+
+    def _scan(it):
+        for pdf in it:
+            terms, deltas = [], []
+            for term, vb in zip(pdf["term"], pdf["doc_ids_vb"]):
+                stream = varbyte_decode(vb)
+                u = _cumsum_with_block_resets(stream, _block_starts(stream.size))
+                d = (u ^ np.uint64(1 << 63)).astype(np.int64)
+                hits = int(np.isin(d, ts_ids, assume_unique=True).sum())
+                if hits:
+                    terms.append(term)
+                    deltas.append(-hits)
+            yield pd.DataFrame({"term": terms, "delta": deltas})
+
+    out = post.mapInPandas(_scan, schema="term string, delta long").toPandas()
+    if out.empty:
+        return pd.DataFrame({"term": pd.Series(dtype=object),
+                             "delta": pd.Series(dtype="int64")})
+    return out.groupby("term", as_index=False)["delta"].sum()
+
+
+def _recompute_stats(spark: SparkSession, index_dir: str, committed: list[int]) -> None:
+    """Exact lexicon (df from segment metadata + corrections) and corpus stats
+    (from active doc_stats) — rewritten on every commit, cheap metadata aggs."""
+    ds = spark.read.option("basePath", f"{index_dir}/doc_stats").parquet(
+        *_batch_dirs(index_dir, "doc_stats", committed)
+    )
+    tomb = _read_tombstones(spark, index_dir, committed)
+    active = ds.join(tomb, "doc_id", "left_anti") if tomb is not None else ds
+    cstats = active.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_len").alias("sum_dl"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    cstats.write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
+
+    post_meta = spark.read.option("basePath", f"{index_dir}/postings").parquet(
+        *_batch_dirs(index_dir, "postings", committed)
+    ).select("term", "n_docs")
+    base = post_meta.groupBy("term").agg(F.sum("n_docs").alias("df0"))
+    import glob
+    import os
+    corr_path = f"{index_dir}/df_corrections"
+    has_corr = os.path.isdir(corr_path) and glob.glob(f"{corr_path}/*/*.parquet")
+    if has_corr:
+        corr = (spark.read.parquet(corr_path).groupBy("term")
+                .agg(F.sum("delta").alias("delta")))
+        base = base.join(corr, "term", "left").select(
+            "term", (F.col("df0") + F.coalesce(F.col("delta"), F.lit(0))).alias("df"))
+    else:
+        base = base.select("term", F.col("df0").alias("df"))
+    base = base.filter(F.col("df") > 0)
+    n_docs = cstats  # 1 row
+    lex = base.crossJoin(F.broadcast(n_docs.select("n_docs"))).select(
+        "term", "df",
+        F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+              / (F.col("df") + F.lit(0.5))).alias("idf"),
+    )
+    lex.write.mode("overwrite").parquet(f"{index_dir}/lexicon")
+
+
+def _read_tombstones(spark: SparkSession, index_dir: str, committed: list[int]):
+    import os
+
+    dirs = _batch_dirs(index_dir, "tombstones", committed)
+    if not dirs:
+        return None
+    return spark.read.option("basePath", f"{index_dir}/tombstones").parquet(*dirs) \
+        .select("doc_id").distinct()
+
+
+def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
+                 batch_id: int, tau: int = 100_000, n_buckets: int = 8,
+                 s_shards: int | None = None, attempt: int = 1) -> dict:
+    """Index one batch and commit it (data dirs → stats → lineage → state)."""
+    t0 = time.time()
+    st = read_state(index_dir) or IndexState(n_buckets=n_buckets,
+                                             build_id=new_build_id())
+    if batch_id in st.committed_batches:
+        return {"skipped": True, "batch_id": batch_id}
+    committed = list(st.committed_batches)
+
+    b = dedup_latest(pages_batch)
+    docs = docs_versioned(b)
+    existing = None
+    if committed and _batch_dirs(index_dir, "doc_stats", committed):
+        existing = spark.read.option("basePath", f"{index_dir}/doc_stats").parquet(
+            *_batch_dirs(index_dir, "doc_stats", committed)
+        ).select("doc_id", "url", "warc_ts")
+    kept, tombs = _resolve_upserts(docs, existing)
+    kept = kept.persist()
+    n_docs = kept.count()
+    if n_docs == 0:
+        # nothing new (e.g. idempotent re-import of an already-indexed window)
+        kept.unpersist()
+        wall_ms = int((time.time() - t0) * 1000)
+        append_lineage(index_dir, [lineage_row(st.build_id or new_build_id(),
+                                               batch_id, "done", 0, 0, wall_ms,
+                                               attempt)])
+        st.committed_batches = committed + [batch_id]
+        st.last_indexed_batch = max(st.last_indexed_batch, batch_id)
+        write_state(index_dir, st)
+        return {"n_docs": 0, "n_posting_rows": 0, "wall_ms": wall_ms,
+                "s_shards": st.s_shards, "batch_id": batch_id, "n_tombstones": 0}
+    if s_shards is None:
+        if st.committed_batches:
+            s_shards = st.s_shards
+        else:
+            s_shards = _next_pow2(max(1, (n_docs + tau - 1) // tau))
+
+    # data files first (crash before state commit → invisible, retry overwrites)
+    kept.select("doc_id", "url", "warc_ts", "doc_len").write.mode("overwrite") \
+        .parquet(f"{index_dir}/doc_stats/batch={batch_id}")
+    tombs_pdf = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    if tombs is not None:
+        tombs_pdf = tombs.toPandas()
+        if not tombs_pdf.empty:
+            tombs.write.mode("overwrite").parquet(
+                f"{index_dir}/tombstones/batch={batch_id}")
+    postings = build_postings(kept, s_shards, n_buckets)
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_dir}/postings/batch={batch_id}")
+    n_posting_rows = spark.read.parquet(
+        f"{index_dir}/postings/batch={batch_id}").count()
+
+    corr = _df_corrections(spark, index_dir, committed, tombs_pdf, s_shards)
+    if not corr.empty:
+        spark.createDataFrame(corr, schema="term string, delta long") \
+            .write.mode("overwrite").parquet(
+                f"{index_dir}/df_corrections/batch={batch_id}")
+
+    committed_now = committed + [batch_id]
+    _recompute_stats(spark, index_dir, committed_now)
+    kept.unpersist()
+
+    wall_ms = int((time.time() - t0) * 1000)
+    append_lineage(index_dir, [lineage_row(st.build_id or new_build_id(), batch_id,
+                                           "done", n_docs, n_posting_rows, wall_ms,
+                                           attempt)])
+    st.committed_batches = committed_now
+    st.last_indexed_batch = max(st.last_indexed_batch, batch_id)
+    st.s_shards = s_shards
+    st.n_buckets = n_buckets
+    write_state(index_dir, st)
+    return {"n_docs": n_docs, "n_posting_rows": n_posting_rows,
+            "wall_ms": wall_ms, "s_shards": s_shards, "batch_id": batch_id,
+            "n_tombstones": int(len(tombs_pdf))}
 
 
 def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
-                tau: int = 100_000, n_buckets: int = 8,
-                batch_id: int = 0, dedup: bool = True) -> dict:
-    """Full index build: C1 dedup → encode → persist + lineage + state commit.
-
-    Returns metrics dict (docs, postings rows, wall ms).
-    """
-    t0 = time.time()
-    build_id = new_build_id()
+                tau: int = 100_000, n_buckets: int = 8, dedup: bool = True) -> dict:
+    """Full (single-batch) build — the batch-0 special case."""
     with BuildLock(index_dir):
-        if dedup:
-            pages = dedup_latest(pages)
-        docs = docs_from_pages(pages)
-        n_docs = docs.count()
-        s_shards = _next_pow2(max(1, (n_docs + tau - 1) // tau))
-        postings, lex, dstats = build_postings(docs, s_shards, n_buckets)
+        return commit_batch(spark, pages, index_dir, batch_id=0, tau=tau,
+                            n_buckets=n_buckets)
 
-        dstats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
-        lex.write.mode("overwrite").parquet(f"{index_dir}/lexicon")
-        (postings.write.mode("overwrite").partitionBy("bucket")
-         .parquet(f"{index_dir}/postings"))
-        cstats = corpus_stats(spark.read.parquet(f"{index_dir}/doc_stats"))
-        cstats.write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
-        n_posting_rows = spark.read.parquet(f"{index_dir}/postings").count()
 
-        wall_ms = int((time.time() - t0) * 1000)
-        append_lineage(index_dir, [lineage_row(build_id, batch_id, "done",
-                                               n_docs, n_posting_rows, wall_ms)])
-        write_state(index_dir, IndexState(
-            last_indexed_batch=batch_id, committed_batches=[batch_id],
-            s_shards=s_shards, n_buckets=n_buckets, build_id=build_id,
-        ))
-    return {"n_docs": n_docs, "n_posting_rows": n_posting_rows,
-            "wall_ms": wall_ms, "s_shards": s_shards}
+def build_incremental(spark: SparkSession, batches: list[DataFrame], index_dir: str,
+                      tau: int = 100_000, n_buckets: int = 8) -> list[dict]:
+    """Index a sequence of snapshot batches with resume: committed batches are
+    skipped (reference A5–A7: state advances only on success; re-runs are
+    idempotent)."""
+    out = []
+    with BuildLock(index_dir):
+        for i, batch in enumerate(batches):
+            out.append(commit_batch(spark, batch, index_dir, batch_id=i,
+                                    tau=tau, n_buckets=n_buckets))
+    return out
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Fold all segments + tombstones into a single batch-0 segment (the
+    Lucene merge analog).  Exact: decodes every (term, salt) group across
+    segments, drops tombstoned docs, re-encodes."""
+    st = read_state(index_dir)
+    if st is None:
+        raise FileNotFoundError(index_dir)
+    committed = st.committed_batches
+    tomb = _read_tombstones(spark, index_dir, committed)
+    ds = spark.read.option("basePath", f"{index_dir}/doc_stats").parquet(
+        *_batch_dirs(index_dir, "doc_stats", committed))
+    active = ds.join(tomb, "doc_id", "left_anti") if tomb is not None else ds
+    post = spark.read.option("basePath", f"{index_dir}/postings").parquet(
+        *_batch_dirs(index_dir, "postings", committed))
+    ts_ids = (np.sort(tomb.toPandas()["doc_id"].to_numpy(np.int64))
+              if tomb is not None else np.empty(0, np.int64))
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.varbyte import decode_posting_list
+
+        ds_, ts_, ls_ = [], [], []
+        for _, row in pdf.iterrows():
+            d, t, l = decode_posting_list(row["doc_ids_vb"], row["tfs_vb"],
+                                          row["dls_vb"])
+            ds_.append(d)
+            ts_.append(t)
+            ls_.append(l)
+        d = np.concatenate(ds_)
+        t = np.concatenate(ts_)
+        l = np.concatenate(ls_)
+        if ts_ids.size:
+            m = ~np.isin(d, ts_ids)
+            d, t, l = d[m], t[m], l[m]
+        if d.size == 0:
+            cols = ["term", "salt", "n_docs", "block_max_doc", "block_max_tf",
+                    "block_min_dl", "off_d", "off_t", "off_l", "doc_ids_vb",
+                    "tfs_vb", "dls_vb", "bucket"]
+            return pd.DataFrame(columns=cols).iloc[:0]
+        sub = pd.DataFrame({"term": pdf["term"].iloc[0], "salt": pdf["salt"].iloc[0],
+                            "bucket": pdf["bucket"].iloc[0], "doc_id": d,
+                            "tf": t, "doc_len": l})
+        return _encode_groups(sub)
+
+    merged = post.groupBy("term", "salt").applyInPandas(_merge, schema=POSTINGS_SCHEMA)
+    # materialize BOTH new datasets before touching the old files (lazy
+    # evaluation: `active` still reads tombstones/doc_stats at action time)
+    tmp = f"{index_dir}/postings_compact"
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    active.write.mode("overwrite").parquet(f"{index_dir}/doc_stats_compact")
+    import os
+    import shutil
+
+    for b in committed:
+        shutil.rmtree(f"{index_dir}/postings/batch={b}", ignore_errors=True)
+    shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
+    shutil.rmtree(f"{index_dir}/df_corrections", ignore_errors=True)
+    shutil.rmtree(f"{index_dir}/doc_stats", ignore_errors=True)
+    os.makedirs(f"{index_dir}/doc_stats", exist_ok=True)
+    os.replace(f"{index_dir}/doc_stats_compact", f"{index_dir}/doc_stats/batch=0")
+    os.makedirs(f"{index_dir}/postings", exist_ok=True)
+    os.replace(tmp, f"{index_dir}/postings/batch=0")
+    st.committed_batches = [0]
+    st.last_indexed_batch = 0
+    _recompute_stats(spark, index_dir, [0])
+    write_state(index_dir, st)
+    return {"n_posting_rows": spark.read.parquet(f"{index_dir}/postings/batch=0").count()}
 
 
 class IndexReader:
-    """Query-side handle: partition-pruned postings scan + broadcast lexicon."""
+    """Query-side handle: partition-pruned postings scan + broadcast lexicon.
+    Only committed batches are visible (uncommitted partial writes invisible)."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -172,14 +441,14 @@ class IndexReader:
         return self.spark.read.parquet(f"{self.index_dir}/corpus_stats")
 
     def doc_stats(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/doc_stats")
+        return self.spark.read.option("basePath", f"{self.index_dir}/doc_stats").parquet(
+            *_batch_dirs(self.index_dir, "doc_stats", self.state.committed_batches))
 
     def tombstones(self) -> set[int]:
-        p = f"{self.index_dir}/tombstones"
-        if not os.path.isdir(p):
+        t = _read_tombstones(self.spark, self.index_dir, self.state.committed_batches)
+        if t is None:
             return set()
-        pdf = self.spark.read.parquet(p).toPandas()
-        return set(pdf["doc_id"].tolist())
+        return set(t.toPandas()["doc_id"].tolist())
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         """Partition-pruned scan: bucket IN (term buckets) AND term IN terms.
@@ -187,5 +456,6 @@ class IndexReader:
         from ..functions.hashing import xxhash64_str
 
         buckets = sorted({xxhash64_str(t) % self.state.n_buckets for t in terms})
-        df = self.spark.read.parquet(f"{self.index_dir}/postings")
+        df = self.spark.read.option("basePath", f"{self.index_dir}/postings").parquet(
+            *_batch_dirs(self.index_dir, "postings", self.state.committed_batches))
         return df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))

@@ -1,0 +1,64 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (SURVEY.md §1.1: incrementality = cron re-run
+with {lastRun}).  This module is the engine's forward-looking stream path:
+
+* :func:`stream_index_pages` — ``readStream`` over a pages directory with
+  ``Trigger.AvailableNow`` + ``foreachBatch`` committing each micro-batch
+  through the same ``commit_batch`` used by batch builds, so streaming and
+  batch ingest share one code path, one state, one lineage table.
+* :func:`windowed_event_counts` — watermarked tumbling-window aggregation
+  (late-data tolerant) over an event stream, the standard analytics shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.corpus import PAGES_SCHEMA
+
+
+def stream_index_pages(spark: SparkSession, pages_dir: str, index_dir: str,
+                       checkpoint_dir: str, tau: int = 100_000,
+                       n_buckets: int = 8):
+    """Index every new pages file exactly once (AvailableNow drains what's
+    present, then stops; re-run to pick up new files — the streaming analog
+    of the reference's cron-driven incremental import)."""
+    from ..plans.build import commit_batch
+    from ..plans.state import read_state
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA).format("parquet")
+        .option("maxFilesPerTrigger", 8)
+        .load(pages_dir)
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        st = read_state(index_dir)
+        batch_id = (st.last_indexed_batch + 1) if st else 0
+        commit_batch(batch_df.sparkSession, batch_df, index_dir,
+                     batch_id=batch_id, tau=tau, n_buckets=n_buckets)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
+                          slide: str | None = None,
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling/sliding window counts per event_type — works on
+    both a static frame and a stream (same logical plan)."""
+    win = (F.window("ts", window, slide) if slide else F.window("ts", window))
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n",
+                F.round("sum_value", 4).alias("sum_value"))
+    )

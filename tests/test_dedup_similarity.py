@@ -1,0 +1,91 @@
+"""Python-oracle tests for the non-SQL-expressible ops: MinHash-LSH accuracy
+vs exact Jaccard, SimHash locality, LSH-ANN recall vs brute force."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from elasticsearch_data_import_handler_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash,
+    simhash_neardup_pairs,
+)
+from elasticsearch_data_import_handler_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+
+
+def _exact_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_minhash_estimates_true_jaccard(spark):
+    """Near-dup pairs (planted) must be found and est_jaccard ≈ true jaccard."""
+    base = ("spark sql join filter scan merge sort hash table index query row "
+            "column data stream batch window agg group order key value " * 4)
+    rows = []
+    for i in range(20):
+        rows.append((i, base + f" unique{i} marker{i} tail{i}"))
+    # plant two near-dups of doc 0
+    rows.append((100, base + " unique0 marker0 changed"))
+    rows.append((101, base + " unique0 altered tail0"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, num_hashes=64, bands=16,
+                              jaccard_threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert (0, 100) in found and (0, 101) in found
+    texts = dict(rows)
+    for (a, b), est in found.items():
+        true = _exact_jaccard(texts[a], texts[b])
+        assert abs(est - true) < 0.25, f"({a},{b}): est {est} vs true {true}"
+        assert true > 0.3  # no wildly-false positives at threshold 0.5
+
+
+def test_simhash_locality(spark):
+    """Identical docs → identical fingerprints; near-identical → small Hamming
+    distance; unrelated → large."""
+    base = " ".join(f"t{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, base + " extra token"),
+         (3, " ".join(f"z{i}" for i in range(200)))],
+        "doc_id long, text string")
+    sims = {r["id"]: r["sim"] for r in simhash(df).collect()}
+    assert sims[0] == sims[1]
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(sims[0], sims[2]) <= 8
+    assert ham(sims[0], sims[3]) > 16
+
+
+def test_simhash_neardup_pairs_finds_planted(spark):
+    base = " ".join(f"t{i}" for i in range(300))
+    rows = [(0, base), (1, base + " x"), (2, " ".join(f"q{i}" for i in range(300)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_neardup_pairs(df, max_hamming=6).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, n_queries=5, k=10).collect()
+    approx = lsh_bucketed_topk(emb, n_queries=5, k=10, n_planes=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got_sets = {}
+    for r in approx:
+        got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact_sets[q] & got_sets.get(q, set())) / len(exact_sets[q])
+               for q in exact_sets]
+    assert np.mean(recalls) >= 0.25, f"mean LSH recall too low: {recalls}"
+    # approx results are a subset relation on cos: every returned cos must
+    # be ≤ the exact rank-1 cos for that query
+    best = {r["query_id"]: r["cos"] for r in exact if r["rank"] == 1}
+    for r in approx:
+        assert r["cos"] <= best[r["query_id"]] + 1e-9

@@ -25,10 +25,13 @@ def index_dir(spark, tmp_path_factory):
 
 
 def test_wand_equals_join_scorer(spark, index_dir):
+    """The persisted-index WAND path must equal the in-memory join scorer on
+    the same docs frame (versioned doc_ids, as the builder derives them)."""
     pages = synth_pages(spark, 400, seed=42)
     from elasticsearch_data_import_handler_spark.operators.dedup import dedup_latest
+    from elasticsearch_data_import_handler_spark.plans.build import docs_versioned
 
-    docs = docs_from_pages(dedup_latest(pages))
+    docs = docs_versioned(dedup_latest(pages))
     expected = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
                 for r in bm25_topk(spark, docs, round_to=None).collect()}
     reader = IndexReader(spark, index_dir)

@@ -1,0 +1,81 @@
+"""Structured Streaming ingest (AvailableNow → same commit path as batch) and
+multimodal binary plumbing (Arrow batches, stubbed decode kernels)."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from elasticsearch_data_import_handler_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synth_media,
+)
+from elasticsearch_data_import_handler_spark.streaming.ingest import (
+    stream_index_pages,
+    windowed_event_counts,
+)
+
+
+def test_stream_index_equals_batch(spark, tmp_path):
+    """Streaming the corpus directory through foreachBatch must produce a
+    queryable index equal to the batch build on the same data."""
+    from elasticsearch_data_import_handler_spark.operators.wand import bm25_topk_wand
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        IndexReader, build_index)
+    from elasticsearch_data_import_handler_spark.sources.corpus import synth_pages
+
+    pages = synth_pages(spark, 200, seed=42)
+    pages_dir = str(tmp_path / "pages_in")
+    pages.coalesce(2).write.parquet(pages_dir)
+
+    stream_dir = str(tmp_path / "stream_idx")
+    q = stream_index_pages(spark, pages_dir, stream_dir,
+                           str(tmp_path / "ckpt"), tau=100, n_buckets=4)
+    q.awaitTermination(120)
+
+    batch_dir = str(tmp_path / "batch_idx")
+    build_index(spark, spark.read.parquet(pages_dir), batch_dir,
+                tau=100, n_buckets=4)
+
+    def topk(d):
+        return {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 6))
+                for r in bm25_topk_wand(spark, IndexReader(spark, d)).collect()}
+
+    got, exp = topk(stream_dir), topk(batch_dir)
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key][0] == exp[key][0]
+        assert abs(got[key][1] - exp[key][1]) <= 1e-6
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_windowed_event_counts_static(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windowed_event_counts(ev, window="1 hour")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert sum(r["n"] for r in rows) == ev.count()
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synth_media(spark, n=48)
+    feats = extract_features(media, deterministic_stub=True)
+    rows = feats.collect()
+    assert len(rows) == 48
+    for r in rows:
+        assert len(r["feature"]) == 16
+        assert all(0.0 <= v < 1.0 for v in r["feature"])
+    # determinism across runs
+    again = {r["media_id"]: list(r["feature"]) for r in feats.collect()}
+    for r in rows:
+        assert list(r["feature"]) == again[r["media_id"]]
+
+
+def test_multimodal_frame_sampling(spark):
+    media = synth_media(spark, n=30)
+    frames = sample_frames(media, every_ms=10_000)
+    pdf = frames.toPandas()
+    n_videos = media.filter("kind = 'video'").count()
+    assert pdf["media_id"].nunique() == n_videos
+    assert (pdf["frame_ms"] % 10_000 == 0).all()

@@ -59,23 +59,27 @@ def test_posting_list_roundtrip_and_block_max():
     tfs = rng.integers(1, 1000, n)
     dls = rng.integers(5, 2000, n)
     idf, avgdl = 1.7, 120.0
-    enc = encode_posting_list(doc_ids, tfs, dls, idf, avgdl)
+    enc = encode_posting_list(doc_ids, tfs, dls)
     n_blocks = (n + 127) // 128
     assert enc["n_docs"] == n
-    assert len(enc["block_max_score"]) == n_blocks
+    assert len(enc["block_max_tf"]) == n_blocks
     d2, t2, l2 = decode_posting_list(enc["doc_ids_vb"], enc["tfs_vb"], enc["dls_vb"])
     order = np.argsort(doc_ids, kind="stable")
     assert np.array_equal(d2, doc_ids[order])
     assert np.array_equal(t2, tfs[order])
     assert np.array_equal(l2, dls[order])
     assert np.all(np.diff(d2) > 0)
-    # block maxima dominate every member score / tf; max_doc is the block's last id
+    # (max_tf, min_dl) upper bound dominates every member score under ANY
+    # (idf, avgdl) — the stats-independence property incremental relies on
     scores = bm25_partial(t2, l2, idf, avgdl)
     for bi in range(n_blocks):
         s, e = bi * 128, min((bi + 1) * 128, n)
         assert enc["block_max_doc"][bi] == int(d2[e - 1])
         assert enc["block_max_tf"][bi] == int(t2[s:e].max())
-        assert enc["block_max_score"][bi] >= scores[s:e].max() - 1e-6
+        assert enc["block_min_dl"][bi] == int(l2[s:e].min())
+        ub = bm25_partial(np.array([enc["block_max_tf"][bi]]),
+                          np.array([enc["block_min_dl"][bi]]), idf, avgdl)[0]
+        assert ub >= scores[s:e].max() - 1e-12
 
 
 def test_selective_block_decode():
@@ -85,7 +89,7 @@ def test_selective_block_decode():
         doc_ids = np.sort(rng.choice(2**62, size=n, replace=False).astype(np.int64))
         tfs = rng.integers(1, 100, n)
         dls = rng.integers(5, 2000, n)
-        enc = encode_posting_list(doc_ids, tfs, dls, 1.5, 100.0)
+        enc = encode_posting_list(doc_ids, tfs, dls)
         d_all, t_all, l_all = decode_posting_list(
             enc["doc_ids_vb"], enc["tfs_vb"], enc["dls_vb"])
         n_blocks = len(enc["off_d"])
@@ -115,7 +119,7 @@ def test_salted_split_union_equals_original():
             m = salt == i
             if m.sum() == 0:
                 continue
-            enc = encode_posting_list(doc_ids[m], tfs[m], dls[m], 1.0, 100.0)
+            enc = encode_posting_list(doc_ids[m], tfs[m], dls[m])
             d2, t2, l2 = decode_posting_list(enc["doc_ids_vb"], enc["tfs_vb"], enc["dls_vb"])
             parts.append(np.stack([d2, t2, l2]))
         merged = np.concatenate(parts, axis=1)
