@@ -67,16 +67,21 @@ def shingles_col(text_col: str = "text", n: int = 3):
     )
 
 
-def minhash_signature_col(shingle_col, num_hashes: int = 64):
-    """MinHash signature as array<bigint>: the i-th hash function is
-    xxhash64(shingle, i) (the hash of the pair — a keyed-hash family),
-    min'd over the shingle set — all JVM-side, codegen'd.
+def minhash_signatures(shingled: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(id, sh array<string>) → (id, sig array<bigint>).
+
+    The i-th hash function is xxhash64(shingle, i) (hash of the pair — a
+    keyed-hash family), min'd over the shingle set.  Implemented as explode →
+    groupBy(id) with ``num_hashes`` static min-aggregates: nested
+    higher-order-function lambdas are *interpreted* per element in Spark,
+    while this shape stays inside whole-stage codegen with partial (map-side)
+    min combine — the SPIMI trick applied to signatures.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(s, i))
-        ),
+    ex = shingled.select("id", F.explode("sh").alias("s"))
+    aggs = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    return ex.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -92,10 +97,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     comparing full signatures, never full texts.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature_col(shingles_col(text_col), num_hashes).alias("sig"),
-    ).filter(F.size("sig") > 0)
+    # Repartition spreads the hash work when the input is a single small file
+    # (at scale, many input files already provide parallelism).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    shingled = (
+        df.select(F.col(id_col).alias("id"), shingles_col(text_col).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .repartition(par, "id")
+    )
+    sig = minhash_signatures(shingled, num_hashes)
     banded = sig.select(
         "id", "sig",
         F.explode(

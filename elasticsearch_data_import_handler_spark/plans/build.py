@@ -106,16 +106,13 @@ def docs_versioned(pages: DataFrame) -> DataFrame:
     ).withColumn("doc_len", F.size("tokens"))
 
 
-def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one (term, salt) group → one postings row.
-    numpy-vectorized (no per-row Python inside the codec)."""
-    enc = encode_posting_list(
-        pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["doc_len"].to_numpy()
-    )
+def _postings_row(term, salt: int, bucket: int, doc_ids, tfs, dls) -> pd.DataFrame:
+    """One encoded postings row from per-doc (doc_id, tf, doc_len) arrays."""
+    enc = encode_posting_list(doc_ids, tfs, dls)
     return pd.DataFrame(
         [{
-            "term": pdf["term"].iloc[0],
-            "salt": int(pdf["salt"].iloc[0]),
+            "term": term,
+            "salt": salt,
             "n_docs": enc["n_docs"],
             "block_max_doc": enc["block_max_doc"],
             "block_max_tf": enc["block_max_tf"],
@@ -123,25 +120,108 @@ def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
             "off_d": enc["off_d"], "off_t": enc["off_t"], "off_l": enc["off_l"],
             "doc_ids_vb": enc["doc_ids_vb"], "tfs_vb": enc["tfs_vb"],
             "dls_vb": enc["dls_vb"],
-            "bucket": int(pdf["bucket"].iloc[0]),
+            "bucket": bucket,
         }]
     )
 
 
+def _encode_stream_factory(n_buckets: int):
+    """mapInPandas kernel over a partition sorted by (term_id, salt, doc_id).
+
+    Streams Arrow batches, slicing complete (term_id, salt) groups with
+    numpy boundary detection and carrying the trailing partial group into
+    the next batch.  Compared to groupBy().applyInPandas() this never
+    builds a pandas frame per group and never ships the term *string* per
+    occurrence — only 4 numeric columns cross the Arrow boundary, which is
+    what makes the encode stage memory-bandwidth-light and scalable.
+    """
+
+    def encode_stream(batches):
+        carry = None  # (term_id, salt, doc_id, doc_len) numpy arrays
+        out: list[dict] = []
+
+        def flush(tid: int, salt: int, d: np.ndarray, dl: np.ndarray) -> None:
+            uniq, first, counts = np.unique(d, return_index=True,
+                                            return_counts=True)
+            enc = encode_posting_list(uniq, counts, dl[first])
+            out.append({
+                "term_id": int(tid), "salt": int(salt),
+                "n_docs": enc["n_docs"],
+                "block_max_doc": enc["block_max_doc"],
+                "block_max_tf": enc["block_max_tf"],
+                "block_min_dl": enc["block_min_dl"],
+                "off_d": enc["off_d"], "off_t": enc["off_t"],
+                "off_l": enc["off_l"],
+                "doc_ids_vb": enc["doc_ids_vb"], "tfs_vb": enc["tfs_vb"],
+                "dls_vb": enc["dls_vb"],
+                # Python % is already non-negative for positive modulus (pmod)
+                "bucket": int(tid) % n_buckets,
+            })
+
+        for pdf in batches:
+            tid = pdf["term_id"].to_numpy(np.int64)
+            salt = pdf["salt"].to_numpy(np.int64)
+            d = pdf["doc_id"].to_numpy(np.int64)
+            dl = pdf["doc_len"].to_numpy(np.int64)
+            if carry is not None:
+                tid = np.concatenate((carry[0], tid))
+                salt = np.concatenate((carry[1], salt))
+                d = np.concatenate((carry[2], d))
+                dl = np.concatenate((carry[3], dl))
+            if tid.size == 0:
+                continue
+            # boundaries where (term_id, salt) changes
+            change = np.nonzero((tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1]))[0] + 1
+            starts = np.concatenate(([0], change))
+            # last group may continue into the next Arrow batch → carry it
+            for i in range(starts.size - 1):
+                s, e = starts[i], starts[i + 1]
+                flush(tid[s], salt[s], d[s:e], dl[s:e])
+            s = starts[-1]
+            carry = (tid[s:], salt[s:], d[s:], dl[s:])
+        if carry is not None and carry[0].size:
+            flush(carry[0][0], carry[1][0], carry[2], carry[3])
+        if out:
+            yield pd.DataFrame(out)
+
+    return encode_stream
+
+
+POSTINGS_ENC_SCHEMA = POSTINGS_SCHEMA.replace("term string", "term_id bigint")
+
+
 def build_postings(docs: DataFrame, s_shards: int, n_buckets: int,
                    shuffle_partitions: int | None = None) -> DataFrame:
-    """docs(doc_id, tokens, doc_len) → postings frame (one row per term×salt)."""
-    tf = term_freqs(docs)
-    enriched = (
-        tf.join(docs.select("doc_id", "doc_len"), "doc_id")
-        .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(s_shards)).cast("int"))
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    """docs(doc_id, tokens, doc_len) → postings frame (one row per term×salt).
+
+    Single-shuffle plan: explode token occurrences keyed by numeric
+    ``term_id = xxhash64(term)`` (strings never cross the Python boundary
+    per occurrence — only per *distinct term* in the final tiny join),
+    shuffle ONCE on (term_id, salt), sort within partitions, and stream
+    through the encode kernel.  bucket = pmod(term_id, n_buckets) matches
+    the reader's pmod(xxhash64(term), n_buckets) partition pruning.
+
+    64-bit term_id collision caveat: negligible at sandbox vocab sizes;
+    at ~10^9 distinct terms pair it with a term-length tiebreak (documented,
+    not needed here — a collision would merge two terms' postings).
+    """
+    ex = docs.select(
+        "doc_id", "doc_len", F.explode("tokens").alias("term")
+    ).select(
+        F.xxhash64("term").alias("term_id"), "doc_id", "doc_len",
+        F.pmod(F.xxhash64("doc_id"), F.lit(s_shards)).cast("int").alias("salt"),
     )
-    if shuffle_partitions:
-        enriched = enriched.repartition(shuffle_partitions, "term", "salt")
-    return enriched.groupBy("term", "salt").applyInPandas(
-        _encode_groups, schema=POSTINGS_SCHEMA
-    )
+    p = shuffle_partitions or ex.sparkSession.sparkContext.defaultParallelism
+    part = (ex.repartition(p, "term_id", "salt")
+            .sortWithinPartitions("term_id", "salt", "doc_id"))
+    enc = part.mapInPandas(_encode_stream_factory(n_buckets),
+                           schema=POSTINGS_ENC_SCHEMA)
+    # term_id → term string restored on the ~|vocab|×S output rows only;
+    # AQE picks broadcast when the distinct-term side is small (at 10^9-term
+    # scale this becomes a co-keyed sort-merge join — still metadata-sized)
+    terms = (docs.select(F.explode("tokens").alias("term")).distinct()
+             .select("term", F.xxhash64("term").alias("term_id")))
+    return enc.join(terms, "term_id").drop("term_id")
 
 
 def _resolve_upserts(new_docs: DataFrame, existing: DataFrame | None):
@@ -275,7 +355,7 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
         ).select("doc_id", "url", "warc_ts")
     kept, tombs = _resolve_upserts(docs, existing)
     kept = kept.persist()
-    n_docs = kept.count()
+    n_docs = kept.count()  # materializes the tokenized cache (one pass)
     if n_docs == 0:
         # nothing new (e.g. idempotent re-import of an already-indexed window)
         kept.unpersist()
@@ -306,8 +386,11 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
     postings = build_postings(kept, s_shards, n_buckets)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/postings/batch={batch_id}")
-    n_posting_rows = spark.read.parquet(
-        f"{index_dir}/postings/batch={batch_id}").count()
+    # row count from parquet footers (driver-side metadata, no Spark job)
+    import pyarrow.dataset as _ds
+    n_posting_rows = _ds.dataset(
+        f"{index_dir}/postings/batch={batch_id}", format="parquet",
+        partitioning="hive").count_rows()
 
     corr = _df_corrections(spark, index_dir, committed, tombs_pdf, s_shards)
     if not corr.empty:
@@ -392,10 +475,9 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                     "block_min_dl", "off_d", "off_t", "off_l", "doc_ids_vb",
                     "tfs_vb", "dls_vb", "bucket"]
             return pd.DataFrame(columns=cols).iloc[:0]
-        sub = pd.DataFrame({"term": pdf["term"].iloc[0], "salt": pdf["salt"].iloc[0],
-                            "bucket": pdf["bucket"].iloc[0], "doc_id": d,
-                            "tf": t, "doc_len": l})
-        return _encode_groups(sub)
+        # rows here are already per-doc (doc_id, tf, dl) — encode directly
+        return _postings_row(pdf["term"].iloc[0], int(pdf["salt"].iloc[0]),
+                             int(pdf["bucket"].iloc[0]), d, t, l)
 
     merged = post.groupBy("term", "salt").applyInPandas(_merge, schema=POSTINGS_SCHEMA)
     # materialize BOTH new datasets before touching the old files (lazy

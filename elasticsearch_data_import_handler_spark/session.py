@@ -29,9 +29,10 @@ def get_spark(app: str = "eidh-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # big text/html columns: keep Arrow batches bounded so Python workers
-        # don't balloon (SURVEY.md §4.2 item 4)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Arrow batch sizing (SURVEY.md §4.2 item 4): big enough that narrow
+        # numeric streams (the posting-encode input) aren't dominated by
+        # per-batch framing, small enough that html-wide batches stay ~32 MB
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         .config("spark.driver.memory", os.environ.get("EIDH_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
