@@ -33,9 +33,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # the operator suite still runs at the full SPARK_GRAFT_CPUS.
 SCALE_LOW = int(os.environ.get("EIDH_BENCH_LOW_CPUS", "2"))
 SCALE_HIGH = int(os.environ.get("EIDH_BENCH_HIGH_CPUS", "8"))
-N_DOCS = int(os.environ.get("EIDH_BENCH_DOCS", "300000"))
+N_DOCS = int(os.environ.get("EIDH_BENCH_DOCS", "200000"))
 QUERY_REPS = int(os.environ.get("EIDH_BENCH_QUERY_REPS", "2"))
-BUILD_REPS = int(os.environ.get("EIDH_BENCH_BUILD_REPS", "1"))
+BUILD_REPS = int(os.environ.get("EIDH_BENCH_BUILD_REPS", "2"))
 QUERY_COPIES = int(os.environ.get("EIDH_BENCH_QUERY_COPIES", "20"))
 BENCH_DIR = os.path.join(REPO, ".bench")
 
@@ -83,19 +83,19 @@ def _bench_index_and_query(cpus: int, corpus_path: str) -> dict:
         warm = tempfile.mkdtemp(prefix=f"eidh_warm_{cpus}_")
         build_index(spark, pages.limit(20_000), warm, tau=50_000, n_buckets=16)
         shutil.rmtree(warm, ignore_errors=True)
-        half = tempfile.mkdtemp(prefix=f"eidh_half_{cpus}_")
-        n_half_target = N_DOCS // 2
-        t0 = time.time()
-        m_half = build_index(spark, pages.limit(n_half_target), half,
-                             tau=50_000, n_buckets=16)
-        t_half = time.time() - t0
-        shutil.rmtree(half, ignore_errors=True)
-        idx = tempfile.mkdtemp(prefix=f"eidh_bench_idx_{cpus}_")
-        t0 = time.time()
-        metrics = build_index(spark, pages, idx, tau=50_000, n_buckets=16)
-        build_sec = time.time() - t0
-        n_docs = metrics["n_docs"]
-        marginal_dps = (n_docs - m_half["n_docs"]) / max(build_sec - t_half, 1e-6)
+        # min over reps: the sandbox host is noisily shared — min is the
+        # closest observable to the machine's actual capability
+        build_secs = []
+        n_docs = 0
+        for _ in range(BUILD_REPS):
+            if idx:
+                shutil.rmtree(idx, ignore_errors=True)
+            idx = tempfile.mkdtemp(prefix=f"eidh_bench_idx_{cpus}_")
+            t0 = time.time()
+            metrics = build_index(spark, pages, idx, tau=50_000, n_buckets=16)
+            build_secs.append(time.time() - t0)
+            n_docs = metrics["n_docs"]
+        build_sec = min(build_secs)
         reader = IndexReader(spark, idx)
         # throughput batch: QUERY_COPIES offset replicas of the 15-query set
         # (distinct query_ids) so per-job overhead amortizes and the scorer
@@ -116,10 +116,9 @@ def _bench_index_and_query(cpus: int, corpus_path: str) -> dict:
         best_batch = min(batch_secs[1:])
         return {
             "build_sec": build_sec,
-            "build_half_sec": round(t_half, 2),
+            "build_secs_all": [round(x, 2) for x in build_secs],
             "n_docs": n_docs,
             "build_docs_per_sec": n_docs / build_sec,
-            "marginal_docs_per_sec": marginal_dps,
             "query_batch_p50_sec": best_batch,
             "query_qps": n_queries / best_batch,
             "query_p50_latency_ms": best_batch / n_queries * 1000,
@@ -160,7 +159,6 @@ def main():
     hi = _bench_index_and_query(SCALE_HIGH, corpus_path)
     ratio = SCALE_HIGH / SCALE_LOW
     eff_build = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / ratio
-    eff_build_marginal = (hi["marginal_docs_per_sec"] / lo["marginal_docs_per_sec"]) / ratio
     eff_query = (hi["query_qps"] / lo["query_qps"]) / ratio
 
     sf_queries = _bench_sf_queries(CPUS, SF_DIR)
@@ -184,10 +182,9 @@ def main():
             f"query_qps_c{SCALE_HIGH}": round(hi["query_qps"], 2),
             f"query_p50_latency_ms_c{SCALE_HIGH}": round(hi["query_p50_latency_ms"], 1),
             "scaling_efficiency_build": round(eff_build, 3),
-            "scaling_efficiency_build_marginal": round(eff_build_marginal, 3),
             "scaling_efficiency_query": round(eff_query, 3),
-            f"marginal_docs_per_sec_c{SCALE_LOW}": round(lo["marginal_docs_per_sec"], 1),
-            f"marginal_docs_per_sec_c{SCALE_HIGH}": round(hi["marginal_docs_per_sec"], 1),
+            f"build_secs_c{SCALE_LOW}": lo["build_secs_all"],
+            f"build_secs_c{SCALE_HIGH}": hi["build_secs_all"],
             "cores": [SCALE_LOW, SCALE_HIGH],
         },
     }

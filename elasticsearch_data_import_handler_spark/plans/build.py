@@ -232,7 +232,8 @@ def _resolve_upserts(new_docs: DataFrame, existing: DataFrame | None):
     if existing is None:
         return new_docs, None
     ex = existing.select(F.col("doc_id").alias("old_doc_id"), "url",
-                         F.col("warc_ts").alias("old_ts"))
+                         F.col("warc_ts").alias("old_ts"),
+                         F.col("doc_len").alias("old_doc_len"))
     j = new_docs.join(ex, "url", "left")
     kept = (
         j.filter(F.col("old_ts").isNull() | (F.col("warc_ts") > F.col("old_ts")))
@@ -240,7 +241,8 @@ def _resolve_upserts(new_docs: DataFrame, existing: DataFrame | None):
     )
     tombs = (
         j.filter(F.col("old_ts").isNotNull() & (F.col("warc_ts") > F.col("old_ts")))
-        .select(F.col("old_doc_id").alias("doc_id"))
+        .select(F.col("old_doc_id").alias("doc_id"),
+                F.col("old_doc_len").alias("doc_len"))
         .distinct()
     )
     return kept, tombs
@@ -256,7 +258,7 @@ def _df_corrections(spark: SparkSession, index_dir: str, committed: list[int],
     ts_ids = np.sort(tombstones["doc_id"].to_numpy(np.int64))
     # salt of a doc uses xxhash64(doc_id) like the build; compute via Spark
     salts_df = (
-        spark.createDataFrame(tombstones, schema="doc_id long")
+        spark.createDataFrame(tombstones[["doc_id"]], schema="doc_id long")
         .select(F.pmod(F.xxhash64("doc_id"), F.lit(s_shards)).cast("int").alias("salt"))
         .distinct().toPandas()
     )
@@ -285,21 +287,62 @@ def _df_corrections(spark: SparkSession, index_dir: str, committed: list[int],
     return out.groupby("term", as_index=False)["delta"].sum()
 
 
+def _read_cstats(index_dir: str) -> tuple[int, int]:
+    """(n_docs, sum_dl) from the committed corpus_stats table — driver-side
+    parquet read, no Spark job (it is a single row)."""
+    import os
+
+    import pyarrow.dataset as _ds
+
+    p = f"{index_dir}/corpus_stats"
+    if not os.path.isdir(p):
+        return 0, 0
+    t = _ds.dataset(p, format="parquet").to_table(columns=["n_docs", "sum_dl"])
+    if t.num_rows == 0:
+        return 0, 0
+    return int(t["n_docs"][0].as_py()), int(t["sum_dl"][0].as_py())
+
+
+def _write_cstats(index_dir: str, n_docs: int, sum_dl: int) -> None:
+    """Single-row corpus_stats parquet written driver-side (no Spark job).
+    avgdl = sum_dl / n_docs in float64 — identical arithmetic to a full
+    recompute, so incremental stats are bit-exact vs a rebuild."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(f"{index_dir}/corpus_stats", exist_ok=True)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    t = pa.table({"n_docs": pa.array([n_docs], pa.int64()),
+                  "sum_dl": pa.array([sum_dl], pa.int64()),
+                  "avgdl": pa.array([avgdl], pa.float64())})
+    tmp = f"{index_dir}/corpus_stats/.part-0.parquet.tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, f"{index_dir}/corpus_stats/part-0.parquet")
+
+
 def _recompute_stats(spark: SparkSession, index_dir: str, committed: list[int]) -> None:
-    """Exact lexicon (df from segment metadata + corrections) and corpus stats
-    (from active doc_stats) — rewritten on every commit, cheap metadata aggs."""
+    """Full recompute of corpus stats + lexicon from the data files — used by
+    compaction (per-commit maintenance uses the incremental arithmetic in
+    commit_batch instead)."""
     ds = spark.read.option("basePath", f"{index_dir}/doc_stats").parquet(
         *_batch_dirs(index_dir, "doc_stats", committed)
     )
     tomb = _read_tombstones(spark, index_dir, committed)
     active = ds.join(tomb, "doc_id", "left_anti") if tomb is not None else ds
-    cstats = active.agg(
+    row = active.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("doc_len").alias("sum_dl"),
-        F.avg("doc_len").alias("avgdl"),
-    )
-    cstats.write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
+        F.coalesce(F.sum("doc_len"), F.lit(0)).alias("sum_dl"),
+    ).first()
+    _write_cstats(index_dir, int(row["n_docs"]), int(row["sum_dl"]))
+    _write_lexicon(spark, index_dir, committed, int(row["n_docs"]))
 
+
+def _write_lexicon(spark: SparkSession, index_dir: str, committed: list[int],
+                   n_docs: int) -> None:
+    """Exact lexicon: df = Σ segment-row n_docs per term + tombstone
+    corrections; idf from the current (exact) n_docs as a literal."""
     post_meta = spark.read.option("basePath", f"{index_dir}/postings").parquet(
         *_batch_dirs(index_dir, "postings", committed)
     ).select("term", "n_docs")
@@ -316,10 +359,9 @@ def _recompute_stats(spark: SparkSession, index_dir: str, committed: list[int]) 
     else:
         base = base.select("term", F.col("df0").alias("df"))
     base = base.filter(F.col("df") > 0)
-    n_docs = cstats  # 1 row
-    lex = base.crossJoin(F.broadcast(n_docs.select("n_docs"))).select(
+    lex = base.select(
         "term", "df",
-        F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        F.log(F.lit(1.0) + (F.lit(n_docs).cast("long") - F.col("df") + F.lit(0.5))
               / (F.col("df") + F.lit(0.5))).alias("idf"),
     )
     lex.write.mode("overwrite").parquet(f"{index_dir}/lexicon")
@@ -352,10 +394,23 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
     if committed and _batch_dirs(index_dir, "doc_stats", committed):
         existing = spark.read.option("basePath", f"{index_dir}/doc_stats").parquet(
             *_batch_dirs(index_dir, "doc_stats", committed)
-        ).select("doc_id", "url", "warc_ts")
+        ).select("doc_id", "url", "warc_ts", "doc_len")
     kept, tombs = _resolve_upserts(docs, existing)
     kept = kept.persist()
-    n_docs = kept.count()  # materializes the tokenized cache (one pass)
+
+    # ONE job: write doc_stats while observing (n_docs, sum_dl) in-flight —
+    # the Observation API collects scalar stats during the write action, so
+    # corpus stats cost zero extra passes at any scale
+    from pyspark.sql import Observation
+
+    obs = Observation(f"docstats_b{batch_id}")
+    (kept.select("doc_id", "url", "warc_ts", "doc_len")
+     .observe(obs, F.count(F.lit(1)).alias("n_docs"),
+              F.coalesce(F.sum("doc_len"), F.lit(0)).alias("sum_dl"))
+     .write.mode("overwrite").parquet(f"{index_dir}/doc_stats/batch={batch_id}"))
+    observed = obs.get
+    n_docs = int(observed["n_docs"])
+    sum_dl_new = int(observed["sum_dl"])
     if n_docs == 0:
         # nothing new (e.g. idempotent re-import of an already-indexed window)
         kept.unpersist()
@@ -374,10 +429,10 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
         else:
             s_shards = _next_pow2(max(1, (n_docs + tau - 1) // tau))
 
-    # data files first (crash before state commit → invisible, retry overwrites)
-    kept.select("doc_id", "url", "warc_ts", "doc_len").write.mode("overwrite") \
-        .parquet(f"{index_dir}/doc_stats/batch={batch_id}")
-    tombs_pdf = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    # (doc_stats already written above — data files land before state commit,
+    # so a crash leaves the batch invisible and a retry overwrites it)
+    tombs_pdf = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "doc_len": pd.Series(dtype="int64")})
     if tombs is not None:
         tombs_pdf = tombs.toPandas()
         if not tombs_pdf.empty:
@@ -399,7 +454,12 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
                 f"{index_dir}/df_corrections/batch={batch_id}")
 
     committed_now = committed + [batch_id]
-    _recompute_stats(spark, index_dir, committed_now)
+    # corpus stats by exact integer arithmetic: previous + observed − tombstoned
+    prev_n, prev_sum = _read_cstats(index_dir)
+    n_active = prev_n + n_docs - int(len(tombs_pdf))
+    sum_active = prev_sum + sum_dl_new - int(tombs_pdf["doc_len"].sum())
+    _write_cstats(index_dir, n_active, sum_active)
+    _write_lexicon(spark, index_dir, committed_now, n_active)
     kept.unpersist()
 
     wall_ms = int((time.time() - t0) * 1000)
