@@ -379,7 +379,8 @@ def _read_tombstones(spark: SparkSession, index_dir: str, committed: list[int]):
 
 def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
                  batch_id: int, tau: int = 100_000, n_buckets: int = 8,
-                 s_shards: int | None = None, attempt: int = 1) -> dict:
+                 s_shards: int | None = None, attempt: int = 1,
+                 dedup: bool = True) -> dict:
     """Index one batch and commit it (data dirs → stats → lineage → state)."""
     t0 = time.time()
     st = read_state(index_dir) or IndexState(n_buckets=n_buckets,
@@ -388,7 +389,7 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
         return {"skipped": True, "batch_id": batch_id}
     committed = list(st.committed_batches)
 
-    b = dedup_latest(pages_batch)
+    b = dedup_latest(pages_batch) if dedup else pages_batch
     docs = docs_versioned(b)
     existing = None
     if committed and _batch_dirs(index_dir, "doc_stats", committed):
@@ -481,7 +482,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
     """Full (single-batch) build — the batch-0 special case."""
     with BuildLock(index_dir):
         return commit_batch(spark, pages, index_dir, batch_id=0, tau=tau,
-                            n_buckets=n_buckets)
+                            n_buckets=n_buckets, dedup=dedup)
 
 
 def build_incremental(spark: SparkSession, batches: list[DataFrame], index_dir: str,

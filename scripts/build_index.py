@@ -40,7 +40,8 @@ def main() -> int:
         batch_id = int(args.batch_id)
     with BuildLock(args.index):
         metrics = commit_batch(spark, pages, args.index, batch_id=batch_id,
-                               tau=args.tau, n_buckets=args.buckets)
+                               tau=args.tau, n_buckets=args.buckets,
+                               dedup=not args.no_dedup)
     print(json.dumps(metrics))
     return 0
 
