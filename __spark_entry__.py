@@ -310,6 +310,45 @@ def q_topn_per_group(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operator Spark SQL lacks — cogrouped merge_asof, SURVEY
+    §2B): for each purchase event, the user's most recent prior view."""
+    from elasticsearch_data_import_handler_spark.operators.asof import asof_join
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts")
+    # one view row per (user, ts): max event_id wins, so tie behavior is
+    # engine-independent
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+             .select("user_id", "event_id", "ts"))
+    out = asof_join(purchases, views, on="ts", by="user_id",
+                    right_cols=["event_id"], suffix="_view")
+    return out.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("ts_view", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.col("event_id_view").cast("long").alias("view_event_id"))
+
+
+def q_pivot(spark, sf_dir):
+    langs = ["de", "en", "es", "fr", "zh"]
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.groupBy("source").pivot("lang", langs).count().na.fill(0)
+            .select("source", *[F.col(c).cast("long").alias(c) for c in langs]))
+
+
+def q_cube_agg(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
 def q_sessionize(spark, sf_dir):
     from pyspark.sql import Window
     ev = _read(spark, sf_dir, "events")
@@ -363,6 +402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "topn_per_group": q_topn_per_group,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "pivot": q_pivot,
+        "cube_agg": q_cube_agg,
     }
 
 
@@ -546,6 +588,34 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY o_orderpriority "
             "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders) "
             "WHERE rank <= 3"
+        ),
+        "asof_join": (
+            "WITH purchases AS (SELECT user_id, event_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "views AS (SELECT user_id, event_id, ts FROM ("
+            "SELECT user_id, event_id, ts, row_number() OVER ("
+            "PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn "
+            "FROM events WHERE event_type = 'view') WHERE rn = 1) "
+            "SELECT p.user_id, p.event_id, "
+            "strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts, "
+            "strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts, "
+            "v.event_id::BIGINT AS view_event_id "
+            "FROM purchases p ASOF LEFT JOIN views v "
+            "ON p.user_id = v.user_id AND v.ts <= p.ts"
+        ),
+        "pivot": (
+            "SELECT source, "
+            "sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS de, "
+            "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en, "
+            "sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS es, "
+            "sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS fr, "
+            "sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS zh "
+            "FROM documents GROUP BY source"
+        ),
+        "cube_agg": (
+            "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n, "
+            "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+            "GROUP BY CUBE (l_returnflag, l_linestatus)"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, ts, event_id, "
