@@ -25,6 +25,24 @@ TOKEN_RE = re.compile(r"[a-z0-9]+")
 # stay in lock-step; parity is test-enforced).
 TOKEN_RE_JVM = "[a-z0-9]+"
 
+# A8 settings surface: the per-index analysis chain the reference configured
+# via newIndexSettingsFile (analyzer/tokenizer JSON).  Persisted in the
+# index state on the first commit; every later batch and every query-side
+# tokenization reuses it.
+DEFAULT_ANALYZER = {
+    "token_pattern": TOKEN_RE_JVM,
+    "lowercase": True,
+    "stopwords": [],
+}
+
+
+def resolve_analyzer(analyzer: dict | None) -> dict:
+    a = {**DEFAULT_ANALYZER, **(analyzer or {})}
+    unknown = set(a) - set(DEFAULT_ANALYZER)
+    if unknown:
+        raise ValueError(f"unknown analyzer settings: {sorted(unknown)}")
+    return a
+
 _SCRIPT_STYLE_RE = re.compile(
     rb"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
 )
@@ -63,11 +81,33 @@ def tokenize(text: str) -> list[str]:
     return TOKEN_RE.findall(unicodedata.normalize("NFC", text).casefold())
 
 
-def jvm_tokens_col(col_name: str = "text"):
-    """JVM-side tokenizer column (whole-stage codegen; the hot path)."""
+def jvm_tokens_col(col_name: str = "text", analyzer: dict | None = None):
+    """JVM-side tokenizer column (whole-stage codegen; the hot path).
+
+    Honors the per-index analyzer settings (A8): token pattern regex,
+    lowercasing, and a stopword exclusion list (``F.filter``, which keeps
+    duplicates — ``array_except`` would dedupe and corrupt tf)."""
     from pyspark.sql import functions as F
 
-    return F.regexp_extract_all(F.lower(F.col(col_name)), F.lit(TOKEN_RE_JVM), 0)
+    a = resolve_analyzer(analyzer)
+    src = F.lower(F.col(col_name)) if a["lowercase"] else F.col(col_name)
+    toks = F.regexp_extract_all(src, F.lit(a["token_pattern"]), 0)
+    if a["stopwords"]:
+        toks = F.filter(toks, lambda t: ~t.isin(a["stopwords"]))
+    return toks
+
+
+def py_tokenize(text: str, analyzer: dict | None = None) -> list[str]:
+    """Pure-Python analyzer mirror (oracle/test parity for custom settings)."""
+    a = resolve_analyzer(analyzer)
+    if text is None:
+        return []
+    src = text.lower() if a["lowercase"] else text
+    toks = re.findall(a["token_pattern"], src)
+    if a["stopwords"]:
+        stop = set(a["stopwords"])
+        toks = [t for t in toks if t not in stop]
+    return toks
 
 
 def extract_text_udf():

@@ -5,7 +5,8 @@ Query plan (SURVEY.md §3.4):
   lexicon (pruned to query terms, broadcast)
     → postings scan, partition-pruned by bucket(term) + term filter
     → broadcast-join query terms onto posting rows
-    → groupBy(query_id, salt).applyInPandas(score_shard)   ← the only shuffle
+    → groupBy(query_id, salt) [cogrouped with the tombstone frame keyed the
+      same way] .applyInPandas(score_shard)          ← the only shuffle
     → global top-k merge (≤ S·k rows per query, window row_number)
 
 Because every term's postings are sharded by the same doc-hash (build.py),
@@ -14,6 +15,13 @@ all query terms' postings for exactly the docs with pmod(xxhash64(doc_id), S)
 == salt.  WAND therefore runs shard-locally with no posting replication, and
 the global top-k is an exact merge of shard top-ks.  Group size is bounded
 by |query terms| × τ postings — constant in corpus size.
+
+Tombstones reach the scorer *distributed*: the tombstone frame is keyed by
+(query_id, salt) — its salt is the same doc-hash shard, crossed with the
+(tiny) query-id set — and cogrouped with the postings groups, so each shard
+scorer receives exactly its shard's deleted ids as a numpy column.  Nothing
+is collected on the driver (the round-1 design shipped a driver-side set in
+the UDF closure; at web scale that set is unbounded).
 
 The shard scorer is the vectorized-exact block-max variant (after Ding &
 Suel's BMW, SIGIR'11): seed a valid lower bound θ from the best block of the
@@ -34,97 +42,110 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.varbyte import bm25_partial, decode_blocks
 
+_EMPTY_TOPK = pd.DataFrame({"query_id": pd.Series(dtype="int32"),
+                            "doc_id": pd.Series(dtype="int64"),
+                            "score": pd.Series(dtype="float64")})
 
-def _score_shard_factory(tombstones: frozenset[int]):
-    ts_arr = np.sort(np.fromiter(tombstones, dtype=np.int64)) if tombstones else None
 
-    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        query_id = int(pdf["query_id"].iloc[0])
-        k = int(pdf["k"].iloc[0])
-        avgdl = float(pdf["avgdl"].iloc[0])
-        # deterministic float-reduction order: sort segment rows by (term, n_docs)
-        pdf = pdf.sort_values(["term", "n_docs"], kind="stable")
-        n_rows = len(pdf)
-        # Block upper bounds computed with *current* idf/avgdl from the
-        # stats-independent (max_tf, min_dl) metadata — stays correct as
-        # incremental batches shift corpus statistics.
-        row_ubs = []
-        for i in range(n_rows):
-            row = pdf.iloc[i]
-            ub = bm25_partial(np.asarray(row["block_max_tf"], dtype=np.float64),
-                              np.asarray(row["block_min_dl"], dtype=np.float64),
-                              float(row["idf"]), avgdl)
-            row_ubs.append(ub)
-        gmax_row = np.array([ub.max() if ub.size else 0.0 for ub in row_ubs])
-        # per-term global max: a doc appears in ≤1 segment row per term
-        terms = pdf["term"].to_numpy()
-        term_max: dict[str, float] = {}
-        for i in range(n_rows):
-            term_max[terms[i]] = max(term_max.get(terms[i], 0.0), gmax_row[i])
-        total_max = sum(term_max.values())
-        # --- seed θ: decode the single best block of the strongest row and
-        # take the k-th largest *achieved* partial score (a valid lower bound)
-        theta = 0.0
-        if n_rows > 0:
-            i_star = int(np.argmax(gmax_row))
-            row = pdf.iloc[i_star]
-            bms = row_ubs[i_star]
-            if bms.size:
-                b_star = int(np.argmax(bms))
-                d, t, dl = decode_blocks(
-                    row["doc_ids_vb"], row["tfs_vb"], row["dls_vb"],
-                    np.asarray(row["off_d"]), np.asarray(row["off_t"]),
-                    np.asarray(row["off_l"]), int(row["n_docs"]),
-                    np.array([b_star]),
-                )
-                seed = bm25_partial(t, dl, float(row["idf"]), avgdl)
-                if ts_arr is not None:
-                    seed = seed[~np.isin(d, ts_arr)]
-                if seed.size >= k:
-                    theta = float(np.partition(seed, -k)[-k])
-        # --- decode surviving blocks, score vectorized
-        all_docs, all_scores = [], []
-        for i in range(n_rows):
-            row = pdf.iloc[i]
-            other_sum = total_max - term_max[terms[i]]
-            keep = np.nonzero(row_ubs[i] + other_sum >= theta)[0]
-            if keep.size == 0:
-                continue
+def _score_shard(pdf: pd.DataFrame, ts_arr: np.ndarray | None) -> pd.DataFrame:
+    """Exact block-max WAND over one (query_id, salt) group.  ``ts_arr`` is
+    the sorted tombstoned doc_ids *of this salt shard* (or None) — delivered
+    by the cogroup, never materialized on the driver."""
+    if len(pdf) == 0:
+        return _EMPTY_TOPK
+    if ts_arr is not None and ts_arr.size == 0:
+        ts_arr = None
+    query_id = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    avgdl = float(pdf["avgdl"].iloc[0])
+    # deterministic float-reduction order: sort segment rows by (term, n_docs)
+    pdf = pdf.sort_values(["term", "n_docs"], kind="stable")
+    n_rows = len(pdf)
+    # Block upper bounds computed with *current* idf/avgdl from the
+    # stats-independent (max_tf, min_dl) metadata — stays correct as
+    # incremental batches shift corpus statistics.
+    row_ubs = []
+    for i in range(n_rows):
+        row = pdf.iloc[i]
+        ub = bm25_partial(np.asarray(row["block_max_tf"], dtype=np.float64),
+                          np.asarray(row["block_min_dl"], dtype=np.float64),
+                          float(row["idf"]), avgdl)
+        row_ubs.append(ub)
+    gmax_row = np.array([ub.max() if ub.size else 0.0 for ub in row_ubs])
+    # per-term global max: a doc appears in ≤1 segment row per term
+    terms = pdf["term"].to_numpy()
+    term_max: dict[str, float] = {}
+    for i in range(n_rows):
+        term_max[terms[i]] = max(term_max.get(terms[i], 0.0), gmax_row[i])
+    total_max = sum(term_max.values())
+    # --- seed θ: decode the single best block of the strongest row and
+    # take the k-th largest *achieved* partial score (a valid lower bound)
+    theta = 0.0
+    if n_rows > 0:
+        i_star = int(np.argmax(gmax_row))
+        row = pdf.iloc[i_star]
+        bms = row_ubs[i_star]
+        if bms.size:
+            b_star = int(np.argmax(bms))
             d, t, dl = decode_blocks(
                 row["doc_ids_vb"], row["tfs_vb"], row["dls_vb"],
                 np.asarray(row["off_d"]), np.asarray(row["off_t"]),
-                np.asarray(row["off_l"]), int(row["n_docs"]), keep,
+                np.asarray(row["off_l"]), int(row["n_docs"]),
+                np.array([b_star]),
             )
-            all_docs.append(d)
-            all_scores.append(bm25_partial(t, dl, float(row["idf"]), avgdl))
-        if not all_docs:
-            return pd.DataFrame({"query_id": pd.Series(dtype="int32"),
-                                 "doc_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
-        docs = np.concatenate(all_docs)
-        scores = np.concatenate(all_scores)
-        order = np.argsort(docs, kind="stable")
-        docs, scores = docs[order], scores[order]
-        uniq, starts = np.unique(docs, return_index=True)
-        totals = np.add.reduceat(scores, starts)
-        if ts_arr is not None:
-            m = ~np.isin(uniq, ts_arr)
-            uniq, totals = uniq[m], totals[m]
-        idx = np.lexsort((uniq, -totals))
-        if uniq.size > k:
-            # tie-inclusive cut: keep everything scoring >= the k-th score so
-            # downstream re-ranking under a different doc-id order (e.g. the
-            # oracle gate's native ids) still sees every tied candidate
-            cutoff = totals[idx[k - 1]]
-            n_keep = int((totals >= cutoff).sum())
-            idx = idx[:max(k, n_keep)]
-        return pd.DataFrame({
-            "query_id": np.full(idx.size, query_id, dtype=np.int32),
-            "doc_id": uniq[idx],
-            "score": totals[idx],
-        })
+            seed = bm25_partial(t, dl, float(row["idf"]), avgdl)
+            if ts_arr is not None:
+                seed = seed[~np.isin(d, ts_arr)]
+            if seed.size >= k:
+                theta = float(np.partition(seed, -k)[-k])
+    # --- decode surviving blocks, score vectorized
+    all_docs, all_scores = [], []
+    for i in range(n_rows):
+        row = pdf.iloc[i]
+        other_sum = total_max - term_max[terms[i]]
+        keep = np.nonzero(row_ubs[i] + other_sum >= theta)[0]
+        if keep.size == 0:
+            continue
+        d, t, dl = decode_blocks(
+            row["doc_ids_vb"], row["tfs_vb"], row["dls_vb"],
+            np.asarray(row["off_d"]), np.asarray(row["off_t"]),
+            np.asarray(row["off_l"]), int(row["n_docs"]), keep,
+        )
+        all_docs.append(d)
+        all_scores.append(bm25_partial(t, dl, float(row["idf"]), avgdl))
+    if not all_docs:
+        return _EMPTY_TOPK
+    docs = np.concatenate(all_docs)
+    scores = np.concatenate(all_scores)
+    order = np.argsort(docs, kind="stable")
+    docs, scores = docs[order], scores[order]
+    uniq, starts = np.unique(docs, return_index=True)
+    totals = np.add.reduceat(scores, starts)
+    if ts_arr is not None:
+        m = ~np.isin(uniq, ts_arr)
+        uniq, totals = uniq[m], totals[m]
+    idx = np.lexsort((uniq, -totals))
+    if uniq.size > k:
+        # tie-inclusive cut: keep everything scoring >= the k-th score so
+        # downstream re-ranking under a different doc-id order (e.g. the
+        # oracle gate's native ids) still sees every tied candidate
+        cutoff = totals[idx[k - 1]]
+        n_keep = int((totals >= cutoff).sum())
+        idx = idx[:max(k, n_keep)]
+    return pd.DataFrame({
+        "query_id": np.full(idx.size, query_id, dtype=np.int32),
+        "doc_id": uniq[idx],
+        "score": totals[idx],
+    })
 
-    return score_shard
+
+def _score_plain(pdf: pd.DataFrame) -> pd.DataFrame:
+    return _score_shard(pdf, None)
+
+
+def _score_cogrouped(pdf: pd.DataFrame, tomb: pd.DataFrame) -> pd.DataFrame:
+    ts = np.sort(tomb["__ts_doc_id"].to_numpy(np.int64)) if len(tomb) else None
+    return _score_shard(pdf, ts)
 
 
 def bm25_topk_wand(spark: SparkSession, reader, qterms: DataFrame | None = None,
@@ -147,10 +168,30 @@ def bm25_topk_wand(spark: SparkSession, reader, qterms: DataFrame | None = None,
     q_lex = qterms.join(reader.lexicon().select("term", "idf"), "term")
     avgdl = F.broadcast(reader.corpus_stats().select("avgdl"))
     joined = post.join(F.broadcast(q_lex), "term").crossJoin(avgdl)
-    scorer = _score_shard_factory(frozenset(reader.tombstones()))
-    shard_topk = joined.groupBy("query_id", "salt").applyInPandas(
-        scorer, schema="query_id int, doc_id bigint, score double"
-    )
+    schema = "query_id int, doc_id bigint, score double"
+    tomb = reader.tombstones_df()
+    if tomb is None:
+        shard_topk = joined.groupBy("query_id", "salt").applyInPandas(
+            _score_plain, schema=schema)
+    else:
+        # tombstones keyed like the postings groups: same doc-hash salt,
+        # crossed with the (tiny) query-id set — cogrouped so each shard
+        # scorer gets exactly its shard's deleted ids, fully distributed.
+        # Fresh aliases guard against the Spark 4.1 shared-lineage cogroup
+        # pruning bug (see operators/asof.py).
+        qids = F.broadcast(qterms.select("query_id").distinct())
+        tomb_keyed = (
+            tomb.select(
+                F.col("doc_id").alias("__ts_doc_id"),
+                F.pmod(F.xxhash64("doc_id"), F.lit(reader.state.s_shards))
+                .cast("int").alias("__ts_salt"))
+            .crossJoin(qids.select(F.col("query_id").alias("__ts_query_id")))
+        )
+        shard_topk = (
+            joined.groupBy("query_id", "salt")
+            .cogroup(tomb_keyed.groupBy("__ts_query_id", "__ts_salt"))
+            .applyInPandas(_score_cogrouped, schema=schema)
+        )
     with_k = shard_topk.join(
         F.broadcast(qterms.select("query_id", "k").distinct()), "query_id")
     if candidates:

@@ -3,18 +3,22 @@
 Dataflow per batch (SURVEY.md §3.4):
 
   pages batch ──C1 dedup-within-batch (shuffle by url)──►
-  upsert resolve vs committed doc_stats (join on url; latest warc_ts wins;
-    losers → tombstones — the reference's ES ``_id`` upsert semantics, A9)──►
+  upsert resolve vs committed doc_stats (join on url against the LATEST
+    version per url; latest warc_ts wins; losers → tombstones — the
+    reference's ES ``_id`` upsert semantics, A9)──►
   docs ──tokenize/xxhash64 (JVM, codegen)──►
   term_freqs ──explode + partial/final agg (shuffle by (term, doc_id))──►
   repartition(term, salt) ──applyInPandas encode──►
   postings/batch=K/bucket=J/  (one segment per batch, Lucene-style)
 
-then driver-side: exact df corrections for tombstoned docs (vectorized
-decode-scan of prior segments, pruned to the tombstones' salt shards),
-lexicon + corpus_stats recomputed exactly, lineage appended, state committed
-last (atomic rename) — a crash before the state commit leaves the batch
-invisible and a resume overwrites its directory (idempotent retry, A6).
+then: exact df corrections for tombstoned docs (distributed decode-explode
+of prior segments pruned to the tombstones' salt shards, joined against the
+tombstone frame — no driver materialization), an incremental lexicon
+generation (prev gen ∪ batch postings meta ∪ batch corrections), a per-batch
+corpus-stats *delta* file, lineage appended, state committed last (atomic
+rename).  Every artifact under ``batch=K`` is derived purely from the
+committed state plus the batch input, so a crash before the state commit
+leaves the batch invisible and an idempotent retry overwrites it.
 
 Layout decisions, stated for the 100 TB case:
 
@@ -34,24 +38,35 @@ Layout decisions, stated for the 100 TB case:
   segment (the Lucene merge analog) when segment count grows.
 * **doc_id = xxhash64(url || '|' || warc_ts)** — unique per crawl *version*
   so an upsert is append-new + tombstone-old, never in-place posting edits.
-  (SURVEY §1.2 said xxhash64(url); versioned ids are the refinement that
-  makes incremental upserts exact — noted there.)
-* Exact-df deletes: the decode-scan is O(affected shards' doc_id streams)
+* **Crash-idempotent stats**: corpus stats live as per-batch delta files
+  (``corpus_stats/delta_b{K}.parquet``); totals are the sum over *committed*
+  batches only, so a retried batch can never double-apply.  The lexicon is
+  generational (``lexicon/batch=K`` = full (term, df) snapshot built from
+  the previous committed generation + this batch) — readers pick the max
+  committed generation; idf is a read-time expression from current stats.
+* Exact-df deletes: the decode-explode is O(affected shards' doc_id streams)
   per batch.  At web scale you would amortize via compaction instead;
-  both paths are implemented and the scan is metadata-pruned by salt.
+  both paths are implemented and the scan is salt-pruned.
 """
 
 from __future__ import annotations
 
+import glob
+import os
 import time
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.varbyte import encode_posting_list, varbyte_decode, _cumsum_with_block_resets, _block_starts
+from ..functions.varbyte import (
+    decode_posting_list,
+    encode_posting_list,
+    varbyte_decode,
+    _cumsum_with_block_resets,
+    _block_starts,
+)
 from ..operators.dedup import dedup_latest
-from ..operators.indexing import term_freqs
 from ..functions.textanalysis import jvm_tokens_col
 from .state import (
     BuildLock,
@@ -76,9 +91,6 @@ POSTINGS_SCHEMA = (
 def _batch_dirs(index_dir: str, sub: str, committed: list[int]) -> list[str]:
     """Existing, non-empty batch partition dirs (an empty batch writes no
     data files — e.g. a re-import where every url was stale)."""
-    import glob
-    import os
-
     out = []
     for b in committed:
         d = f"{index_dir}/{sub}/batch={b}"
@@ -95,14 +107,16 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def docs_versioned(pages: DataFrame) -> DataFrame:
-    """pages → docs with version-unique doc_id = xxhash64(url || '|' || warc_ts)."""
+def docs_versioned(pages: DataFrame, analyzer: dict | None = None) -> DataFrame:
+    """pages → docs with version-unique doc_id = xxhash64(url || '|' || warc_ts).
+    ``analyzer`` is the per-index analysis config (A8): token pattern,
+    lowercasing, stopword list — see functions.textanalysis.jvm_tokens_col."""
     return pages.select(
         F.xxhash64(F.concat(F.col("url"), F.lit("|"),
                             F.col("warc_ts").cast("string"))).alias("doc_id"),
         "url",
         F.col("warc_ts"),
-        jvm_tokens_col("text").alias("tokens"),
+        jvm_tokens_col("text", analyzer).alias("tokens"),
     ).withColumn("doc_len", F.size("tokens"))
 
 
@@ -125,25 +139,34 @@ def _postings_row(term, salt: int, bucket: int, doc_ids, tfs, dls) -> pd.DataFra
     )
 
 
-def _encode_stream_factory(n_buckets: int):
+def _encode_stream_factory(n_buckets: int, with_tf: bool = False):
     """mapInPandas kernel over a partition sorted by (term_id, salt, doc_id).
 
     Streams Arrow batches, slicing complete (term_id, salt) groups with
     numpy boundary detection and carrying the trailing partial group into
     the next batch.  Compared to groupBy().applyInPandas() this never
     builds a pandas frame per group and never ships the term *string* per
-    occurrence — only 4 numeric columns cross the Arrow boundary, which is
+    occurrence — only numeric columns cross the Arrow boundary, which is
     what makes the encode stage memory-bandwidth-light and scalable.
+
+    ``with_tf=False``: input rows are token *occurrences* (term_id, salt,
+    doc_id, doc_len); tf is derived by counting duplicate doc_ids (build).
+    ``with_tf=True``: input rows are *postings* (term_id, salt, doc_id, tf,
+    doc_len) — already one row per doc (compaction re-encode).
     """
 
     def encode_stream(batches):
-        carry = None  # (term_id, salt, doc_id, doc_len) numpy arrays
+        carry = None  # tuple of column numpy arrays
         out: list[dict] = []
 
-        def flush(tid: int, salt: int, d: np.ndarray, dl: np.ndarray) -> None:
-            uniq, first, counts = np.unique(d, return_index=True,
-                                            return_counts=True)
-            enc = encode_posting_list(uniq, counts, dl[first])
+        def flush(tid: int, salt: int, d: np.ndarray, dl: np.ndarray,
+                  tf: np.ndarray | None) -> None:
+            if with_tf:
+                enc = encode_posting_list(d, tf, dl)
+            else:
+                uniq, first, counts = np.unique(d, return_index=True,
+                                                return_counts=True)
+                enc = encode_posting_list(uniq, counts, dl[first])
             out.append({
                 "term_id": int(tid), "salt": int(salt),
                 "n_docs": enc["n_docs"],
@@ -163,11 +186,14 @@ def _encode_stream_factory(n_buckets: int):
             salt = pdf["salt"].to_numpy(np.int64)
             d = pdf["doc_id"].to_numpy(np.int64)
             dl = pdf["doc_len"].to_numpy(np.int64)
+            tf = pdf["tf"].to_numpy(np.int64) if with_tf else None
             if carry is not None:
                 tid = np.concatenate((carry[0], tid))
                 salt = np.concatenate((carry[1], salt))
                 d = np.concatenate((carry[2], d))
                 dl = np.concatenate((carry[3], dl))
+                if with_tf:
+                    tf = np.concatenate((carry[4], tf))
             if tid.size == 0:
                 continue
             # boundaries where (term_id, salt) changes
@@ -176,11 +202,14 @@ def _encode_stream_factory(n_buckets: int):
             # last group may continue into the next Arrow batch → carry it
             for i in range(starts.size - 1):
                 s, e = starts[i], starts[i + 1]
-                flush(tid[s], salt[s], d[s:e], dl[s:e])
+                flush(tid[s], salt[s], d[s:e], dl[s:e],
+                      tf[s:e] if with_tf else None)
             s = starts[-1]
-            carry = (tid[s:], salt[s:], d[s:], dl[s:])
+            carry = (tid[s:], salt[s:], d[s:], dl[s:]) + \
+                ((tf[s:],) if with_tf else ())
         if carry is not None and carry[0].size:
-            flush(carry[0][0], carry[1][0], carry[2], carry[3])
+            flush(carry[0][0], carry[1][0], carry[2], carry[3],
+                  carry[4] if with_tf else None)
         if out:
             yield pd.DataFrame(out)
 
@@ -227,13 +256,23 @@ def build_postings(docs: DataFrame, s_shards: int, n_buckets: int,
 def _resolve_upserts(new_docs: DataFrame, existing: DataFrame | None):
     """Latest-wins per url across batches (A9 semantics).
 
+    ``existing`` (committed doc_stats) may hold MULTIPLE versions per url —
+    older ones already tombstoned.  Joining against all of them would
+    multi-match a thrice-updated url (duplicated kept rows, double df
+    decrements), so reduce to the single latest version per url first: the
+    max (warc_ts, doc_id) struct is the only active version by construction
+    (tombstones always point at strictly older warc_ts).
+
     Returns (kept_new_docs, tombstone_doc_ids_df).  Ties on warc_ts mean the
     same doc_id (identical version) → incoming row dropped (idempotent)."""
     if existing is None:
         return new_docs, None
-    ex = existing.select(F.col("doc_id").alias("old_doc_id"), "url",
-                         F.col("warc_ts").alias("old_ts"),
-                         F.col("doc_len").alias("old_doc_len"))
+    latest = existing.groupBy("url").agg(
+        F.max(F.struct("warc_ts", "doc_id", "doc_len")).alias("v"))
+    ex = latest.select("url",
+                       F.col("v.warc_ts").alias("old_ts"),
+                       F.col("v.doc_id").alias("old_doc_id"),
+                       F.col("v.doc_len").alias("old_doc_len"))
     j = new_docs.join(ex, "url", "left")
     kept = (
         j.filter(F.col("old_ts").isNull() | (F.col("warc_ts") > F.col("old_ts")))
@@ -248,128 +287,153 @@ def _resolve_upserts(new_docs: DataFrame, existing: DataFrame | None):
     return kept, tombs
 
 
-def _df_corrections(spark: SparkSession, index_dir: str, committed: list[int],
-                    tombstones: pd.DataFrame, s_shards: int) -> pd.DataFrame:
-    """Exact per-term df decrements for tombstoned docs: vectorized decode-scan
-    of prior segments' doc_id streams, pruned to the tombstones' salt shards."""
-    if tombstones.empty or not committed:
-        return pd.DataFrame({"term": pd.Series(dtype=object),
-                             "delta": pd.Series(dtype="int64")})
-    ts_ids = np.sort(tombstones["doc_id"].to_numpy(np.int64))
-    # salt of a doc uses xxhash64(doc_id) like the build; compute via Spark
-    salts_df = (
-        spark.createDataFrame(tombstones[["doc_id"]], schema="doc_id long")
-        .select(F.pmod(F.xxhash64("doc_id"), F.lit(s_shards)).cast("int").alias("salt"))
-        .distinct().toPandas()
-    )
-    salts = sorted(salts_df["salt"].tolist())
-    post = spark.read.option("basePath", f"{index_dir}/postings").parquet(
-        *_batch_dirs(index_dir, "postings", committed)
-    ).filter(F.col("salt").isin(salts)).select("term", "n_docs", "doc_ids_vb")
+def _decoded_doc_ids(post: DataFrame) -> DataFrame:
+    """postings rows → exploded (term, doc_id) frame via a streaming
+    mapInPandas decode (vectorized varbyte; np.repeat for the term column)."""
 
     def _scan(it):
         for pdf in it:
-            terms, deltas = [], []
+            terms, ids = [], []
             for term, vb in zip(pdf["term"], pdf["doc_ids_vb"]):
                 stream = varbyte_decode(vb)
                 u = _cumsum_with_block_resets(stream, _block_starts(stream.size))
                 d = (u ^ np.uint64(1 << 63)).astype(np.int64)
-                hits = int(np.isin(d, ts_ids, assume_unique=True).sum())
-                if hits:
-                    terms.append(term)
-                    deltas.append(-hits)
-            yield pd.DataFrame({"term": terms, "delta": deltas})
+                terms.append(np.repeat(term, d.size))
+                ids.append(d)
+            if ids:
+                yield pd.DataFrame({"term": np.concatenate(terms),
+                                    "doc_id": np.concatenate(ids)})
 
-    out = post.mapInPandas(_scan, schema="term string, delta long").toPandas()
-    if out.empty:
-        return pd.DataFrame({"term": pd.Series(dtype=object),
-                             "delta": pd.Series(dtype="int64")})
-    return out.groupby("term", as_index=False)["delta"].sum()
+    return post.select("term", "doc_ids_vb").mapInPandas(
+        _scan, schema="term string, doc_id long")
 
 
-def _read_cstats(index_dir: str) -> tuple[int, int]:
-    """(n_docs, sum_dl) from the committed corpus_stats table — driver-side
-    parquet read, no Spark job (it is a single row)."""
-    import os
+def _df_corrections_df(spark: SparkSession, index_dir: str, committed: list[int],
+                       tombs: DataFrame, s_shards: int) -> DataFrame | None:
+    """Exact per-term df decrements for tombstoned docs, fully distributed:
+    decode-explode prior segments' doc_id streams (pruned to the tombstones'
+    salt shards — a bounded ≤ s_shards driver list), join the tombstone
+    frame, count hits per term.  No unbounded driver materialization."""
+    dirs = _batch_dirs(index_dir, "postings", committed)
+    if not dirs:
+        return None
+    salts = sorted(r["salt"] for r in tombs.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(s_shards)).cast("int").alias("salt")
+    ).distinct().collect())  # bounded by s_shards
+    if not salts:
+        return None
+    post = spark.read.option("basePath", f"{index_dir}/postings").parquet(*dirs) \
+        .filter(F.col("salt").isin(salts))
+    decoded = _decoded_doc_ids(post)
+    return (
+        decoded.join(tombs.select("doc_id"), "doc_id")
+        .groupBy("term").agg((-F.count(F.lit(1))).cast("long").alias("delta"))
+    )
 
-    import pyarrow.dataset as _ds
 
-    p = f"{index_dir}/corpus_stats"
-    if not os.path.isdir(p):
-        return 0, 0
-    t = _ds.dataset(p, format="parquet").to_table(columns=["n_docs", "sum_dl"])
-    if t.num_rows == 0:
-        return 0, 0
-    return int(t["n_docs"][0].as_py()), int(t["sum_dl"][0].as_py())
+# ------------------------------------------------------------- corpus stats
+# Per-batch delta files: overwrite-idempotent, committed-gated.  A retry of a
+# crashed batch rewrites the SAME delta file; totals are derived only from
+# committed batches, so mid-commit crashes can never double-apply a batch.
+
+def _cstats_delta_path(index_dir: str, batch_id: int) -> str:
+    return f"{index_dir}/corpus_stats/delta_b{batch_id}.parquet"
 
 
-def _write_cstats(index_dir: str, n_docs: int, sum_dl: int) -> None:
-    """Single-row corpus_stats parquet written driver-side (no Spark job).
-    avgdl = sum_dl / n_docs in float64 — identical arithmetic to a full
-    recompute, so incremental stats are bit-exact vs a rebuild."""
-    import os
-
+def _write_cstats_delta(index_dir: str, batch_id: int, d_docs: int,
+                        d_sum: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(f"{index_dir}/corpus_stats", exist_ok=True)
-    avgdl = (sum_dl / n_docs) if n_docs else 0.0
-    t = pa.table({"n_docs": pa.array([n_docs], pa.int64()),
-                  "sum_dl": pa.array([sum_dl], pa.int64()),
-                  "avgdl": pa.array([avgdl], pa.float64())})
-    tmp = f"{index_dir}/corpus_stats/.part-0.parquet.tmp"
+    t = pa.table({"batch_id": pa.array([batch_id], pa.int64()),
+                  "d_docs": pa.array([d_docs], pa.int64()),
+                  "d_sum": pa.array([d_sum], pa.int64())})
+    tmp = _cstats_delta_path(index_dir, batch_id) + ".tmp"
     pq.write_table(t, tmp)
-    os.replace(tmp, f"{index_dir}/corpus_stats/part-0.parquet")
+    os.replace(tmp, _cstats_delta_path(index_dir, batch_id))
 
 
-def _recompute_stats(spark: SparkSession, index_dir: str, committed: list[int]) -> None:
-    """Full recompute of corpus stats + lexicon from the data files — used by
-    compaction (per-commit maintenance uses the incremental arithmetic in
-    commit_batch instead)."""
-    ds = spark.read.option("basePath", f"{index_dir}/doc_stats").parquet(
-        *_batch_dirs(index_dir, "doc_stats", committed)
-    )
-    tomb = _read_tombstones(spark, index_dir, committed)
-    active = ds.join(tomb, "doc_id", "left_anti") if tomb is not None else ds
-    row = active.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum("doc_len"), F.lit(0)).alias("sum_dl"),
-    ).first()
-    _write_cstats(index_dir, int(row["n_docs"]), int(row["sum_dl"]))
-    _write_lexicon(spark, index_dir, committed, int(row["n_docs"]))
+def _read_cstats(index_dir: str, committed: list[int]) -> tuple[int, int]:
+    """(n_docs, sum_dl) = Σ committed batches' deltas.  Driver-side parquet
+    reads of single-row files (metadata-scale; compaction folds them)."""
+    import pyarrow.parquet as pq
+
+    n, s = 0, 0
+    for b in committed:
+        p = _cstats_delta_path(index_dir, b)
+        if os.path.exists(p):
+            t = pq.read_table(p)
+            n += int(t["d_docs"][0].as_py())
+            s += int(t["d_sum"][0].as_py())
+    return n, s
 
 
-def _write_lexicon(spark: SparkSession, index_dir: str, committed: list[int],
-                   n_docs: int) -> None:
-    """Exact lexicon: df = Σ segment-row n_docs per term + tombstone
-    corrections; idf from the current (exact) n_docs as a literal."""
-    post_meta = spark.read.option("basePath", f"{index_dir}/postings").parquet(
-        *_batch_dirs(index_dir, "postings", committed)
-    ).select("term", "n_docs")
-    base = post_meta.groupBy("term").agg(F.sum("n_docs").alias("df0"))
-    import glob
-    import os
-    corr_path = f"{index_dir}/df_corrections"
-    has_corr = os.path.isdir(corr_path) and glob.glob(f"{corr_path}/*/*.parquet")
-    if has_corr:
-        corr = (spark.read.parquet(corr_path).groupBy("term")
-                .agg(F.sum("delta").alias("delta")))
-        base = base.join(corr, "term", "left").select(
-            "term", (F.col("df0") + F.coalesce(F.col("delta"), F.lit(0))).alias("df"))
-    else:
-        base = base.select("term", F.col("df0").alias("df"))
-    base = base.filter(F.col("df") > 0)
-    lex = base.select(
-        "term", "df",
-        F.log(F.lit(1.0) + (F.lit(n_docs).cast("long") - F.col("df") + F.lit(0.5))
-              / (F.col("df") + F.lit(0.5))).alias("idf"),
-    )
-    lex.write.mode("overwrite").parquet(f"{index_dir}/lexicon")
+# ----------------------------------------------------------------- lexicon
+# Generational snapshots: lexicon/batch=K holds the full (term, df) table as
+# of batch K, built from the previous committed generation plus this batch's
+# postings metadata and df corrections — O(vocab) per commit, independent of
+# batch count.  Readers pick the max committed generation; idf is computed at
+# read time from current corpus stats (it shifts every commit, df does not).
+
+def _lexicon_gen_dir(index_dir: str, batch_id: int) -> str:
+    return f"{index_dir}/lexicon/batch={batch_id}"
+
+
+def _latest_lexicon_gen(index_dir: str, committed: list[int]) -> int | None:
+    for b in sorted(committed, reverse=True):
+        if glob.glob(f"{_lexicon_gen_dir(index_dir, b)}/*.parquet"):
+            return b
+    return None
+
+
+def _write_lexicon_gen(spark: SparkSession, index_dir: str, batch_id: int,
+                       committed_prev: list[int],
+                       batch_corr: DataFrame | None) -> None:
+    """lexicon/batch=K = prev committed gen ∪ batch=K postings meta ∪ batch=K
+    corrections, grouped-summed.  Derived purely from committed inputs + the
+    deterministic batch recompute → overwrite-idempotent on retry."""
+    parts = []
+    prev = _latest_lexicon_gen(index_dir, committed_prev)
+    if prev is not None:
+        parts.append(spark.read.parquet(_lexicon_gen_dir(index_dir, prev))
+                     .select("term", F.col("df").alias("delta")))
+    pdir = f"{index_dir}/postings/batch={batch_id}"
+    if glob.glob(f"{pdir}/*/*.parquet") or glob.glob(f"{pdir}/*.parquet"):
+        parts.append(spark.read.parquet(pdir)
+                     .select("term", F.col("n_docs").cast("long").alias("delta")))
+    if batch_corr is not None:
+        parts.append(batch_corr.select("term", "delta"))
+    if not parts:
+        return
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.unionByName(p)
+    lex = (uni.groupBy("term").agg(F.sum("delta").alias("df"))
+           .filter(F.col("df") > 0))
+    lex.write.mode("overwrite").parquet(_lexicon_gen_dir(index_dir, batch_id))
+
+
+def _cleanup_stale_gens(index_dir: str, keep: int) -> None:
+    """Best-effort removal of lexicon generations older than ``keep`` (safe
+    after the state commit: readers only consult the max committed gen)."""
+    import shutil
+
+    for d in glob.glob(f"{index_dir}/lexicon/batch=*"):
+        try:
+            b = int(d.rsplit("=", 1)[1])
+        except ValueError:
+            continue
+        if b < keep:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _idf_expr(n_docs: int):
+    return F.log(F.lit(1.0) + (F.lit(n_docs).cast("long") - F.col("df") + F.lit(0.5))
+                 / (F.col("df") + F.lit(0.5)))
 
 
 def _read_tombstones(spark: SparkSession, index_dir: str, committed: list[int]):
-    import os
-
     dirs = _batch_dirs(index_dir, "tombstones", committed)
     if not dirs:
         return None
@@ -380,17 +444,31 @@ def _read_tombstones(spark: SparkSession, index_dir: str, committed: list[int]):
 def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
                  batch_id: int, tau: int = 100_000, n_buckets: int = 8,
                  s_shards: int | None = None, attempt: int = 1,
-                 dedup: bool = True) -> dict:
-    """Index one batch and commit it (data dirs → stats → lineage → state)."""
+                 dedup: bool = True, analyzer: dict | None = None) -> dict:
+    """Index one batch and commit it (data dirs → stats → lineage → state).
+
+    ``analyzer`` (A8 settings surface): honored on the index's FIRST batch
+    and persisted in state; later batches always use the persisted analyzer
+    (a conflicting override raises — an index has one analysis chain)."""
+    from pyspark.sql import Observation
+
     t0 = time.time()
     st = read_state(index_dir) or IndexState(n_buckets=n_buckets,
                                              build_id=new_build_id())
     if batch_id in st.committed_batches:
         return {"skipped": True, "batch_id": batch_id}
     committed = list(st.committed_batches)
+    if committed:
+        if analyzer is not None and analyzer != st.analyzer:
+            raise ValueError(
+                f"index {index_dir} was built with analyzer {st.analyzer}; "
+                "an index has one analysis chain — rebuild to change it")
+        analyzer = st.analyzer or None
+    else:
+        st.analyzer = analyzer or {}
 
     b = dedup_latest(pages_batch) if dedup else pages_batch
-    docs = docs_versioned(b)
+    docs = docs_versioned(b, analyzer)
     existing = None
     if committed and _batch_dirs(index_dir, "doc_stats", committed):
         existing = spark.read.option("basePath", f"{index_dir}/doc_stats").parquet(
@@ -402,8 +480,6 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
     # ONE job: write doc_stats while observing (n_docs, sum_dl) in-flight —
     # the Observation API collects scalar stats during the write action, so
     # corpus stats cost zero extra passes at any scale
-    from pyspark.sql import Observation
-
     obs = Observation(f"docstats_b{batch_id}")
     (kept.select("doc_id", "url", "warc_ts", "doc_len")
      .observe(obs, F.count(F.lit(1)).alias("n_docs"),
@@ -413,7 +489,8 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
     n_docs = int(observed["n_docs"])
     sum_dl_new = int(observed["sum_dl"])
     if n_docs == 0:
-        # nothing new (e.g. idempotent re-import of an already-indexed window)
+        # nothing new (e.g. idempotent re-import of an already-indexed window);
+        # kept empty ⇒ tombs empty (a tombstoning row is always also kept)
         kept.unpersist()
         wall_ms = int((time.time() - t0) * 1000)
         append_lineage(index_dir, [lineage_row(st.build_id or new_build_id(),
@@ -430,15 +507,17 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
         else:
             s_shards = _next_pow2(max(1, (n_docs + tau - 1) // tau))
 
-    # (doc_stats already written above — data files land before state commit,
-    # so a crash leaves the batch invisible and a retry overwrites it)
-    tombs_pdf = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                              "doc_len": pd.Series(dtype="int64")})
+    # tombstones: distributed write, counts observed in-flight (no toPandas)
+    n_tombs, tomb_dl = 0, 0
     if tombs is not None:
-        tombs_pdf = tombs.toPandas()
-        if not tombs_pdf.empty:
-            tombs.write.mode("overwrite").parquet(
-                f"{index_dir}/tombstones/batch={batch_id}")
+        tombs = tombs.persist()
+        tobs = Observation(f"tombs_b{batch_id}")
+        (tombs.observe(tobs, F.count(F.lit(1)).alias("n"),
+                       F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"))
+         .write.mode("overwrite").parquet(f"{index_dir}/tombstones/batch={batch_id}"))
+        n_tombs = int(tobs.get["n"])
+        tomb_dl = int(tobs.get["dl"])
+
     postings = build_postings(kept, s_shards, n_buckets)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/postings/batch={batch_id}")
@@ -448,20 +527,24 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
         f"{index_dir}/postings/batch={batch_id}", format="parquet",
         partitioning="hive").count_rows()
 
-    corr = _df_corrections(spark, index_dir, committed, tombs_pdf, s_shards)
-    if not corr.empty:
-        spark.createDataFrame(corr, schema="term string, delta long") \
-            .write.mode("overwrite").parquet(
+    corr = None
+    if n_tombs:
+        corr = _df_corrections_df(spark, index_dir, committed, tombs, s_shards)
+        if corr is not None:
+            corr.write.mode("overwrite").parquet(
                 f"{index_dir}/df_corrections/batch={batch_id}")
+            # read the materialized result back (cheap, vocab-scale) so the
+            # lexicon job doesn't recompute the decode-explode plan
+            corr = spark.read.parquet(f"{index_dir}/df_corrections/batch={batch_id}")
 
     committed_now = committed + [batch_id]
-    # corpus stats by exact integer arithmetic: previous + observed − tombstoned
-    prev_n, prev_sum = _read_cstats(index_dir)
-    n_active = prev_n + n_docs - int(len(tombs_pdf))
-    sum_active = prev_sum + sum_dl_new - int(tombs_pdf["doc_len"].sum())
-    _write_cstats(index_dir, n_active, sum_active)
-    _write_lexicon(spark, index_dir, committed_now, n_active)
+    # corpus stats: overwrite-idempotent per-batch delta, committed-gated read
+    _write_cstats_delta(index_dir, batch_id, n_docs - n_tombs,
+                        sum_dl_new - tomb_dl)
+    _write_lexicon_gen(spark, index_dir, batch_id, committed, corr)
     kept.unpersist()
+    if tombs is not None:
+        tombs.unpersist()
 
     wall_ms = int((time.time() - t0) * 1000)
     append_lineage(index_dir, [lineage_row(st.build_id or new_build_id(), batch_id,
@@ -472,21 +555,28 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
     st.s_shards = s_shards
     st.n_buckets = n_buckets
     write_state(index_dir, st)
+    # best-effort: drop lexicon generations older than the previous one
+    # (kept so an in-flight reader of gen K-1 doesn't lose its files mid-scan)
+    prev = _latest_lexicon_gen(index_dir, committed)
+    if prev is not None:
+        _cleanup_stale_gens(index_dir, prev)
     return {"n_docs": n_docs, "n_posting_rows": n_posting_rows,
             "wall_ms": wall_ms, "s_shards": s_shards, "batch_id": batch_id,
-            "n_tombstones": int(len(tombs_pdf))}
+            "n_tombstones": n_tombs}
 
 
 def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
-                tau: int = 100_000, n_buckets: int = 8, dedup: bool = True) -> dict:
+                tau: int = 100_000, n_buckets: int = 8, dedup: bool = True,
+                analyzer: dict | None = None) -> dict:
     """Full (single-batch) build — the batch-0 special case."""
     with BuildLock(index_dir):
         return commit_batch(spark, pages, index_dir, batch_id=0, tau=tau,
-                            n_buckets=n_buckets, dedup=dedup)
+                            n_buckets=n_buckets, dedup=dedup, analyzer=analyzer)
 
 
 def build_incremental(spark: SparkSession, batches: list[DataFrame], index_dir: str,
-                      tau: int = 100_000, n_buckets: int = 8) -> list[dict]:
+                      tau: int = 100_000, n_buckets: int = 8,
+                      analyzer: dict | None = None) -> list[dict]:
     """Index a sequence of snapshot batches with resume: committed batches are
     skipped (reference A5–A7: state advances only on success; re-runs are
     idempotent)."""
@@ -494,75 +584,107 @@ def build_incremental(spark: SparkSession, batches: list[DataFrame], index_dir: 
     with BuildLock(index_dir):
         for i, batch in enumerate(batches):
             out.append(commit_batch(spark, batch, index_dir, batch_id=i,
-                                    tau=tau, n_buckets=n_buckets))
+                                    tau=tau, n_buckets=n_buckets,
+                                    analyzer=analyzer))
     return out
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
-    """Fold all segments + tombstones into a single batch-0 segment (the
-    Lucene merge analog).  Exact: decodes every (term, salt) group across
-    segments, drops tombstoned docs, re-encodes."""
+    """Fold all segments + tombstones into a single new-generation segment
+    (the Lucene merge analog).  Exact and fully distributed: decode-explode
+    every posting, anti-join tombstones, re-encode through the same
+    single-shuffle streaming kernel as the build.
+
+    Crash-safe commit protocol: the compacted segment is written under a NEW
+    batch id (max committed + 1); the state flip to ``committed=[NEW]`` is
+    the single atomic commit point.  A crash before it leaves the old
+    generation fully readable (the NEW dirs are invisible — not committed —
+    and a retry overwrites them); a crash after it leaves stray old dirs
+    that readers ignore (every read is committed-gated) and that the cleanup
+    pass below or a later compaction removes."""
+    import shutil
+
     st = read_state(index_dir)
     if st is None:
         raise FileNotFoundError(index_dir)
     committed = st.committed_batches
+    new_b = max(committed) + 1
     tomb = _read_tombstones(spark, index_dir, committed)
     ds = spark.read.option("basePath", f"{index_dir}/doc_stats").parquet(
         *_batch_dirs(index_dir, "doc_stats", committed))
     active = ds.join(tomb, "doc_id", "left_anti") if tomb is not None else ds
+
     post = spark.read.option("basePath", f"{index_dir}/postings").parquet(
         *_batch_dirs(index_dir, "postings", committed))
-    ts_ids = (np.sort(tomb.toPandas()["doc_id"].to_numpy(np.int64))
-              if tomb is not None else np.empty(0, np.int64))
 
-    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.varbyte import decode_posting_list
+    def _decode_full(it):
+        for pdf in it:
+            outs = []
+            for term, salt, dvb, tvb, lvb in zip(
+                    pdf["term"], pdf["salt"], pdf["doc_ids_vb"],
+                    pdf["tfs_vb"], pdf["dls_vb"]):
+                d, t, l = decode_posting_list(dvb, tvb, lvb)
+                outs.append(pd.DataFrame({
+                    "term_id": np.full(d.size, 0, np.int64),  # filled below
+                    "term": np.repeat(term, d.size),
+                    "salt": np.full(d.size, salt, np.int32),
+                    "doc_id": d, "tf": t, "doc_len": l}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
-        ds_, ts_, ls_ = [], [], []
-        for _, row in pdf.iterrows():
-            d, t, l = decode_posting_list(row["doc_ids_vb"], row["tfs_vb"],
-                                          row["dls_vb"])
-            ds_.append(d)
-            ts_.append(t)
-            ls_.append(l)
-        d = np.concatenate(ds_)
-        t = np.concatenate(ts_)
-        l = np.concatenate(ls_)
-        if ts_ids.size:
-            m = ~np.isin(d, ts_ids)
-            d, t, l = d[m], t[m], l[m]
-        if d.size == 0:
-            cols = ["term", "salt", "n_docs", "block_max_doc", "block_max_tf",
-                    "block_min_dl", "off_d", "off_t", "off_l", "doc_ids_vb",
-                    "tfs_vb", "dls_vb", "bucket"]
-            return pd.DataFrame(columns=cols).iloc[:0]
-        # rows here are already per-doc (doc_id, tf, dl) — encode directly
-        return _postings_row(pdf["term"].iloc[0], int(pdf["salt"].iloc[0]),
-                             int(pdf["bucket"].iloc[0]), d, t, l)
+    decoded = post.select("term", "salt", "doc_ids_vb", "tfs_vb", "dls_vb") \
+        .mapInPandas(_decode_full,
+                     schema="term_id bigint, term string, salt int, "
+                            "doc_id bigint, tf int, doc_len int") \
+        .withColumn("term_id", F.xxhash64("term")).drop("term")
+    if tomb is not None:
+        decoded = decoded.join(tomb, "doc_id", "left_anti")
+    p = spark.sparkContext.defaultParallelism
+    part = (decoded.repartition(p, "term_id", "salt")
+            .sortWithinPartitions("term_id", "salt", "doc_id"))
+    enc = part.mapInPandas(_encode_stream_factory(st.n_buckets, with_tf=True),
+                           schema=POSTINGS_ENC_SCHEMA)
+    terms = post.select("term").distinct().select(
+        "term", F.xxhash64("term").alias("term_id"))
+    merged = enc.join(terms, "term_id").drop("term_id")
 
-    merged = post.groupBy("term", "salt").applyInPandas(_merge, schema=POSTINGS_SCHEMA)
-    # materialize BOTH new datasets before touching the old files (lazy
-    # evaluation: `active` still reads tombstones/doc_stats at action time)
-    tmp = f"{index_dir}/postings_compact"
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    active.write.mode("overwrite").parquet(f"{index_dir}/doc_stats_compact")
-    import os
-    import shutil
+    # materialize the new generation (both datasets) before the state flip
+    from pyspark.sql import Observation
+    obs = Observation(f"compact_b{new_b}")
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_dir}/postings/batch={new_b}")
+    (active.select("doc_id", "url", "warc_ts", "doc_len")
+     .observe(obs, F.count(F.lit(1)).alias("n_docs"),
+              F.coalesce(F.sum("doc_len"), F.lit(0)).alias("sum_dl"))
+     .write.mode("overwrite").parquet(f"{index_dir}/doc_stats/batch={new_b}"))
+    n_active = int(obs.get["n_docs"])
+    sum_active = int(obs.get["sum_dl"])
+    _write_cstats_delta(index_dir, new_b, n_active, sum_active)
+    # post-compaction lexicon = segment metadata sums (no corrections left)
+    lex = (spark.read.parquet(f"{index_dir}/postings/batch={new_b}")
+           .groupBy("term").agg(F.sum("n_docs").cast("long").alias("df"))
+           .filter(F.col("df") > 0))
+    lex.write.mode("overwrite").parquet(_lexicon_gen_dir(index_dir, new_b))
 
+    # --- atomic commit point ---
+    st.committed_batches = [new_b]
+    st.last_indexed_batch = new_b
+    write_state(index_dir, st)
+
+    # cleanup (crash-tolerant: everything below is invisible to readers)
     for b in committed:
         shutil.rmtree(f"{index_dir}/postings/batch={b}", ignore_errors=True)
+        shutil.rmtree(f"{index_dir}/doc_stats/batch={b}", ignore_errors=True)
+        p_delta = _cstats_delta_path(index_dir, b)
+        if os.path.exists(p_delta):
+            os.remove(p_delta)
     shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
     shutil.rmtree(f"{index_dir}/df_corrections", ignore_errors=True)
-    shutil.rmtree(f"{index_dir}/doc_stats", ignore_errors=True)
-    os.makedirs(f"{index_dir}/doc_stats", exist_ok=True)
-    os.replace(f"{index_dir}/doc_stats_compact", f"{index_dir}/doc_stats/batch=0")
-    os.makedirs(f"{index_dir}/postings", exist_ok=True)
-    os.replace(tmp, f"{index_dir}/postings/batch=0")
-    st.committed_batches = [0]
-    st.last_indexed_batch = 0
-    _recompute_stats(spark, index_dir, [0])
-    write_state(index_dir, st)
-    return {"n_posting_rows": spark.read.parquet(f"{index_dir}/postings/batch=0").count()}
+    _cleanup_stale_gens(index_dir, new_b)
+    import pyarrow.dataset as _ds
+    return {"n_posting_rows": _ds.dataset(
+        f"{index_dir}/postings/batch={new_b}", format="parquet",
+        partitioning="hive").count_rows(), "batch_id": new_b}
 
 
 class IndexReader:
@@ -578,20 +700,31 @@ class IndexReader:
         self.state = st
 
     def lexicon(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/lexicon")
+        """(term, df, idf) — df from the max committed lexicon generation,
+        idf computed here from current corpus stats (exact, always fresh)."""
+        gen = _latest_lexicon_gen(self.index_dir, self.state.committed_batches)
+        if gen is None:
+            raise FileNotFoundError(f"no lexicon generation in {self.index_dir}")
+        n_docs, _ = _read_cstats(self.index_dir, self.state.committed_batches)
+        return (self.spark.read.parquet(_lexicon_gen_dir(self.index_dir, gen))
+                .select("term", "df", _idf_expr(n_docs).alias("idf")))
 
     def corpus_stats(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/corpus_stats")
+        n_docs, sum_dl = _read_cstats(self.index_dir,
+                                      self.state.committed_batches)
+        avgdl = (sum_dl / n_docs) if n_docs else 0.0
+        return self.spark.createDataFrame(
+            [(n_docs, sum_dl, avgdl)], "n_docs long, sum_dl long, avgdl double")
 
     def doc_stats(self) -> DataFrame:
         return self.spark.read.option("basePath", f"{self.index_dir}/doc_stats").parquet(
             *_batch_dirs(self.index_dir, "doc_stats", self.state.committed_batches))
 
-    def tombstones(self) -> set[int]:
-        t = _read_tombstones(self.spark, self.index_dir, self.state.committed_batches)
-        if t is None:
-            return set()
-        return set(t.toPandas()["doc_id"].tolist())
+    def tombstones_df(self) -> DataFrame | None:
+        """Distinct tombstoned doc_ids as a DataFrame (None when there are
+        none) — consumers join/anti-join it; nothing is collected."""
+        return _read_tombstones(self.spark, self.index_dir,
+                                self.state.committed_batches)
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         """Partition-pruned scan: bucket IN (term buckets) AND term IN terms.

@@ -37,6 +37,7 @@ class IndexState:
     s_shards: int = 1          # global doc-hash shard count (power of two)
     n_buckets: int = 8         # term-hash partition count for postings
     build_id: str = ""
+    analyzer: dict = field(default_factory=dict)  # A8: per-index analysis chain
 
 
 def _state_path(index_dir: str) -> str:
@@ -79,8 +80,20 @@ class BuildLock:
                     pid = int(f.read().strip() or "0")
                 os.kill(pid, 0)  # raises if the holder is dead
                 return False
+            except FileNotFoundError:
+                return self.acquire()  # holder released between open attempts
             except (ProcessLookupError, ValueError):
-                os.remove(self.path)  # stale — reclaim
+                # Stale lock (dead pid).  Reclaim ATOMICALLY: rename the stale
+                # file to a unique name first — os.rename fails for every
+                # contender but one, so exactly one process removes it and
+                # nobody can delete a NEW holder's freshly created lock.
+                claim = f"{self.path}.reclaim.{os.getpid()}"
+                try:
+                    os.rename(self.path, claim)
+                except (FileNotFoundError, OSError):
+                    time.sleep(0.01)  # another contender won the reclaim race
+                else:
+                    os.remove(claim)
                 return self.acquire()
             except PermissionError:
                 return False

@@ -62,7 +62,7 @@ def test_upserts_created_tombstones(spark, full_and_incr):
     reader = IndexReader(spark, incr_dir)
     # dup rows are appended at index >= N_ROWS, so i%2 differs from the
     # original for odd originals → cross-batch upserts exist
-    assert len(reader.tombstones()) > 0
+    assert reader.tombstones_df().count() > 0
 
 
 def test_resume_skips_committed(spark, full_and_incr):
@@ -108,14 +108,145 @@ def test_compaction_preserves_results(spark, tmp_path_factory):
     build_incremental(spark, [b0, b1], d, tau=TAU, n_buckets=4)
     before = _topk(spark, d)
     reader = IndexReader(spark, d)
-    assert len(reader.tombstones()) > 0
+    assert reader.tombstones_df().count() > 0
     compact_index(spark, d)
     reader2 = IndexReader(spark, d)
-    assert reader2.state.committed_batches == [0]
-    assert len(reader2.tombstones()) == 0
+    assert reader2.state.committed_batches == [2]  # new generation id
+    assert reader2.tombstones_df() is None
     after = _topk(spark, d)
     assert set(before) == set(after)
     for key in before:
         assert before[key][0] == after[key][0]
         assert abs(before[key][1] - after[key][1]) <= 1e-6
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 regression tests (ADVICE.md): multi-version upserts, crash-idempotent
+# stats, uncommitted-artifact gating, crash-safe compaction, analyzer settings.
+
+def _pages_df(spark, rows):
+    """rows: list of (url, ts_str, text)."""
+    import pandas as pd
+    from elasticsearch_data_import_handler_spark.sources.corpus import PAGES_SCHEMA
+
+    pdf = pd.DataFrame(
+        [(u, pd.Timestamp(ts), f"<html><body>{t}</body></html>".encode(), t, "en")
+         for u, ts, t in rows],
+        columns=["url", "warc_ts", "html", "text", "lang"])
+    return spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+
+
+def test_three_version_upsert_and_reimport(spark, tmp_path_factory):
+    """ADVICE high: a url updated across 3 batches (then re-imported) must
+    keep exactly one active version, exact df (no double decrements — the
+    old bug drove df to 0 and emptied the lexicon), and exact corpus stats."""
+    from elasticsearch_data_import_handler_spark.plans.build import commit_batch
+
+    d = str(tmp_path_factory.mktemp("threever"))
+    u = "https://ex.com/a"
+    commit_batch(spark, _pages_df(spark, [(u, "2026-01-01", "alpha beta"),
+                                          ("https://ex.com/b", "2026-01-01", "beta gamma")]),
+                 d, 0, tau=100, n_buckets=2)
+    commit_batch(spark, _pages_df(spark, [(u, "2026-01-02", "alpha beta v2")]),
+                 d, 1, tau=100, n_buckets=2)
+    commit_batch(spark, _pages_df(spark, [(u, "2026-01-03", "alpha delta v3")]),
+                 d, 2, tau=100, n_buckets=2)
+    # re-import of the already-current version: must be a no-op
+    m = commit_batch(spark, _pages_df(spark, [(u, "2026-01-03", "alpha delta v3")]),
+                     d, 3, tau=100, n_buckets=2)
+    assert m["n_docs"] == 0 and m["n_tombstones"] == 0
+    reader = IndexReader(spark, d)
+    tomb = reader.tombstones_df()
+    active = reader.doc_stats().join(tomb, "doc_id", "left_anti") if tomb is not None \
+        else reader.doc_stats()
+    per_url = {r["url"]: r["n"] for r in
+               active.groupBy("url").count().withColumnRenamed("count", "n").collect()}
+    assert per_url == {u: 1, "https://ex.com/b": 1}
+    lex = {r["term"]: r["df"] for r in reader.lexicon().collect()}
+    # active docs: "alpha delta v3" and "beta gamma"
+    assert lex.get("alpha") == 1 and lex.get("delta") == 1
+    assert lex.get("beta") == 1 and lex.get("gamma") == 1
+    assert "v2" not in lex  # tombstoned version's unique term fully removed
+    cs = reader.corpus_stats().first()
+    assert cs["n_docs"] == 2
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cstats_retry_idempotent_and_uncommitted_gated(spark, tmp_path_factory):
+    """ADVICE medium ×2: (a) a delta file left by a crashed batch attempt is
+    overwritten on retry and never double-applied; (b) artifacts from
+    uncommitted batches (cstats deltas, df_corrections) are invisible."""
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        _write_cstats_delta, _read_cstats, commit_batch)
+
+    d = str(tmp_path_factory.mktemp("retry"))
+    commit_batch(spark, _pages_df(spark, [("u1", "2026-01-01", "one two")]),
+                 d, 0, tau=100, n_buckets=2)
+    # simulate a crashed batch-1 attempt: delta written, state NOT advanced
+    _write_cstats_delta(d, 1, 999, 999_999)
+    st = read_state(d)
+    assert st.committed_batches == [0]
+    assert _read_cstats(d, st.committed_batches) == (1, 2)  # gated: garbage invisible
+    # retry of batch 1 overwrites the garbage delta; totals stay exact
+    commit_batch(spark, _pages_df(spark, [("u2", "2026-01-01", "three four five")]),
+                 d, 1, tau=100, n_buckets=2)
+    reader = IndexReader(spark, d)
+    cs = reader.corpus_stats().first()
+    assert (cs["n_docs"], cs["sum_dl"]) == (2, 5)
+    # stray df_corrections from a crashed/renumbered batch: must not affect df
+    import os
+    import pandas as pd
+    os.makedirs(f"{d}/df_corrections/batch=99", exist_ok=True)
+    pd.DataFrame({"term": ["one"], "delta": [-100]}).to_parquet(
+        f"{d}/df_corrections/batch=99/part-0.parquet")
+    lex = {r["term"]: r["df"] for r in IndexReader(spark, d).lexicon().collect()}
+    assert lex["one"] == 1
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kill_during_compaction_recovers(spark, tmp_path_factory):
+    """ADVICE low: garbage new-generation dirs from a compaction that died
+    before its state flip must be invisible, and a re-run must succeed."""
+    import os
+    d = str(tmp_path_factory.mktemp("killcompact"))
+    b0 = synth_pages(spark, 100, seed=42, batches=2, batch=0)
+    b1 = synth_pages(spark, 100, seed=42, batches=2, batch=1)
+    build_incremental(spark, [b0, b1], d, tau=100, n_buckets=4)
+    before = _topk(spark, d)
+    # simulate the crash: partial new-generation dirs exist, state unchanged
+    os.makedirs(f"{d}/postings/batch=2/bucket=0", exist_ok=True)
+    with open(f"{d}/postings/batch=2/bucket=0/part-0.parquet", "wb") as f:
+        f.write(b"not a parquet file")
+    os.makedirs(f"{d}/doc_stats/batch=2", exist_ok=True)
+    assert _topk(spark, d) == before  # uncommitted garbage invisible
+    compact_index(spark, d)  # retry overwrites the partial generation
+    assert _topk(spark, d) == before
+    assert read_state(d).committed_batches == [2]
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_analyzer_settings_surface(spark, tmp_path_factory):
+    """A8: per-index analyzer config (stopwords here) persists in state and
+    changes the indexed terms; a conflicting override on a later batch fails."""
+    import pytest as _pytest
+    from elasticsearch_data_import_handler_spark.plans.build import commit_batch
+
+    d = str(tmp_path_factory.mktemp("analyzer"))
+    an = {"stopwords": ["the", "of"]}
+    commit_batch(spark, _pages_df(spark, [("u1", "2026-01-01", "the king of spain")]),
+                 d, 0, tau=100, n_buckets=2, analyzer=an)
+    reader = IndexReader(spark, d)
+    lex = {r["term"] for r in reader.lexicon().collect()}
+    assert lex == {"king", "spain"}
+    assert read_state(d).analyzer["stopwords"] == ["the", "of"]
+    assert reader.doc_stats().first()["doc_len"] == 2  # stopwords excluded from dl
+    # later batch: persisted analyzer reused implicitly
+    commit_batch(spark, _pages_df(spark, [("u2", "2026-01-01", "the queen")]),
+                 d, 1, tau=100, n_buckets=2)
+    lex2 = {r["term"] for r in IndexReader(spark, d).lexicon().collect()}
+    assert lex2 == {"king", "spain", "queen"}
+    with _pytest.raises(ValueError, match="one analysis chain"):
+        commit_batch(spark, _pages_df(spark, [("u3", "2026-01-01", "x")]),
+                     d, 2, tau=100, n_buckets=2, analyzer={"stopwords": ["a"]})
     shutil.rmtree(d, ignore_errors=True)
