@@ -141,20 +141,44 @@ def q_windowed_events(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Rows-only: binary-column feature plumbing over synthetic media
-    (decode kernels stubbed — libs not in container; plumbing is real)."""
+    """Binary-column feature plumbing over synthetic media (decode kernels
+    stubbed — libs not in container; plumbing is real).  The media table and
+    the stub's feature math are closed-form md5-deterministic, so the DuckDB
+    oracle regenerates payload bytes and hash-verifies every feature value."""
     from elasticsearch_data_import_handler_spark.operators.multimodal import (
         extract_features, synth_media)
 
-    return extract_features(synth_media(spark, n=96), deterministic_stub=True)
+    feats = extract_features(synth_media(spark, n=96), deterministic_stub=True)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.posexplode("feature").alias("pos", "feature"),
+    ).select("media_id", "kind", "n_bytes",
+             F.col("pos").cast("int").alias("pos"),
+             F.round("feature", 6).alias("feature"))
 
 
 def q_frame_sampling(spark, sf_dir):
-    """Rows-only: video frame-sample plumbing (explode timestamps per blob)."""
+    """Video frame-sample plumbing (explode timestamps per blob); md5 frame
+    fingerprints are reproduced byte-exactly by the generate_series oracle."""
     from elasticsearch_data_import_handler_spark.operators.multimodal import (
         sample_frames, synth_media)
 
     return sample_frames(synth_media(spark, n=96), every_ms=5000)
+
+
+def q_extract_text(spark, sf_dir):
+    """C2 byte-identity invariant, driver-visible: regenerate html from the
+    documents table, run the Arrow-vectorized extract_text UDF, and compare
+    against the stored text (the oracle selects the stored column)."""
+    from elasticsearch_data_import_handler_spark.functions.textanalysis import (
+        extract_text_udf)
+    from elasticsearch_data_import_handler_spark.sources.corpus import (
+        pages_from_documents)
+
+    pages = pages_from_documents(spark, sf_dir)
+    return pages.select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+        extract_text_udf()(F.col("html")).alias("extracted"))
 
 
 # ---------------------------------------------------------------- dedup ops
@@ -178,17 +202,18 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """Rows-only check (xxhash64-seeded MinHash not expressible in DuckDB);
-    exactness vs true Jaccard is covered by tests/test_dedup.py."""
+    """MinHash+LSH near-dup pairs — md5-derived KM hash family, so the DuckDB
+    oracle recomputes identical signatures, band buckets, and estimates."""
     docs = _read(spark, sf_dir, "documents")
     out = D.minhash_lsh_pairs(docs, num_hashes=64, bands=16, jaccard_threshold=0.5)
     return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
 def q_simhash_neardup(spark, sf_dir):
-    """Rows-only check (bit-level xxhash64 votes not expressible in DuckDB)."""
+    """SimHash near-dup pairs at radius 3 (pigeonhole-complete banding) —
+    verified against the oracle's exact all-pairs Hamming ground truth."""
     docs = _read(spark, sf_dir, "documents")
-    return D.simhash_neardup_pairs(docs, max_hamming=6)
+    return D.simhash_neardup_pairs(docs, max_hamming=3)
 
 
 # ------------------------------------------------------------- text quality
@@ -221,9 +246,42 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Rows-only: LSH ANN is approximate by construction (recall tested in
-    tests/test_similarity.py against the brute-force baseline)."""
+    """LSH ANN top-k.  Approximate vs brute force by construction, but fully
+    deterministic: md5-Rademacher planes + quantized integer sign dots make
+    bucket assignment bit-reproducible, so the DuckDB oracle runs the SAME
+    LSH pipeline and the result hash-matches exactly."""
     return SIM.lsh_bucketed_topk(_read(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
+def q_union_all(spark, sf_dir):
+    cu = _read(spark, sf_dir, "customer")
+    od = _read(spark, sf_dir, "orders")
+    rich = cu.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey"))
+    urgent = od.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey"))
+    return rich.unionAll(urgent)
+
+
+def q_except_all(spark, sf_dir):
+    cu = _read(spark, sf_dir, "customer")
+    od = _read(spark, sf_dir, "orders")
+    ordered = od.select(F.col("o_custkey").alias("custkey"))
+    rich = cu.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey"))
+    return ordered.exceptAll(rich)
+
+
+def q_grouping_sets(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, "
+        "cast(grouping(l_returnflag) AS int) AS g_rf, "
+        "cast(grouping(l_linestatus) AS int) AS g_ls, "
+        "count(*) AS n, round(sum(l_quantity), 2) AS sum_qty "
+        "FROM __li_gs GROUP BY GROUPING SETS "
+        "((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))")
 
 
 # --------------------------------------- delegated Spark SQL surface (§2B)
@@ -382,6 +440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "multimodal_features": q_multimodal_features,
         "frame_sampling": q_frame_sampling,
+        "extract_text": q_extract_text,
+        "union_all": q_union_all,
+        "except_all": q_except_all,
+        "grouping_sets": q_grouping_sets,
         "dedup_latest": q_dedup_latest,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -432,6 +494,34 @@ def oracle_sql() -> dict[str, str]:
         "ELSE 'fr' END"
     )
     stop_list = ", ".join(f"'{s}'" for s in TQ.STOPWORDS)
+
+    # ---- md5-deterministic synthetic media (mirror of operators/multimodal)
+    HEXD = "0123456789abcdef"
+    mm_digests4 = "||".join(f"md5(i::VARCHAR||'|{r}')" for r in range(4))
+    mm_digests16 = "||".join(f"md5(i::VARCHAR||'|{r}')" for r in range(16))
+
+    def _mm_byte(c):  # byte 4j+c of the hex string, as an int expression
+        return (f"(16*(strpos('{HEXD}', substr(hx, 8*j + {2 * c + 1}, 1))-1) + "
+                f"(strpos('{HEXD}', substr(hx, 8*j + {2 * c + 2}, 1))-1))")
+
+    mm_sum = " + ".join(_mm_byte(c) for c in range(4))
+
+    # ---- MinHash (KM double-hash family, 64 fns, 16 bands × 4 rows)
+    mh_mins = ", ".join(
+        f"min((ha + {i}*hb) % 4294967296) AS h{i}" for i in range(64))
+    mh_bands = " UNION ALL ".join(
+        "SELECT id, {b} AS band, {key} AS key FROM sig".format(
+            b=b, key="||','||".join(f"h{b * 4 + r}::VARCHAR" for r in range(4)))
+        for b in range(16))
+    mh_eq = " + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(64))
+
+    # ---- SimHash (60-bit md5-derived fingerprint)
+    sh_votes = ", ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN tf ELSE -tf END) AS v{i}"
+        for i in range(60))
+    sh_pack = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(60))
     return {
         "term_freqs": f"WITH {_SQL_TOK}, {_SQL_TF} SELECT term, doc_id, tf FROM tf",
         "doc_stats": f"WITH {_SQL_TOK}, {_SQL_DL} SELECT doc_id, doc_len FROM dl",
@@ -534,6 +624,95 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, {lang_pred} AS pred_lang FROM c"
         ),
         "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "extract_text": "SELECT doc_id, text AS extracted FROM documents",
+        "multimodal_features": (
+            "WITH m AS (SELECT i::BIGINT AS media_id, "
+            "CASE i%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "(64 + (i*37)%192)::BIGINT AS n_bytes, "
+            f"{mm_digests4} AS hx FROM range(96) t(i)) "
+            f"SELECT media_id, kind, n_bytes, j::INT AS pos, "
+            f"round((({mm_sum}) % 251)/251.0, 6) AS feature "
+            "FROM m, range(16) r(j)"
+        ),
+        "frame_sampling": (
+            "WITH m AS (SELECT i::BIGINT AS media_id, "
+            "(64 + (i*37)%192)::BIGINT AS n_bytes, (i*997)%60000 AS duration_ms, "
+            f"{mm_digests16} AS hx FROM range(96) t(i) WHERE i%3 = 2), "
+            "f AS (SELECT media_id, n_bytes, hx, "
+            "unnest(generate_series(0, duration_ms, 5000)) AS frame_ms FROM m) "
+            "SELECT media_id, frame_ms::BIGINT AS frame_ms, "
+            "md5(upper(substr(hx, 1, (2*n_bytes)::INT))||':'||frame_ms::VARCHAR) "
+            "AS frame_fingerprint FROM f"
+        ),
+        "minhash_lsh": (
+            "WITH toks_by_doc AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
+            "sh AS (SELECT doc_id AS id, unnest(list_distinct(list_transform("
+            "range(1, greatest(len(toks) - 2, 0) + 1), "
+            "i -> array_to_string(toks[i:i+2], ' ')))) AS s FROM toks_by_doc), "
+            "hs AS (SELECT id, ('0x'||substr(md5(s),1,8))::BIGINT AS ha, "
+            "(('0x'||substr(md5(s),9,8))::BIGINT | 1) AS hb FROM sh), "
+            f"sig AS (SELECT id, {mh_mins} FROM hs GROUP BY id), "
+            f"banded AS ({mh_bands}), "
+            "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a "
+            "JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id), "
+            f"est AS (SELECT id_a, id_b, ({mh_eq}) AS eq FROM cand "
+            "JOIN sig sa ON sa.id = cand.id_a JOIN sig sb ON sb.id = cand.id_b) "
+            "SELECT id_a, id_b, round(eq/64.0, 6) AS est_jaccard FROM est "
+            "WHERE eq/64.0 >= 0.5"
+        ),
+        "simhash_neardup": (
+            f"WITH {_SQL_TOK}, {_SQL_TF}, "
+            "th AS (SELECT doc_id, tf, "
+            "('0x'||substr(md5(term),1,15))::BIGINT AS h FROM tf), "
+            f"v AS (SELECT doc_id, {sh_votes} FROM th GROUP BY doc_id), "
+            f"s AS (SELECT doc_id, ({sh_pack}) AS sim FROM v) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "bit_count(xor(a.sim, b.sim))::INT AS hamming "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.sim, b.sim)) <= 3"
+        ),
+        "ann_lsh": (
+            "WITH planes AS (SELECT t, j, d, "
+            "((strpos('0123456789abcdef', substr(md5(t::VARCHAR||','||j::VARCHAR"
+            "||','||d::VARCHAR), 1, 1))-1) % 2)*2 - 1 AS s "
+            "FROM range(8) tt(t), range(4) jj(j), range(64) dd(d)), "
+            "ev AS (SELECT vec_id, unnest(embedding) AS v, "
+            "generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
+            "bits AS (SELECT vec_id, t, j, CASE WHEN "
+            "sum(floor(v::DOUBLE*1000)::BIGINT * s) > 0 THEN 1 ELSE 0 END AS bit "
+            "FROM ev JOIN planes USING (d) GROUP BY vec_id, t, j), "
+            "sigs AS (SELECT vec_id, t, sum(bit * (1::BIGINT << (3 - j)::INT)) AS sig "
+            "FROM bits GROUP BY vec_id, t), "
+            "cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS vec_id "
+            "FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig "
+            "WHERE a.vec_id < 5 AND b.vec_id >= 5), "
+            "scored AS (SELECT query_id, c.vec_id, "
+            "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cos "
+            "FROM cand c JOIN embeddings ea ON ea.vec_id = c.query_id "
+            "JOIN embeddings eb ON eb.vec_id = c.vec_id), "
+            "ranked AS (SELECT query_id, vec_id, cos, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) "
+            "SELECT query_id, rank, vec_id, round(cos, 4) AS cos FROM ranked "
+            "WHERE rank <= 10"
+        ),
+        "union_all": (
+            "SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000 "
+            "UNION ALL SELECT o_custkey AS custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT'"
+        ),
+        "except_all": (
+            "SELECT o_custkey AS custkey FROM orders "
+            "EXCEPT ALL SELECT c_custkey AS custkey FROM customer "
+            "WHERE c_acctbal > 5000"
+        ),
+        "grouping_sets": (
+            "SELECT l_returnflag, l_linestatus, "
+            "grouping(l_returnflag)::INT AS g_rf, grouping(l_linestatus)::INT AS g_ls, "
+            "count(*)::BIGINT AS n, round(sum(l_quantity), 2) AS sum_qty "
+            "FROM lineitem GROUP BY GROUPING SETS "
+            "((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))"
+        ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5), "
             "c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5), "

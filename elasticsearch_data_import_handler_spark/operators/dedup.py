@@ -67,19 +67,34 @@ def shingles_col(text_col: str = "text", n: int = 3):
     )
 
 
+def minhash_hash_seeds(shingle_col):
+    """(a, b) 32-bit seeds for the Kirsch–Mitzenmacher double-hash family,
+    derived from ONE md5 per shingle: h_i(s) = (a + i·b) mod 2^32 with
+    a = md5[0:8], b = md5[8:16] | 1 (odd ⇒ i·b cycles the full ring).
+    One cryptographic hash per shingle, 64 codegen'd linear combos — and,
+    unlike xxhash64(s, i), bit-reproducible in ANY engine with md5 (the
+    driver's DuckDB oracle recomputes identical signatures).
+    KM double hashing: Kirsch & Mitzenmacher, ESA'06 (public literature)."""
+    m = F.md5(shingle_col)
+    a = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(m, 9, 8), 16, 10).cast("long").bitwiseOR(F.lit(1))
+    return a, b
+
+
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 64) -> DataFrame:
     """(id, sh array<string>) → (id, sig array<bigint>).
 
-    The i-th hash function is xxhash64(shingle, i) (hash of the pair — a
-    keyed-hash family), min'd over the shingle set.  Implemented as explode →
-    groupBy(id) with ``num_hashes`` static min-aggregates: nested
-    higher-order-function lambdas are *interpreted* per element in Spark,
-    while this shape stays inside whole-stage codegen with partial (map-side)
-    min combine — the SPIMI trick applied to signatures.
+    Implemented as explode → groupBy(id) with ``num_hashes`` static
+    min-aggregates: nested higher-order-function lambdas are *interpreted*
+    per element in Spark, while this shape stays inside whole-stage codegen
+    with partial (map-side) min combine — the SPIMI trick applied to
+    signatures.  Duplicate shingles can't bias a min, so no distinct needed.
     """
-    ex = shingled.select("id", F.explode("sh").alias("s"))
-    aggs = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)]
+    a, b = minhash_hash_seeds(F.col("s"))
+    ex = shingled.select("id", F.explode("sh").alias("s")).select(
+        "id", a.alias("ha"), b.alias("hb"))
+    aggs = [F.min((F.col("ha") + F.lit(i) * F.col("hb")) % F.lit(1 << 32))
+            .alias(f"h{i}") for i in range(num_hashes)]
     return ex.groupBy("id").agg(*aggs).select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -113,14 +128,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
+                    # plain concatenated band key (at scale, wrap in xxhash64
+                    # to bound key width; the string form is oracle-checkable)
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
                     ).alias("bucket"),
                 ),
             )
@@ -182,22 +197,24 @@ def ngram_jaccard_pairs(df: DataFrame, bucket_cols: list[str], id_col: str = "do
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash fingerprint per document, fully JVM-side.
+            bits: int = 60) -> DataFrame:
+    """60-bit SimHash fingerprint per document, fully JVM-side.
 
-    Per distinct (doc, term): h = xxhash64(term); each bit of h votes ±tf.
-    Fingerprint bit i is set iff the weighted vote is positive.  Expressed as
-    explode → groupBy(doc) with 64 static conditional sums — one shuffle on
-    doc_id, whole-stage codegen, no Python boundary.  (The per-row
-    array-aggregate alternative builds a 64-wide expression per token —
-    this grouped form is both analyzable and faster at scale.)
+    Per distinct (doc, term): h = first 60 bits of md5(term) (15 hex chars →
+    bigint — the same value any SQL engine derives, so the driver's DuckDB
+    oracle reproduces fingerprints bit-exactly; xxhash64 could not be
+    cross-checked).  Each bit of h votes ±tf; fingerprint bit i is set iff
+    the weighted vote is positive.  Expressed as explode → groupBy(doc) with
+    ``bits`` static conditional sums — one shuffle on doc_id, whole-stage
+    codegen, no Python boundary.
     """
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
     tf = (
         df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", F.xxhash64("term"))
+        .withColumn("h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10)
+                    .cast("long"))
     )
     votes = [
         F.sum(
@@ -219,18 +236,29 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance ≤ max_hamming.
 
-    Banding on 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one of 4
-    chunks equal) keeps the self-join keyed, never all-pairs.
+    Banding on ``max_hamming + 1`` chunks of the 60-bit fingerprint —
+    pigeonhole: distance ≤ h over h+1 disjoint chunks forces at least one
+    chunk to be EQUAL, so recall is complete at the requested radius (the
+    driver oracle verifies radius 3 against the exact all-pairs Hamming
+    ground truth).  The self-join stays keyed — never all-pairs; at web
+    scale, pair the chunk key with a coarse partition column so bucket
+    sizes stay bounded.
     """
-    sh = simhash(df, id_col, text_col)
+    bits = 60
+    n_chunks = max_hamming + 1
+    base_w, rem = divmod(bits, n_chunks)
+    widths = [base_w + (1 if c < rem else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    sh = simhash(df, id_col, text_col, bits=bits)
     chunks = sh.select(
         "id", "sim",
         F.explode(F.array(*[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftright("sim", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                F.shiftright("sim", offsets[c])
+                .bitwiseAND(F.lit((1 << widths[c]) - 1)).alias("key"),
             )
-            for c in range(4)
+            for c in range(n_chunks)
         ])).alias("ck"),
     ).select("id", "sim", "ck.chunk", "ck.key")
     a, b = chunks.alias("a"), chunks.alias("b")
@@ -239,7 +267,7 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
         a.join(b, ["chunk", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                ham.alias("hamming"))
+                ham.cast("int").alias("hamming"))
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -78,32 +78,48 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.92,
     )
 
 
+def rademacher_sign(tbl: int, plane: int, dim_idx: int) -> int:
+    """±1 plane component, deterministic from md5 — the same value any SQL
+    engine derives (parity of the first md5 hex nibble of 't,j,d'), so the
+    driver's DuckDB oracle regenerates identical hyperplanes.  Rademacher
+    (±1) random projections are a valid SRP family (Achlioptas '01)."""
+    import hashlib
+
+    nib = int(hashlib.md5(f"{tbl},{plane},{dim_idx}".encode()).hexdigest()[0], 16)
+    return (nib % 2) * 2 - 1
+
+
 def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
-                      n_planes: int = 4, n_tables: int = 8, seed: int = 42,
+                      n_planes: int = 4, n_tables: int = 8,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Sign-random-projection LSH ANN with L hash tables (multi-table LSH).
 
-    Each table buckets by the sign bits of ``n_planes`` random hyperplanes;
-    candidates are the union of same-bucket vectors over all tables — the
-    standard recall lever (P[collide in ≥1 table] = 1-(1-p^m)^L).  Planes are
-    deterministic (seed 42).  At 100 TB the bucketed table is persisted
-    partitioned by (table, sig) so a query prunes to L partitions.  Recall <
-    1 by construction; the brute-force baseline above is the exactness
-    reference (recall asserted in tests, measured in bench)."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    dim = len(embeddings.select(vec_col).first()[0])
+    Each table buckets by the sign bits of ``n_planes`` deterministic
+    Rademacher hyperplanes; candidates are the union of same-bucket vectors
+    over all tables — the standard recall lever (P[collide in ≥1 table] =
+    1-(1-p^m)^L).  The sign projections run on a *quantized* integer copy of
+    the vector (floor(x·1000) — exact in any engine, immune to float
+    summation-order drift), so bucket assignment is bit-reproducible in the
+    DuckDB oracle; the final cosine re-rank uses full float precision.  At
+    100 TB the bucketed table is persisted partitioned by (table, sig) so a
+    query prunes to L partitions."""
+    dim = len(embeddings.select(vec_col).first()[0])  # schema probe: 1 row
+    qvec_int = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1000).cast("long"))
     tables = []
     for tbl in range(n_tables):
-        planes = rng.standard_normal((n_planes, dim))
         sig = None
         for j in range(n_planes):
-            plane = F.array(*[F.lit(float(x)) for x in planes[j]])
-            bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
+            plane = F.array(*[F.lit(rademacher_sign(tbl, j, d))
+                              for d in range(dim)])
+            dot = F.aggregate(
+                F.zip_with(F.col("__qv"), plane, lambda x, s: x * s),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)
+            bit = (dot > 0).cast("long")
             sig = bit if sig is None else sig * 2 + bit
         tables.append(F.struct(F.lit(tbl).alias("tbl"), sig.alias("sig")))
-    e = embeddings.select(
+    e = embeddings.withColumn("__qv", qvec_int).select(
         F.col(id_col), F.col(vec_col),
         F.explode(F.array(*tables)).alias("ts"),
     ).select(id_col, vec_col, "ts.tbl", "ts.sig")
