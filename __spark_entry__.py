@@ -183,6 +183,47 @@ def q_extract_text(spark, sf_dir):
 
 # ---------------------------------------------------------------- dedup ops
 
+def q_sessionize_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): gap
+    sessionization streamed as 2 time-ordered micro-batches through a memory
+    sink; state carries the open session across the batch seam.  The oracle
+    recomputes full sessions (start/end/count) with SQL window functions."""
+    import uuid
+
+    from pyspark.sql import functions as F2
+
+    from elasticsearch_data_import_handler_spark.streaming.ingest import (
+        sessionize_stream)
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", F2.col("ts").cast("timestamp").alias("ts"))
+    median = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first()["m"]
+    import tempfile
+    src = tempfile.mkdtemp(prefix="eidh_sess_stream_")
+    ev.filter(F2.col("ts") <= median).coalesce(1).write.mode("overwrite") \
+        .parquet(src)
+    ev.filter(F2.col("ts") > median).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("user_id bigint, ts timestamp")
+              .format("parquet").option("maxFilesPerTrigger", 1).load(src))
+    name = f"sess_gate_{uuid.uuid4().hex[:8]}"
+    q = (sessionize_stream(stream, gap_sec=1800)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    emitted = spark.table(name)
+    final = emitted.groupBy("user_id", "session_start").agg(
+        F2.max(F2.struct("session_end", "n_events")).alias("v"))
+    # epoch↔timestamp round trips in one session TZ cancel, so the rendered
+    # wall-clock strings are TZ-proof vs the oracle's strftime
+    return final.select(
+        "user_id",
+        F2.date_format(F2.col("session_start").cast("timestamp"),
+                       "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F2.date_format(F2.col("v.session_end").cast("timestamp"),
+                       "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F2.col("v.n_events").alias("n_events"))
+
+
 def q_dedup_latest(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     out = D.dedup_latest(ev, key="user_id", order="ts", tie_cols=["event_id"])
@@ -467,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "pivot": q_pivot,
         "cube_agg": q_cube_agg,
+        "sessionize_stateful": q_sessionize_stateful,
     }
 
 
@@ -795,6 +837,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n, "
             "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
             "GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "sessionize_stateful": (
+            "WITH g AS (SELECT user_id, ts, CASE WHEN "
+            "epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+            "IS NULL OR epoch(ts) - lag(epoch(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts) > 1800 THEN 1 ELSE 0 END AS new_s "
+            "FROM events), "
+            "s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+            "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+            "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end, "
+            "count(*)::BIGINT AS n_events FROM s GROUP BY user_id, sid"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, ts, event_id, "

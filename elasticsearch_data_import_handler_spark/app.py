@@ -44,6 +44,25 @@ def register_sources(spark: SparkSession, cfg: PipelineConfig) -> None:
         df.createOrReplaceTempView(s.spark_table)
     for t in cfg.table_sources:
         spark.read.format(t.format).load(t.path).createOrReplaceTempView(t.spark_table)
+    for j in cfg.jdbc_sources:
+        # Dialect-neutral JDBC scan (A1) — executable when the driver jar is
+        # on the classpath.  Predicate pushdown/partitioned reads come free
+        # from the JDBC source (partitionColumn/numPartitions in options).
+        reader = spark.read.format("jdbc").option("url", j.url)
+        if j.driver:
+            reader = reader.option("driver", j.driver)
+        reader = reader.option("query", j.query) if j.query \
+            else reader.option("dbtable", j.dbtable)
+        for k, v in j.options.items():
+            reader = reader.option(k, v)
+        try:
+            reader.load().createOrReplaceTempView(j.spark_table)
+        except Exception as e:  # noqa: BLE001 — surface a actionable error
+            raise RuntimeError(
+                f"JDBC source '{j.spark_table}' ({j.url}) failed to load — "
+                "is the driver jar on the classpath (spark.jars)? "
+                f"underlying: {str(e)[:300]}"
+            ) from e
 
 
 def _state_file(cfg: PipelineConfig, stmt_id: str) -> str:
@@ -66,19 +85,69 @@ def set_last_run(cfg: PipelineConfig, stmt_id: str, ts: str) -> None:
     os.replace(tmp, _state_file(cfg, stmt_id))
 
 
+UPSERT_PARTITIONS = 16  # key-hash partition count for upsert targets
+
+
+def _upsert_meta_path(target: str) -> str:
+    return os.path.join(target, "_upsert_meta.json")
+
+
+def _partition_row_count(target: str, pkey: int) -> int:
+    """Row count of one partition dir from parquet footers (no Spark job)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in glob.glob(os.path.join(target, f"__pkey={pkey}", "*.parquet")):
+        n += pq.read_metadata(f).num_rows
+    return n
+
+
 def upsert_table(df: DataFrame, target: str, id_field: str,
                  order_field: str = "") -> int:
     """A9: idempotent keyed write, last-write-per-id wins.
 
-    Union with the existing table, keep the newest row per id (order_field
-    desc when given, else incoming rows win), overwrite atomically via a
-    staging dir.  At scale this is an Iceberg MERGE INTO; same contract."""
+    The target is hash-partitioned on ``__pkey = pmod(xxhash64(id), P)``; an
+    upsert touches ONLY the partitions its incoming keys hash to: read those
+    partitions, merge latest-wins (order_field desc when given, else
+    incoming wins), and dynamic-partition-overwrite them — untouched
+    partitions' files are never rewritten (test-enforced).  Row counts come
+    from an Observation during the write plus parquet footers for untouched
+    partitions: zero extra Spark jobs.  A crashed write retried with the
+    same input converges (idempotent per-partition replace).  At scale this
+    is an Iceberg MERGE INTO; same contract."""
+    import glob
+
+    from pyspark.sql import Observation
+
     spark = df.sparkSession
-    incoming = df.withColumn("__gen", F.lit(1))
-    if os.path.isdir(target) and any(
-        f.endswith(".parquet") for f in os.listdir(target)
-    ):
-        existing = spark.read.parquet(target).withColumn("__gen", F.lit(0))
+    pkey = F.pmod(F.xxhash64(F.col(id_field).cast("string")),
+                  F.lit(UPSERT_PARTITIONS)).cast("int")
+    incoming = df.withColumn("__pkey", pkey).withColumn("__gen", F.lit(1)) \
+        .persist()  # read twice: affected-partition probe + the merge itself
+    exists = os.path.exists(_upsert_meta_path(target))
+    legacy_files = [] if exists else glob.glob(os.path.join(target, "*.parquet"))
+    if exists:
+        # bounded collect: ≤ UPSERT_PARTITIONS ints (doubles as empty check)
+        affected = sorted(
+            r["__pkey"] for r in incoming.select("__pkey").distinct().collect())
+        if not affected:
+            incoming.unpersist()
+            return sum(_partition_row_count(target, p)
+                       for p in range(UPSERT_PARTITIONS))
+        dirs = [os.path.join(target, f"__pkey={p}") for p in affected
+                if glob.glob(os.path.join(target, f"__pkey={p}", "*.parquet"))]
+        if dirs:
+            existing = (spark.read.option("basePath", target).parquet(*dirs)
+                        .withColumn("__gen", F.lit(0)))
+            unioned = existing.unionByName(incoming)
+        else:
+            unioned = incoming
+    elif legacy_files:
+        # one-time migration of a pre-partitioned-layout target: full merge
+        existing = (spark.read.parquet(*legacy_files)
+                    .withColumn("__pkey", pkey).withColumn("__gen", F.lit(0)))
         unioned = existing.unionByName(incoming)
     else:
         unioned = incoming
@@ -91,15 +160,26 @@ def upsert_table(df: DataFrame, target: str, id_field: str,
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__gen")
     )
-    staging = target.rstrip("/") + ".staging"
-    result.write.mode("overwrite").parquet(staging)
-    n = spark.read.parquet(staging).count()
-    import shutil
-
-    if os.path.isdir(target):
-        shutil.rmtree(target)
-    os.replace(staging, target)
-    return n
+    obs = Observation("upsert")
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (result.observe(obs, F.count(F.lit(1)).alias("n"))
+         .write.mode("overwrite").partitionBy("__pkey").parquet(target))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    n_written = int(obs.get["n"])
+    incoming.unpersist()
+    if not exists:
+        for f_old in legacy_files:  # migrated into __pkey dirs above
+            os.remove(f_old)
+        with open(_upsert_meta_path(target), "w") as f:
+            json.dump({"id_field": id_field, "partitions": UPSERT_PARTITIONS,
+                       "partition_expr": "pmod(xxhash64(cast(id as string)), P)"},
+                      f)
+        return n_written
+    untouched = [p for p in range(UPSERT_PARTITIONS) if p not in affected]
+    return n_written + sum(_partition_row_count(target, p) for p in untouched)
 
 
 def run_statement(spark: SparkSession, cfg: PipelineConfig, stmt: Statement) -> dict:

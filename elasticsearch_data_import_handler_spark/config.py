@@ -5,8 +5,11 @@ Mirrors the upstream config surface (SURVEY.md §2A, capability-for-capability
 upstream README):
 
   sources.filesystem[]  — directory + filespec + format → temp view (A2)
-  sources.table[]       — parquet/orc path → temp view (A1 analog; JDBC is
-                          declared but rejected in-sandbox with a clear error)
+  sources.table[]       — parquet/orc path → temp view
+  sources.jdbc[]        — url + dbtable/query → spark.read.jdbc temp view
+                          (A1; executable whenever a driver jar is present —
+                          this sandbox ships none, so the load raises a
+                          clear driver-not-found error at registration)
   prepStatements[]      — ordered Spark SQL run before imports (A4)
   importSteps[].statements[] — {id, sqlQuery|sqlFile, idField, target*} whose
     result is written idempotently:
@@ -41,6 +44,23 @@ class TableSource:
 
 
 @dataclass
+class JdbcSource:
+    """A1: a JDBC database registered as a view — dialect-neutral
+    ``spark.read.jdbc`` (url + dbtable/query + driver class + options).
+    Executable as-is when the driver jar is on the classpath; in this
+    sandbox no driver ships, so the read raises at registration time with
+    the JVM's driver-not-found error (the config is still fully parsed —
+    the reference's primary use case is not rejected at the config layer)."""
+
+    url: str
+    spark_table: str
+    dbtable: str = ""
+    query: str = ""
+    driver: str = ""
+    options: dict = field(default_factory=dict)
+
+
+@dataclass
 class Statement:
     id: str
     sql_query: str = ""
@@ -61,6 +81,7 @@ class ImportStep:
 class PipelineConfig:
     filesystem_sources: list[FilesystemSource] = field(default_factory=list)
     table_sources: list[TableSource] = field(default_factory=list)
+    jdbc_sources: list[JdbcSource] = field(default_factory=list)
     prep_statements: list[str] = field(default_factory=list)
     import_steps: list[ImportStep] = field(default_factory=list)
     state_dir: str = ""
@@ -70,11 +91,20 @@ def load_config(path: str) -> PipelineConfig:
     with open(path) as f:
         raw = json.load(f)
     src = raw.get("sources", {})
-    if src.get("jdbc"):
-        raise ValueError(
-            "jdbc sources are declared in the config model but no JDBC driver "
-            "ships in this sandbox; use filesystem/table sources"
+    jdbc = [
+        JdbcSource(
+            url=s["url"],
+            spark_table=s.get("sparkTable") or s.get("spark_table", ""),
+            dbtable=s.get("dbtable", ""),
+            query=s.get("query", ""),
+            driver=s.get("driver", ""),
+            options=s.get("options", {}),
         )
+        for s in src.get("jdbc", [])
+    ]
+    for j in jdbc:
+        if not j.dbtable and not j.query:
+            raise ValueError(f"jdbc source {j.spark_table}: dbtable or query required")
     fs = [
         FilesystemSource(
             directory=s["directory"],
@@ -110,6 +140,7 @@ def load_config(path: str) -> PipelineConfig:
     return PipelineConfig(
         filesystem_sources=fs,
         table_sources=tbl,
+        jdbc_sources=jdbc,
         prep_statements=raw.get("prepStatements", []),
         import_steps=steps,
         state_dir=raw.get("stateDir", os.path.join(os.getcwd(), "_dih_state")),

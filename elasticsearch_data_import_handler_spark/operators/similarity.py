@@ -33,23 +33,60 @@ def _norm(a):
 
 
 def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                method: str = "matmul") -> DataFrame:
     """Brute-force cosine top-k: the first ``n_queries`` vec_ids are the query
-    set, scored against all other vectors.  → (query_id, rank, vec_id, cos)."""
-    q = F.broadcast(
-        embeddings.filter(F.col(id_col) < n_queries).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    set, scored against all other vectors.  → (query_id, rank, vec_id, cos).
+
+    ``method="matmul"`` (default, the scale path): the query matrix — bounded
+    by n_queries, the one legitimate driver-side collect — is normalized once
+    and closed over an Arrow-batched mapInPandas kernel that scores each
+    candidate batch as ONE numpy float64 matmul (BLAS), ~10-100× the
+    throughput of per-element expression evaluation.  ``method="hof"`` keeps
+    the pure-JVM zip_with/aggregate fold (useful to cross-check float
+    summation order).  Both match the DuckDB oracle at 4-decimal rounding.
+    """
+    if method == "hof":
+        q = F.broadcast(
+            embeddings.filter(F.col(id_col) < n_queries).select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            )
         )
-    )
-    c = embeddings.filter(F.col(id_col) >= n_queries).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
-    )
-    scored = q.crossJoin(c).select(
-        "query_id",
-        "vec_id",
-        (_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
-         ).alias("cos"),
-    )
+        c = embeddings.filter(F.col(id_col) >= n_queries).select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+        )
+        scored = q.crossJoin(c).select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qvec"), F.col("cvec"))
+             / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias("cos"),
+        )
+    else:
+        import numpy as np
+
+        q_rows = embeddings.filter(F.col(id_col) < n_queries) \
+            .select(id_col, vec_col).collect()  # bounded by n_queries
+        qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+        def _score(it):
+            import pandas as pd
+            for pdf in it:
+                C = np.array(pdf["cvec"].tolist(), dtype=np.float64)
+                Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+                S = Cn @ Qn.T  # (n_cand, n_q) — one BLAS call per Arrow batch
+                n_c = C.shape[0]
+                yield pd.DataFrame({
+                    "query_id": np.tile(qids, n_c),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64),
+                                        qids.size),
+                    "cos": S.ravel(),
+                })
+
+        scored = embeddings.filter(F.col(id_col) >= n_queries).select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+        ).mapInPandas(_score, schema="query_id long, vec_id long, cos double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

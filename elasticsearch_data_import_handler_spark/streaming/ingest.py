@@ -62,3 +62,72 @@ def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
                 "event_type", "n",
                 F.round("sum_value", 4).alias("sum_value"))
     )
+
+
+SESSION_OUT_SCHEMA = ("user_id bigint, session_start bigint, "
+                      "session_end bigint, n_events bigint")
+SESSION_STATE_SCHEMA = "start bigint, last bigint, n bigint"
+
+
+def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): gap-based
+    sessionization with one state row per user.
+
+    Semantics: a session is a maximal run of a user's events where
+    consecutive gaps are ≤ gap_sec — identical to the batch window/lag form
+    in __spark_entry__.q_sessionize (test-enforced: streamed micro-batches,
+    latest-wins per (user, session_start), equals the batch result).
+
+    Update-mode output: every session TOUCHED by a micro-batch is emitted
+    with its current (end, n_events); the open session also stays in state
+    so a later batch extends rather than restarts it.  Downstream consumers
+    keep the latest row per (user_id, session_start) — the same
+    dedup_latest shape as the engine's keyed sink (A9).
+
+    Requires per-user event-time ordering across micro-batches (standard
+    for replayed logs; with out-of-order sources put a watermarked
+    sort-within-window in front).
+    """
+    ev = events.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts"),
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = None
+            last = None
+            n = 0
+        touched = []
+        for ts in rows["ts"].astype("int64"):
+            ts = int(ts)
+            if start is None:
+                start, last, n = ts, ts, 1
+            elif ts - last > gap_sec:
+                touched.append((start, last, n))
+                start, last, n = ts, ts, 1
+            else:
+                last, n = ts, n + 1
+        touched.append((start, last, n))  # open session: emitted + kept
+        state.update((start, last, n))
+        yield pd.DataFrame({
+            "user_id": [int(key[0])] * len(touched),
+            "session_start": [t[0] for t in touched],
+            "session_end": [t[1] for t in touched],
+            "n_events": [t[2] for t in touched],
+        })
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -79,8 +79,60 @@ def test_pipeline_end_to_end(spark, cfg_path, tmp_path):
     assert after == before
 
 
-def test_jdbc_config_rejected(tmp_path):
+def test_jdbc_source_executable_path(spark, tmp_path):
+    """A1: jdbc sources parse into the config model and reach an actual
+    ``spark.read.format('jdbc')`` load — in this sandbox no driver jar
+    ships, so the load must fail with an actionable driver/classpath error
+    (NOT a config-layer rejection)."""
+    p = tmp_path / "jdbc.json"
+    p.write_text(json.dumps({
+        "stateDir": str(tmp_path / "state"),
+        "sources": {"jdbc": [{
+            "url": "jdbc:postgresql://db.example:5432/crawl",
+            "dbtable": "public.pages", "sparkTable": "pages_db",
+            "driver": "org.postgresql.Driver",
+            "options": {"partitionColumn": "id", "numPartitions": "8",
+                        "lowerBound": "0", "upperBound": "1000000"},
+        }]},
+    }))
+    cfg = load_config(str(p))
+    assert cfg.jdbc_sources[0].dbtable == "public.pages"
+    with pytest.raises(RuntimeError, match="JDBC source 'pages_db'"):
+        run_pipeline(spark, cfg)
+
+
+def test_jdbc_config_requires_table_or_query(tmp_path):
     p = tmp_path / "bad.json"
-    p.write_text(json.dumps({"sources": {"jdbc": [{"url": "jdbc:h2:mem"}]}}))
-    with pytest.raises(ValueError, match="jdbc"):
+    p.write_text(json.dumps({"sources": {"jdbc": [{"url": "jdbc:h2:mem",
+                                                   "sparkTable": "t"}]}}))
+    with pytest.raises(ValueError, match="dbtable or query"):
         load_config(str(p))
+
+
+def test_upsert_touches_only_affected_partitions(spark, tmp_path):
+    """The keyed upsert must rewrite ONLY the hash partitions its incoming
+    ids map to — untouched partitions' data files stay byte-identical on
+    disk (same inode set)."""
+    import glob
+
+    from elasticsearch_data_import_handler_spark.app import (
+        UPSERT_PARTITIONS, upsert_table)
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "upsert_tbl")
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    n = upsert_table(base, target, "k", "")
+    assert n == 200
+    files_before = {p: set(glob.glob(f"{target}/__pkey={p}/*.parquet"))
+                    for p in range(UPSERT_PARTITIONS)}
+    # single-key upsert → exactly one affected partition
+    one = spark.createDataFrame([(7, 999)], "k long, v long")
+    n2 = upsert_table(one, target, "k", "")
+    assert n2 == 200  # key 7 replaced, not appended
+    touched = [p for p in range(UPSERT_PARTITIONS)
+               if set(glob.glob(f"{target}/__pkey={p}/*.parquet")) != files_before[p]]
+    assert len(touched) == 1
+    out = spark.read.parquet(target)
+    assert out.filter("k = 7").first()["v"] == 999
+    assert out.count() == 200

@@ -49,3 +49,30 @@ def test_asof_self_derived_with_projection(spark, sf_dir):
     for eid, v in exp_map.items():
         g = got_map[eid]
         assert (pd.isna(v) and pd.isna(g)) or int(v) == int(g), eid
+
+
+def test_asof_time_bucket_skew_guard(spark):
+    """time_bucket pre-split must return the identical result on a skewed
+    key (one key holding ~all rows), including carry-forward across empty
+    buckets and unmatched-null cases."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # key 1: 5000 left rows, 2000 right rows with long gaps; key 2: sparse
+    lts = np.sort(rng.choice(np.arange(100_000), 5000, replace=False))
+    rts = np.sort(rng.choice(np.arange(-500, 60_000), 2000, replace=False))
+    left_rows = [(1, int(i), float(t)) for i, t in enumerate(lts)]
+    left_rows += [(2, 90000 + i, float(t)) for i, t in enumerate([5.0, 70000.0])]
+    right_rows = [(1, 10_000 + i, float(t)) for i, t in enumerate(rts)]
+    left = spark.createDataFrame(left_rows, "k long, lid long, t double")
+    right = spark.createDataFrame(right_rows, "k long, rid long, t double")
+
+    plain = {r["lid"]: (r["rid_r"], r["t_r"]) for r in
+             asof_join(left, right, on="t", by="k", right_cols=["rid"],
+                       suffix="_r").collect()}
+    bucketed = {r["lid"]: (r["rid_r"], r["t_r"]) for r in
+                asof_join(left, right, on="t", by="k", right_cols=["rid"],
+                          suffix="_r", time_bucket=1000.0).collect()}
+    assert plain == bucketed
+    # key 2 has no right rows at all → nulls survive the bucketed path
+    assert bucketed[90000] == (None, None)

@@ -79,3 +79,46 @@ def test_multimodal_frame_sampling(spark):
     n_videos = media.filter("kind = 'video'").count()
     assert pdf["media_id"].nunique() == n_videos
     assert (pdf["frame_ms"] % 10_000 == 0).all()
+
+
+def test_stateful_sessionize_stream_equals_batch(spark, tmp_path, sf_dir):
+    """applyInPandasWithState sessionization over 2 time-ordered micro-batches
+    must equal the batch window/lag sessionization (latest-wins per open
+    session across batches — state carries sessions over the batch seam)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_data_import_handler_spark.streaming.ingest import (
+        sessionize_stream)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    # two time-split files → per-user event-time order across micro-batches
+    median = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first()["m"]
+    src = str(tmp_path / "ev_stream")
+    ev.filter(F.col("ts") <= median).coalesce(1).write.mode("overwrite") \
+        .parquet(src)
+    ev.filter(F.col("ts") > median).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("user_id bigint, ts timestamp")
+              .format("parquet").option("maxFilesPerTrigger", 1).load(src))
+    out = sessionize_stream(stream, gap_sec=1800)
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    emitted = spark.table("sess_out")
+    # latest-wins per (user, session_start): the open session emitted in
+    # batch 1 is superseded by its extension in batch 2
+    final = emitted.groupBy("user_id", "session_start").agg(
+        F.max(F.struct("session_end", "n_events")).alias("v"))
+    got = (final.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("v.n_events").alias("n_events")))
+    got_map = {r["user_id"]: (r["n_sessions"], r["n_events"])
+               for r in got.collect()}
+
+    import __spark_entry__ as entrymod
+    exp = entrymod.queries()["sessionize"](spark, sf_dir)
+    exp_map = {r["user_id"]: (r["n_sessions"], r["n_events"])
+               for r in exp.collect()}
+    assert got_map == exp_map
