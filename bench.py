@@ -65,6 +65,51 @@ def _ensure_corpus(n_docs: int) -> str:
     return path
 
 
+def _host_calibration() -> dict:
+    """Measure what THIS host can actually deliver going 2 → 8 parallel
+    processes, for (a) cache-resident CPU work and (b) memory-bandwidth-
+    bound numpy work (the shape of shuffle/sort/encode).  The sandbox is a
+    shared SMT box: bandwidth scaling varies by the hour and bounds any
+    data-engine's measured build scaling from above — reporting it alongside
+    lets the efficiency numbers be read against the achievable ceiling."""
+    import multiprocessing as mp
+
+    def _run(fn, procs, tasks=8):
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(fn, range(tasks))
+        return time.time() - t0
+
+    out = {}
+    for tag, fn in (("cpu", _cal_cpu), ("membw", _cal_membw)):
+        t2 = min(_run(fn, 2), _run(fn, 2))
+        t8 = min(_run(fn, 8), _run(fn, 8))
+        out[f"host_{tag}_scaling_2_8"] = round((t2 / t8) / 4.0, 3)
+    return out
+
+
+def _cal_cpu(_):
+    import numpy as np
+
+    a = np.arange(200_000)  # cache-resident
+    s = 0
+    for _ in range(300):
+        s += int((a * 3 + 1).sum() & 1)
+    return s
+
+
+def _cal_membw(_):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 60, 3_000_000)
+    for _ in range(3):
+        b = np.sort(a)
+        c = np.cumsum(b)
+        (b >> 7).astype(np.uint8)
+    return int(c[-1] & 1)
+
+
 def _bench_index_and_query(cpus: int, corpus_path: str) -> dict:
     """Build the full index and run the query set; returns wall times."""
     from elasticsearch_data_import_handler_spark.operators.wand import bm25_topk_wand
@@ -155,6 +200,7 @@ def main():
     t_total = time.time()
     corpus_path = _ensure_corpus(N_DOCS)
 
+    cal = _host_calibration()
     lo = _bench_index_and_query(SCALE_LOW, corpus_path)
     hi = _bench_index_and_query(SCALE_HIGH, corpus_path)
     ratio = SCALE_HIGH / SCALE_LOW
@@ -183,6 +229,10 @@ def main():
             f"query_p50_latency_ms_c{SCALE_HIGH}": round(hi["query_p50_latency_ms"], 1),
             "scaling_efficiency_build": round(eff_build, 3),
             "scaling_efficiency_query": round(eff_query, 3),
+            **cal,
+            "scaling_efficiency_build_vs_host_membw": round(
+                min(eff_build / cal["host_membw_scaling_2_8"], 1.0), 3)
+            if cal.get("host_membw_scaling_2_8") else None,
             f"build_secs_c{SCALE_LOW}": lo["build_secs_all"],
             f"build_secs_c{SCALE_HIGH}": hi["build_secs_all"],
             "cores": [SCALE_LOW, SCALE_HIGH],

@@ -111,7 +111,8 @@ def _block_starts(n: int) -> np.ndarray:
     return np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
 
 
-def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray):
+def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
+                        assume_sorted: bool = False):
     """Encode one (term, salt) posting list with block-independent blocks.
 
     doc_ids: int64 (signed, xxhash64-derived), sorted ascending here.
@@ -131,10 +132,18 @@ def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarr
     (dls_vb) so query-time scoring needs no doc_stats join — documented
     deviation from FIXTURES.md §4.
     """
-    order = np.argsort(doc_ids, kind="stable")
-    d = np.asarray(doc_ids, dtype=np.int64)[order]
-    t = np.asarray(tfs, dtype=np.int64)[order]
-    dl = np.asarray(doc_lens, dtype=np.int64)[order]
+    if assume_sorted:
+        # the hot path: the build shuffle already sortWithinPartitions'd by
+        # doc_id — a redundant argsort here is pure memory-bandwidth waste
+        # (the contended resource on many-core hosts)
+        d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+        t = np.ascontiguousarray(tfs, dtype=np.int64)
+        dl = np.ascontiguousarray(doc_lens, dtype=np.int64)
+    else:
+        order = np.argsort(doc_ids, kind="stable")
+        d = np.asarray(doc_ids, dtype=np.int64)[order]
+        t = np.asarray(tfs, dtype=np.int64)[order]
+        dl = np.asarray(doc_lens, dtype=np.int64)[order]
     n = d.size
     u = d.astype(np.uint64) ^ np.uint64(1 << 63)  # order-preserving signed→unsigned
     stream = delta_encode(u)

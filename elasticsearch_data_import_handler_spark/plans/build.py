@@ -162,11 +162,17 @@ def _encode_stream_factory(n_buckets: int, with_tf: bool = False):
         def flush(tid: int, salt: int, d: np.ndarray, dl: np.ndarray,
                   tf: np.ndarray | None) -> None:
             if with_tf:
-                enc = encode_posting_list(d, tf, dl)
+                enc = encode_posting_list(d, tf, dl, assume_sorted=True)
             else:
-                uniq, first, counts = np.unique(d, return_index=True,
-                                                return_counts=True)
-                enc = encode_posting_list(uniq, counts, dl[first])
+                # d is sorted (shuffle sortWithinPartitions) → run-length via
+                # diff boundaries, not np.unique (which would re-sort: the
+                # encode stage's dominant memory-bandwidth cost)
+                brk = np.nonzero(d[1:] != d[:-1])[0] + 1
+                starts = np.concatenate(([0], brk))
+                uniq = d[starts]
+                counts = np.diff(np.concatenate((starts, [d.size])))
+                enc = encode_posting_list(uniq, counts, dl[starts],
+                                          assume_sorted=True)
             out.append({
                 "term_id": int(tid), "salt": int(salt),
                 "n_docs": enc["n_docs"],
@@ -480,12 +486,15 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
     # ONE job: write doc_stats while observing (n_docs, sum_dl) in-flight —
     # the Observation API collects scalar stats during the write action, so
     # corpus stats cost zero extra passes at any scale
+    timings: dict[str, float] = {}
+    t_phase = time.time()
     obs = Observation(f"docstats_b{batch_id}")
     (kept.select("doc_id", "url", "warc_ts", "doc_len")
      .observe(obs, F.count(F.lit(1)).alias("n_docs"),
               F.coalesce(F.sum("doc_len"), F.lit(0)).alias("sum_dl"))
      .write.mode("overwrite").parquet(f"{index_dir}/doc_stats/batch={batch_id}"))
     observed = obs.get
+    timings["doc_stats"] = round(time.time() - t_phase, 2)
     n_docs = int(observed["n_docs"])
     sum_dl_new = int(observed["sum_dl"])
     if n_docs == 0:
@@ -508,6 +517,7 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
             s_shards = _next_pow2(max(1, (n_docs + tau - 1) // tau))
 
     # tombstones: distributed write, counts observed in-flight (no toPandas)
+    t_phase = time.time()
     n_tombs, tomb_dl = 0, 0
     if tombs is not None:
         tombs = tombs.persist()
@@ -518,15 +528,21 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
         n_tombs = int(tobs.get["n"])
         tomb_dl = int(tobs.get["dl"])
 
+    timings["tombstones"] = round(time.time() - t_phase, 2)
+    t_phase = time.time()
     postings = build_postings(kept, s_shards, n_buckets)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/postings/batch={batch_id}")
+    timings["postings"] = round(time.time() - t_phase, 2)
+    t_phase = time.time()
     # row count from parquet footers (driver-side metadata, no Spark job)
     import pyarrow.dataset as _ds
     n_posting_rows = _ds.dataset(
         f"{index_dir}/postings/batch={batch_id}", format="parquet",
         partitioning="hive").count_rows()
+    timings["footer_count"] = round(time.time() - t_phase, 2)
 
+    t_phase = time.time()
     corr = None
     if n_tombs:
         corr = _df_corrections_df(spark, index_dir, committed, tombs, s_shards)
@@ -537,11 +553,14 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
             # lexicon job doesn't recompute the decode-explode plan
             corr = spark.read.parquet(f"{index_dir}/df_corrections/batch={batch_id}")
 
+    timings["df_corrections"] = round(time.time() - t_phase, 2)
+    t_phase = time.time()
     committed_now = committed + [batch_id]
     # corpus stats: overwrite-idempotent per-batch delta, committed-gated read
     _write_cstats_delta(index_dir, batch_id, n_docs - n_tombs,
                         sum_dl_new - tomb_dl)
     _write_lexicon_gen(spark, index_dir, batch_id, committed, corr)
+    timings["stats_lexicon"] = round(time.time() - t_phase, 2)
     kept.unpersist()
     if tombs is not None:
         tombs.unpersist()
@@ -562,7 +581,7 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
         _cleanup_stale_gens(index_dir, prev)
     return {"n_docs": n_docs, "n_posting_rows": n_posting_rows,
             "wall_ms": wall_ms, "s_shards": s_shards, "batch_id": batch_id,
-            "n_tombstones": n_tombs}
+            "n_tombstones": n_tombs, "timings": timings}
 
 
 def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
