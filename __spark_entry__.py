@@ -313,6 +313,23 @@ def q_except_all(spark, sf_dir):
     return ordered.exceptAll(rich)
 
 
+def q_scalar_funcs(spark, sf_dir):
+    """§2B scalar-function surface, oracle-gated: from_json (typed schema,
+    not get_json_object), array transform/aggregate HOFs, date parts."""
+    ev = _read(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k int")
+    arr = F.sequence(F.lit(1), (F.pmod(F.col("event_id"), 5) + 1).cast("int"))
+    sq_sum = F.aggregate(F.transform(arr, lambda x: x * x),
+                         F.lit(0), lambda acc, v: acc + v)
+    return ev.select(
+        "event_id",
+        parsed.getField("k").cast("long").alias("k"),
+        sq_sum.cast("long").alias("sq_sum"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM").alias("month"),
+        (F.dayofweek(F.col("ts").cast("timestamp")) - 1).cast("int").alias("dow"),
+    )
+
+
 def q_grouping_sets(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("__li_gs")
@@ -485,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all": q_union_all,
         "except_all": q_except_all,
         "grouping_sets": q_grouping_sets,
+        "scalar_funcs": q_scalar_funcs,
         "dedup_latest": q_dedup_latest,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -747,6 +765,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey AS custkey FROM orders "
             "EXCEPT ALL SELECT c_custkey AS custkey FROM customer "
             "WHERE c_acctbal > 5000"
+        ),
+        "scalar_funcs": (
+            "SELECT event_id, ((props::JSON)->>'k')::BIGINT AS k, "
+            "list_aggregate(list_transform(range(1, (event_id % 5) + 2), "
+            "x -> x*x), 'sum')::BIGINT AS sq_sum, "
+            "strftime(ts, '%Y-%m') AS month, "
+            "dayofweek(ts)::INT AS dow "
+            "FROM events"
         ),
         "grouping_sets": (
             "SELECT l_returnflag, l_linestatus, "
