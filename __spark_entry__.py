@@ -294,6 +294,28 @@ def q_ann_lsh(spark, sf_dir):
     return SIM.lsh_bucketed_topk(_read(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def q_minhash_verified(spark, sf_dir):
+    """The production near-dup pipeline: LSH candidates + exact Jaccard
+    verification of candidates only (SURVEY's web-scale composition)."""
+    docs = _read(spark, sf_dir, "documents")
+    return D.minhash_verified_pairs(docs, n=3, num_hashes=64, bands=16,
+                                    jaccard_threshold=0.3)
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Label-free embedding near-dup: SRP-LSH candidates + exact cosine —
+    the 100 TB path (no label column to bucket by)."""
+    return SIM.embedding_neardup_lsh(_read(spark, sf_dir, "embeddings"),
+                                     threshold=NEARDUP_COS)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: deterministic coarse quantizer, integer-exact cell
+    assignment, n_probe cells per query, exact cosine re-rank."""
+    return SIM.ivf_topk(_read(spark, sf_dir, "embeddings"), n_queries=5,
+                        k=10, n_probe=4)
+
+
 def q_union_all(spark, sf_dir):
     cu = _read(spark, sf_dir, "customer")
     od = _read(spark, sf_dir, "orders")
@@ -515,6 +537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "minhash_verified": q_minhash_verified,
         "tpch_pricing": q_tpch_pricing,
         "join_topn": q_join_topn,
         "window_running": q_window_running,
@@ -574,6 +599,36 @@ def oracle_sql() -> dict[str, str]:
             b=b, key="||','||".join(f"h{b * 4 + r}::VARCHAR" for r in range(4)))
         for b in range(16))
     mh_eq = " + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(64))
+    # shared MinHash CTE chain (3-gram shingles → KM seeds → 64 mins → bands
+    # → candidate pairs) used by both the estimate and the verified pipeline
+    mh_chain = (
+        "toks_by_doc AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
+        "sh AS (SELECT doc_id AS id, unnest(list_distinct(list_transform("
+        "range(1, greatest(len(toks) - 2, 0) + 1), "
+        "i -> array_to_string(toks[i:i+2], ' ')))) AS s FROM toks_by_doc), "
+        "hs AS (SELECT id, ('0x'||substr(md5(s),1,8))::BIGINT AS ha, "
+        "(('0x'||substr(md5(s),9,8))::BIGINT | 1) AS hb FROM sh), "
+        f"sig AS (SELECT id, {mh_mins} FROM hs GROUP BY id), "
+        f"banded AS ({mh_bands}), "
+        "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a "
+        "JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id)"
+    )
+    # shared SRP-LSH signature chain (md5-Rademacher planes over the
+    # quantized integer vector) used by ann_lsh and embedding_neardup_lsh
+    srp_chain = (
+        "planes AS (SELECT t, j, d, "
+        "((strpos('0123456789abcdef', substr(md5(t::VARCHAR||','||j::VARCHAR"
+        "||','||d::VARCHAR), 1, 1))-1) % 2)*2 - 1 AS s "
+        "FROM range(8) tt(t), range(4) jj(j), range(64) dd(d)), "
+        "ev AS (SELECT vec_id, unnest(embedding) AS v, "
+        "generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
+        "bits AS (SELECT vec_id, t, j, CASE WHEN "
+        "sum(floor(v::DOUBLE*1000)::BIGINT * s) > 0 THEN 1 ELSE 0 END AS bit "
+        "FROM ev JOIN planes USING (d) GROUP BY vec_id, t, j), "
+        "sigs AS (SELECT vec_id, t, sum(bit * (1::BIGINT << (3 - j)::INT)) AS sig "
+        "FROM bits GROUP BY vec_id, t)"
+    )
 
     # ---- SimHash (60-bit md5-derived fingerprint)
     sh_votes = ", ".join(
@@ -705,21 +760,22 @@ def oracle_sql() -> dict[str, str]:
             "AS frame_fingerprint FROM f"
         ),
         "minhash_lsh": (
-            "WITH toks_by_doc AS (SELECT doc_id, "
-            "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
-            "sh AS (SELECT doc_id AS id, unnest(list_distinct(list_transform("
-            "range(1, greatest(len(toks) - 2, 0) + 1), "
-            "i -> array_to_string(toks[i:i+2], ' ')))) AS s FROM toks_by_doc), "
-            "hs AS (SELECT id, ('0x'||substr(md5(s),1,8))::BIGINT AS ha, "
-            "(('0x'||substr(md5(s),9,8))::BIGINT | 1) AS hb FROM sh), "
-            f"sig AS (SELECT id, {mh_mins} FROM hs GROUP BY id), "
-            f"banded AS ({mh_bands}), "
-            "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a "
-            "JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id), "
+            f"WITH {mh_chain}, "
             f"est AS (SELECT id_a, id_b, ({mh_eq}) AS eq FROM cand "
             "JOIN sig sa ON sa.id = cand.id_a JOIN sig sb ON sb.id = cand.id_b) "
             "SELECT id_a, id_b, round(eq/64.0, 6) AS est_jaccard FROM est "
             "WHERE eq/64.0 >= 0.5"
+        ),
+        "minhash_verified": (
+            f"WITH {mh_chain}, "
+            "sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM sh GROUP BY id), "
+            "inter AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_inter "
+            "FROM cand c JOIN sh a ON a.id = c.id_a "
+            "JOIN sh b ON b.id = c.id_b AND b.s = a.s GROUP BY c.id_a, c.id_b) "
+            "SELECT id_a, id_b, round(j, 6) AS jaccard FROM ("
+            "SELECT id_a, id_b, n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) AS j "
+            "FROM inter JOIN sizes za ON za.id = id_a "
+            "JOIN sizes zb ON zb.id = id_b) WHERE j >= 0.3"
         ),
         "simhash_neardup": (
             f"WITH {_SQL_TOK}, {_SQL_TF}, "
@@ -732,18 +788,45 @@ def oracle_sql() -> dict[str, str]:
             "FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.sim, b.sim)) <= 3"
         ),
+        "embedding_neardup_lsh": (
+            f"WITH {srp_chain}, "
+            "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig "
+            "AND a.vec_id < b.vec_id) "
+            "SELECT id_a, id_b, round(cos, 4) AS cos FROM ("
+            "SELECT id_a, id_b, list_cosine_similarity(ea.embedding::DOUBLE[], "
+            "eb.embedding::DOUBLE[]) AS cos FROM cand "
+            "JOIN embeddings ea ON ea.vec_id = id_a "
+            "JOIN embeddings eb ON eb.vec_id = id_b) "
+            f"WHERE cos >= {NEARDUP_COS}"
+        ),
+        "ann_ivf": (
+            "WITH qz AS (SELECT vec_id, embedding, "
+            "list_transform(embedding, x -> floor(x::DOUBLE*1000)::BIGINT) AS q "
+            "FROM embeddings), "
+            "cents AS (SELECT vec_id AS cent_id, q AS qc FROM qz "
+            "WHERE vec_id >= 5 AND vec_id % 31 = 6), "
+            "assign AS (SELECT z.vec_id, z.embedding, c.cent_id, "
+            "list_sum(list_transform(range(1, 65), i -> z.q[i]*c.qc[i]))::DOUBLE "
+            "/ sqrt(list_sum(list_transform(c.qc, x -> x*x))::DOUBLE) AS csim "
+            "FROM qz z CROSS JOIN cents c), "
+            "rankedc AS (SELECT vec_id, embedding, cent_id, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS crank "
+            "FROM assign), "
+            "cand AS (SELECT vec_id, embedding, cent_id FROM rankedc "
+            "WHERE vec_id >= 5 AND crank = 1), "
+            "qry AS (SELECT vec_id AS query_id, embedding AS qe, cent_id "
+            "FROM rankedc WHERE vec_id < 5 AND crank <= 4), "
+            "sc AS (SELECT query_id, c.vec_id, list_cosine_similarity("
+            "qe::DOUBLE[], c.embedding::DOUBLE[]) AS cos "
+            "FROM qry JOIN cand c USING (cent_id)), "
+            "r2 AS (SELECT query_id, vec_id, cos, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM sc) "
+            "SELECT query_id, rank, vec_id, round(cos, 4) AS cos FROM r2 "
+            "WHERE rank <= 10"
+        ),
         "ann_lsh": (
-            "WITH planes AS (SELECT t, j, d, "
-            "((strpos('0123456789abcdef', substr(md5(t::VARCHAR||','||j::VARCHAR"
-            "||','||d::VARCHAR), 1, 1))-1) % 2)*2 - 1 AS s "
-            "FROM range(8) tt(t), range(4) jj(j), range(64) dd(d)), "
-            "ev AS (SELECT vec_id, unnest(embedding) AS v, "
-            "generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
-            "bits AS (SELECT vec_id, t, j, CASE WHEN "
-            "sum(floor(v::DOUBLE*1000)::BIGINT * s) > 0 THEN 1 ELSE 0 END AS bit "
-            "FROM ev JOIN planes USING (d) GROUP BY vec_id, t, j), "
-            "sigs AS (SELECT vec_id, t, sum(bit * (1::BIGINT << (3 - j)::INT)) AS sig "
-            "FROM bits GROUP BY vec_id, t), "
+            f"WITH {srp_chain}, "
             "cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS vec_id "
             "FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig "
             "WHERE a.vec_id < 5 AND b.vec_id >= 5), "

@@ -290,3 +290,59 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_verified_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3,
+                           num_hashes: int = 64, bands: int = 16,
+                           jaccard_threshold: float = 0.5) -> DataFrame:
+    """The production near-dup pipeline: MinHash-LSH candidate generation +
+    EXACT n-gram-Jaccard verification of only the candidates — the
+    composition SURVEY names for web scale (bucketed candidates bound the
+    pair explosion; exact verification removes LSH false positives).
+
+    → (id_a, id_b, jaccard) with jaccard ≥ threshold, jaccard computed on
+    the true distinct-shingle sets.  Only candidate pairs ever join their
+    shingle sets, so the verify stage is O(|candidates| × shingles/doc).
+    """
+    rows_per_band = num_hashes // bands
+    sh_occ = shingles_exploded(df, id_col, text_col, n=n)
+    sig = minhash_signatures(sh_occ, num_hashes)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string")),
+                        ",",
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    # exact verification on candidates only
+    sh = (shingles_exploded(df, id_col, text_col, n=n, distinct=True)
+          .select("id", F.xxhash64("shingle").alias("h")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("id").alias("id_a"), "h")
+    sb = sh.select(F.col("id").alias("id_b"), "h")
+    inter = (cand.join(sa, "id_a").join(sb, ["id_b", "h"])
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter")))
+    za = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(za, "id_a").join(zb, "id_b")
+            .withColumn("jaccard", F.col("n_inter")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b",
+                    F.round(F.col("jaccard").cast("double"), 6).alias("jaccard")))

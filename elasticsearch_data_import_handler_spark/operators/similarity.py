@@ -126,6 +126,38 @@ def rademacher_sign(tbl: int, plane: int, dim_idx: int) -> int:
     return (nib % 2) * 2 - 1
 
 
+def quantized_vec(vec_col: str = "embedding"):
+    """floor(x·1000) integer copy of a float vector — exact in any engine,
+    immune to float summation-order drift; the basis for every LSH/IVF
+    bucketing decision so bucket assignment is bit-reproducible in SQL."""
+    return F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * 1000).cast("long"))
+
+
+def srp_signatures(embeddings: DataFrame, n_planes: int = 4, n_tables: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, tbl, sig): multi-table sign-random-projection signatures on
+    deterministic md5-Rademacher planes over the quantized vector (exact
+    integer dots).  One exploded row per (vector, table)."""
+    dim = len(embeddings.select(vec_col).first()[0])  # schema probe: 1 row
+    tables = []
+    for tbl in range(n_tables):
+        sig = None
+        for j in range(n_planes):
+            plane = F.array(*[F.lit(rademacher_sign(tbl, j, d))
+                              for d in range(dim)])
+            dot = F.aggregate(
+                F.zip_with(F.col("__qv"), plane, lambda x, s: x * s),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)
+            bit = (dot > 0).cast("long")
+            sig = bit if sig is None else sig * 2 + bit
+        tables.append(F.struct(F.lit(tbl).alias("tbl"), sig.alias("sig")))
+    return embeddings.withColumn("__qv", quantized_vec(vec_col)).select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*tables)).alias("ts"),
+    ).select(id_col, vec_col, "ts.tbl", "ts.sig")
+
+
 def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                       n_planes: int = 4, n_tables: int = 8,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -140,26 +172,7 @@ def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     DuckDB oracle; the final cosine re-rank uses full float precision.  At
     100 TB the bucketed table is persisted partitioned by (table, sig) so a
     query prunes to L partitions."""
-    dim = len(embeddings.select(vec_col).first()[0])  # schema probe: 1 row
-    qvec_int = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * 1000).cast("long"))
-    tables = []
-    for tbl in range(n_tables):
-        sig = None
-        for j in range(n_planes):
-            plane = F.array(*[F.lit(rademacher_sign(tbl, j, d))
-                              for d in range(dim)])
-            dot = F.aggregate(
-                F.zip_with(F.col("__qv"), plane, lambda x, s: x * s),
-                F.lit(0).cast("long"), lambda acc, v: acc + v)
-            bit = (dot > 0).cast("long")
-            sig = bit if sig is None else sig * 2 + bit
-        tables.append(F.struct(F.lit(tbl).alias("tbl"), sig.alias("sig")))
-    e = embeddings.withColumn("__qv", qvec_int).select(
-        F.col(id_col), F.col(vec_col),
-        F.explode(F.array(*tables)).alias("ts"),
-    ).select(id_col, vec_col, "ts.tbl", "ts.sig")
+    e = srp_signatures(embeddings, n_planes, n_tables, id_col, vec_col)
     q = F.broadcast(
         e.filter(F.col(id_col) < n_queries).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
@@ -185,3 +198,80 @@ def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos"))
     )
+
+
+def embedding_neardup_lsh(embeddings: DataFrame, threshold: float = 0.35,
+                          n_planes: int = 4, n_tables: int = 8,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs WITHOUT a label column — the 100 TB path the
+    label-bucketed variant documents: SRP-LSH multi-table candidates
+    (same-bucket in ANY table), then exact cosine verification.  Candidate
+    count is Σ_bucket |bucket|² per table — controlled by n_planes; never
+    all-pairs.  → (id_a, id_b, cos) with cos ≥ threshold."""
+    e = srp_signatures(embeddings, n_planes, n_tables, id_col, vec_col)
+    a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                 "tbl", "sig")
+    b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                 "tbl", "sig")
+    cand = (a.join(b, ["tbl", "sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (cand.select("id_a", "id_b", cos.alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cos")))
+
+
+def ivf_centroids_filter(id_col: str = "vec_id"):
+    """Deterministic IVF 'training': the coarse quantizer's centroids are the
+    candidate vectors with id % 31 == 6 — a closed-form stand-in for k-means
+    (any engine can regenerate the set; a real deployment plugs trained
+    centroids in without touching the query plan)."""
+    return (F.col(id_col) % 31 == 6)
+
+
+def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+             n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: assign every candidate vector to its nearest
+    coarse centroid, probe the query's ``n_probe`` nearest cells, exact
+    cosine re-rank inside the probed cells.
+
+    Cell assignment uses integer-quantized dots with sqrt only on exact
+    integers (IEEE-deterministic in any engine) and centroid-id tie-breaks,
+    so the partition of the corpus into cells is bit-reproducible in the
+    DuckDB oracle.  At 100 TB the assigned table is persisted partitioned
+    by cell id: a query scans n_probe partitions (partition pruning), the
+    IVF analog of the LSH table layout."""
+    cents = F.broadcast(
+        embeddings.filter((F.col(id_col) >= n_queries) & ivf_centroids_filter(id_col))
+        .select(F.col(id_col).alias("cent_id"),
+                quantized_vec(vec_col).alias("qc")))
+    qall = embeddings.withColumn("__qv", quantized_vec(vec_col))
+    qdot = F.aggregate(F.zip_with(F.col("__qv"), F.col("qc"), lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+    qcnorm = F.sqrt(F.aggregate(F.col("qc"), F.lit(0).cast("long"),
+                                lambda acc, v: acc + v * v).cast("double"))
+    sim = (qdot.cast("double") / qcnorm).alias("csim")
+    scored_cells = qall.crossJoin(cents).select(
+        id_col, vec_col, "cent_id", sim)
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc("csim"), F.asc("cent_id"))
+    ranked_cells = scored_cells.withColumn("crank", F.row_number().over(w_assign))
+    # candidates: nearest cell only; queries: top n_probe cells
+    cand = (ranked_cells.filter((F.col(id_col) >= n_queries) & (F.col("crank") == 1))
+            .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
+                    "cent_id"))
+    qry = F.broadcast(
+        ranked_cells.filter((F.col(id_col) < n_queries) & (F.col("crank") <= n_probe))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+                "cent_id"))
+    scored = qry.join(cand, "cent_id").select(
+        "query_id", "vec_id",
+        (_dot(F.col("qvec"), F.col("cvec"))
+         / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos")))

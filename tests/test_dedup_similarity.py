@@ -89,3 +89,40 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     best = {r["query_id"]: r["cos"] for r in exact if r["rank"] == 1}
     for r in approx:
         assert r["cos"] <= best[r["query_id"]] + 1e-9
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with n_probe=4 of ~16 cells must recover most of the exact top-10
+    (same bar as the LSH variant) and never return a non-candidate id."""
+    from elasticsearch_data_import_handler_spark.operators.similarity import (
+        ivf_topk)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, n_queries=5, k=10).collect()
+    approx = ivf_topk(emb, n_queries=5, k=10, n_probe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        assert r["vec_id"] >= 5
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+               for q in exact_sets]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_minhash_verified_subset_of_exact(spark, sf_dir):
+    """Verified pairs must be exactly the LSH-candidate ∩ true-Jaccard≥t set:
+    every returned pair's jaccard is ≥ t and matches the exact operator."""
+    from elasticsearch_data_import_handler_spark.operators.dedup import (
+        minhash_verified_pairs, ngram_jaccard_pairs)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    ver = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           minhash_verified_pairs(docs, n=3, jaccard_threshold=0.3).collect()}
+    # exact jaccard over ALL pairs (single bucket) at the same n
+    allp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+            ngram_jaccard_pairs(docs.withColumn("one", F.lit(1)), ["one"],
+                                n=3, threshold=0.3).collect()}
+    for pair, j in ver.items():
+        assert pair in allp and abs(allp[pair] - j) < 1e-6  # op rounds to 6dp
