@@ -316,6 +316,61 @@ def q_ann_ivf(spark, sf_dir):
                         k=10, n_probe=4)
 
 
+def q_range_join(spark, sf_dir):
+    """Bucketed interval join (operator Spark SQL lacks): per purchase, the
+    same user's view events within the following hour — equi-join on time
+    buckets + exact filter, never a nested-loop cross product."""
+    from elasticsearch_data_import_handler_spark.operators.rangejoin import (
+        interval_join)
+
+    ev = _read(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", epoch.alias("t"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), epoch.alias("t"))
+    pairs = interval_join(purch, views.withColumnRenamed("v_user", "user_id"),
+                          on="t", lower=0, upper=3600, by="user_id")
+    return (pairs.groupBy("user_id", "event_id")
+            .agg(F.count(F.lit(1)).alias("n_views_1h")))
+
+
+def q_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS (TPC-H Q4 shape)."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("__ord")
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("__li")
+    return spark.sql(
+        "SELECT o_orderpriority, count(*) AS n FROM __ord "
+        "WHERE EXISTS (SELECT 1 FROM __li WHERE l_orderkey = o_orderkey "
+        "AND l_discount >= 0.09) GROUP BY o_orderpriority")
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (percentile_cont parity)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4)
+                 .alias("price_p99")))
+
+
+def q_semi_anti_join(spark, sf_dir):
+    """Left-semi + left-anti in one result: customers per segment split by
+    whether they have any order."""
+    cu = _read(spark, sf_dir, "customer")
+    od = _read(spark, sf_dir, "orders").select("o_custkey").distinct()
+    with_o = (cu.join(od, cu.c_custkey == od.o_custkey, "left_semi")
+              .groupBy("c_mktsegment")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .withColumn("has_orders", F.lit(1)))
+    without_o = (cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+                 .groupBy("c_mktsegment")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .withColumn("has_orders", F.lit(0)))
+    return with_o.unionByName(without_o)
+
+
 def q_union_all(spark, sf_dir):
     cu = _read(spark, sf_dir, "customer")
     od = _read(spark, sf_dir, "orders")
@@ -525,6 +580,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_all": q_except_all,
         "grouping_sets": q_grouping_sets,
         "scalar_funcs": q_scalar_funcs,
+        "range_join": q_range_join,
+        "exists_subquery": q_exists_subquery,
+        "quantiles": q_quantiles,
+        "semi_anti_join": q_semi_anti_join,
         "dedup_latest": q_dedup_latest,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -838,6 +897,37 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) "
             "SELECT query_id, rank, vec_id, round(cos, 4) AS cos FROM ranked "
             "WHERE rank <= 10"
+        ),
+        "range_join": (
+            "WITH p AS (SELECT user_id, event_id, epoch(ts)::BIGINT AS t "
+            "FROM events WHERE event_type = 'purchase'), "
+            "v AS (SELECT user_id, epoch(ts)::BIGINT AS t FROM events "
+            "WHERE event_type = 'view') "
+            "SELECT p.user_id, p.event_id, count(*)::BIGINT AS n_views_1h "
+            "FROM p JOIN v ON p.user_id = v.user_id "
+            "AND v.t >= p.t AND v.t <= p.t + 3600 "
+            "GROUP BY p.user_id, p.event_id"
+        ),
+        "exists_subquery": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS n FROM orders "
+            "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            "AND l_discount >= 0.09) GROUP BY o_orderpriority"
+        ),
+        "quantiles": (
+            "SELECT l_returnflag, "
+            "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50, "
+            "round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) AS p90, "
+            "round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) "
+            "AS price_p99 FROM lineitem GROUP BY l_returnflag"
+        ),
+        "semi_anti_join": (
+            "SELECT c_mktsegment, count(*)::BIGINT AS n, 1 AS has_orders "
+            "FROM customer WHERE EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey) GROUP BY c_mktsegment "
+            "UNION ALL "
+            "SELECT c_mktsegment, count(*)::BIGINT AS n, 0 AS has_orders "
+            "FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey) GROUP BY c_mktsegment"
         ),
         "union_all": (
             "SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000 "

@@ -129,3 +129,27 @@ def test_wand_cogrouped_tombstones_no_driver_collect(spark, tmp_path):
     df = bm25_topk_wand(spark, reader)
     plan = _plan(df)
     assert "FlatMapCoGroupsInPandas" in plan, plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed range join must plan as a hash equi-join on the bucket
+    key — a naive range predicate would be BroadcastNestedLoopJoin."""
+    from elasticsearch_data_import_handler_spark.operators.rangejoin import (
+        interval_join)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    p = ev.filter("event_type = 'purchase'").select(
+        "user_id", "event_id", epoch.alias("t"))
+    v = ev.filter("event_type = 'view'").select(
+        F.col("user_id").alias("user_id"), epoch.alias("t"))
+    out = interval_join(p, v, on="t", lower=0, upper=3600, by="user_id")
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan  # an actual (hash/sort-merge) equi join
+    # exact-range semantics vs a driver-side pandas check
+    import pandas as pd
+    pp, vv = p.toPandas(), v.toPandas()
+    m = pp.merge(vv, on="user_id", suffixes=("", "_r"))
+    exp = m[(m["t_r"] >= m["t"]) & (m["t_r"] <= m["t"] + 3600)]
+    assert out.count() == len(exp)
