@@ -304,9 +304,12 @@ def q_minhash_verified(spark, sf_dir):
 
 def q_embedding_neardup_lsh(spark, sf_dir):
     """Label-free embedding near-dup: SRP-LSH candidates + exact cosine —
-    the 100 TB path (no label column to bucket by)."""
+    the 100 TB path (no label column to bucket by).  8 planes: candidate
+    density falls 16× vs the 4-plane ANN setting (near-dup pairs are highly
+    similar, so thin buckets keep recall while bounding Σ|bucket|²)."""
     return SIM.embedding_neardup_lsh(_read(spark, sf_dir, "embeddings"),
-                                     threshold=NEARDUP_COS)
+                                     threshold=NEARDUP_COS, n_planes=8,
+                                     n_tables=8)
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -674,20 +677,27 @@ def oracle_sql() -> dict[str, str]:
         "JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id)"
     )
     # shared SRP-LSH signature chain (md5-Rademacher planes over the
-    # quantized integer vector) used by ann_lsh and embedding_neardup_lsh
-    srp_chain = (
-        "planes AS (SELECT t, j, d, "
-        "((strpos('0123456789abcdef', substr(md5(t::VARCHAR||','||j::VARCHAR"
-        "||','||d::VARCHAR), 1, 1))-1) % 2)*2 - 1 AS s "
-        "FROM range(8) tt(t), range(4) jj(j), range(64) dd(d)), "
-        "ev AS (SELECT vec_id, unnest(embedding) AS v, "
-        "generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
-        "bits AS (SELECT vec_id, t, j, CASE WHEN "
-        "sum(floor(v::DOUBLE*1000)::BIGINT * s) > 0 THEN 1 ELSE 0 END AS bit "
-        "FROM ev JOIN planes USING (d) GROUP BY vec_id, t, j), "
-        "sigs AS (SELECT vec_id, t, sum(bit * (1::BIGINT << (3 - j)::INT)) AS sig "
-        "FROM bits GROUP BY vec_id, t)"
-    )
+    # quantized integer vector); parameterized — ann_lsh recalls with few
+    # planes (fat buckets), near-dup verification wants many (thin buckets)
+    def _srp_chain(n_tables, n_planes):
+        return (
+            "planes AS (SELECT t, j, d, "
+            "((strpos('0123456789abcdef', substr(md5(t::VARCHAR||','||j::VARCHAR"
+            "||','||d::VARCHAR), 1, 1))-1) % 2)*2 - 1 AS s "
+            f"FROM range({n_tables}) tt(t), range({n_planes}) jj(j), "
+            "range(64) dd(d)), "
+            "ev AS (SELECT vec_id, unnest(embedding) AS v, "
+            "generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
+            "bits AS (SELECT vec_id, t, j, CASE WHEN "
+            "sum(floor(v::DOUBLE*1000)::BIGINT * s) > 0 THEN 1 ELSE 0 END AS bit "
+            "FROM ev JOIN planes USING (d) GROUP BY vec_id, t, j), "
+            "sigs AS (SELECT vec_id, t, "
+            f"sum(bit * (1::BIGINT << ({n_planes - 1} - j)::INT)) AS sig "
+            "FROM bits GROUP BY vec_id, t)"
+        )
+
+    srp_chain = _srp_chain(8, 4)
+    srp_chain_dense = _srp_chain(8, 8)
 
     # ---- SimHash (60-bit md5-derived fingerprint)
     sh_votes = ", ".join(
@@ -848,7 +858,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(a.sim, b.sim)) <= 3"
         ),
         "embedding_neardup_lsh": (
-            f"WITH {srp_chain}, "
+            f"WITH {srp_chain_dense}, "
             "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig "
             "AND a.vec_id < b.vec_id) "

@@ -181,7 +181,9 @@ def _bench_sf_queries(cpus: int, sf_dir: str) -> dict:
 
     names = ["bm25_topk", "term_freqs", "minhash_lsh", "simhash_neardup",
              "ngram_jaccard", "ann_topk", "dedup_exact", "quality_score",
-             "tpch_pricing", "join_topn", "window_running", "sessionize"]
+             "tpch_pricing", "join_topn", "window_running", "sessionize",
+             "minhash_verified", "ann_ivf", "embedding_neardup_lsh",
+             "range_join", "asof_join"]
     spark = get_spark(f"bench-sf-c{cpus}", cpus=cpus)
     qs = entrymod.queries()
     out = {}

@@ -206,6 +206,7 @@ def run_statement(spark: SparkSession, cfg: PipelineConfig, stmt: Statement) -> 
                 spark, df, stmt.target_index, batch_id=batch_id,
                 tau=int(settings.get("tau", 100_000)),
                 n_buckets=int(settings.get("nBuckets", 8)),
+                analyzer=settings.get("analyzer"),  # A8 settings surface
             )
             rows = m.get("n_docs", 0)
         elif stmt.target_table:

@@ -136,26 +136,41 @@ def quantized_vec(vec_col: str = "embedding"):
 
 def srp_signatures(embeddings: DataFrame, n_planes: int = 4, n_tables: int = 8,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(id, vec, tbl, sig): multi-table sign-random-projection signatures on
-    deterministic md5-Rademacher planes over the quantized vector (exact
-    integer dots).  One exploded row per (vector, table)."""
+    """(id, tbl, sig): multi-table sign-random-projection signatures on
+    deterministic md5-Rademacher planes over the quantized vector.
+
+    One Arrow-batched numpy kernel: ALL n_tables·n_planes sign bits per
+    vector come from a single int64 matmul ``V @ P.T`` (interpreted HOF
+    plane-dots cost 64 lambda evaluations per element — measured as the
+    dominant stage).  Integer arithmetic keeps bucket assignment
+    bit-reproducible in the SQL oracle regardless of summation order."""
+    import numpy as np
+    import pandas as pd
+
     dim = len(embeddings.select(vec_col).first()[0])  # schema probe: 1 row
-    tables = []
-    for tbl in range(n_tables):
-        sig = None
-        for j in range(n_planes):
-            plane = F.array(*[F.lit(rademacher_sign(tbl, j, d))
-                              for d in range(dim)])
-            dot = F.aggregate(
-                F.zip_with(F.col("__qv"), plane, lambda x, s: x * s),
-                F.lit(0).cast("long"), lambda acc, v: acc + v)
-            bit = (dot > 0).cast("long")
-            sig = bit if sig is None else sig * 2 + bit
-        tables.append(F.struct(F.lit(tbl).alias("tbl"), sig.alias("sig")))
-    return embeddings.withColumn("__qv", quantized_vec(vec_col)).select(
-        F.col(id_col), F.col(vec_col),
-        F.explode(F.array(*tables)).alias("ts"),
-    ).select(id_col, vec_col, "ts.tbl", "ts.sig")
+    P = np.array([[rademacher_sign(t, j, d) for d in range(dim)]
+                  for t in range(n_tables) for j in range(n_planes)],
+                 dtype=np.int64)
+    weights = np.array([1 << (n_planes - 1 - j) for j in range(n_planes)],
+                       dtype=np.int64)
+    tbls = np.arange(n_tables, dtype=np.int32)
+
+    def _sigs(it):
+        for pdf in it:
+            V = np.floor(np.array(pdf["__vec"].tolist(),
+                                  dtype=np.float64) * 1000.0).astype(np.int64)
+            bits = (V @ P.T > 0).astype(np.int64)          # n × (T·J)
+            sig = bits.reshape(len(pdf), n_tables, n_planes) @ weights  # n × T
+            yield pd.DataFrame({
+                "id": np.repeat(pdf["__id"].to_numpy(np.int64), n_tables),
+                "tbl": np.tile(tbls, len(pdf)),
+                "sig": sig.ravel(),
+            })
+
+    return embeddings.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(_sigs, schema="id long, tbl int, sig long") \
+        .withColumnRenamed("id", id_col)
 
 
 def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
@@ -175,22 +190,21 @@ def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     e = srp_signatures(embeddings, n_planes, n_tables, id_col, vec_col)
     q = F.broadcast(
         e.filter(F.col(id_col) < n_queries).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-            "tbl", "sig",
-        )
-    )
+            F.col(id_col).alias("query_id"), "tbl", "sig"))
     c = e.filter(F.col(id_col) >= n_queries).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"), "tbl", "sig"
-    )
-    scored = (
-        q.join(c, ["tbl", "sig"])
-        .select("query_id", "vec_id", "qvec", "cvec")
-        .dropDuplicates(["query_id", "vec_id"])
-        .select(
-            "query_id", "vec_id",
-            (_dot(F.col("qvec"), F.col("cvec"))
-             / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias("cos"),
-        )
+        F.col(id_col).alias("vec_id"), "tbl", "sig")
+    # candidates travel id-only; vectors join back once per surviving pair
+    cand = (q.join(c, ["tbl", "sig"])
+            .select("query_id", "vec_id")
+            .dropDuplicates(["query_id", "vec_id"]))
+    qe = F.broadcast(embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")))
+    ce = embeddings.select(F.col(id_col).alias("vec_id"),
+                           F.col(vec_col).alias("cvec"))
+    scored = cand.join(qe, "query_id").join(ce, "vec_id").select(
+        "query_id", "vec_id",
+        (_dot(F.col("qvec"), F.col("cvec"))
+         / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -209,17 +223,37 @@ def embedding_neardup_lsh(embeddings: DataFrame, threshold: float = 0.35,
     (same-bucket in ANY table), then exact cosine verification.  Candidate
     count is Σ_bucket |bucket|² per table — controlled by n_planes; never
     all-pairs.  → (id_a, id_b, cos) with cos ≥ threshold."""
-    e = srp_signatures(embeddings, n_planes, n_tables, id_col, vec_col)
-    a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                 "tbl", "sig")
-    b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                 "tbl", "sig")
+    import numpy as np
+    import pandas as pd
+
+    # candidate generation on (id, tbl, sig) ONLY — vectors must not travel
+    # through the bucket self-join + distinct (they'd be shuffled per
+    # candidate pair); they are joined back once per surviving pair
+    sigs = srp_signatures(embeddings, n_planes, n_tables, id_col, vec_col)
+    a = sigs.select(F.col(id_col).alias("id_a"), "tbl", "sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), "tbl", "sig")
     cand = (a.join(b, ["tbl", "sig"])
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (cand.select("id_a", "id_b", cos.alias("cos"))
-            .filter(F.col("cos") >= threshold)
+    ea = embeddings.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("va"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("vb"))
+    pairs = cand.join(ea, "id_a").join(eb, "id_b")
+
+    def _verify(it):
+        # row-wise cosine as ONE einsum per Arrow batch (the HOF fold is
+        # interpreted per element: 64 ops × millions of pairs)
+        for pdf in it:
+            A = np.array(pdf["va"].tolist(), dtype=np.float64)
+            B = np.array(pdf["vb"].tolist(), dtype=np.float64)
+            cos = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+            out = pd.DataFrame({
+                "id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos": cos})
+            yield out[out["cos"] >= threshold]
+
+    return (pairs.mapInPandas(_verify, schema="id_a long, id_b long, cos double")
             .select("id_a", "id_b", F.round("cos", 4).alias("cos")))
 
 
