@@ -374,6 +374,30 @@ def q_semi_anti_join(spark, sf_dir):
     return with_o.unionByName(without_o)
 
 
+def q_intersect_all(spark, sf_dir):
+    cu = _read(spark, sf_dir, "customer")
+    od = _read(spark, sf_dir, "orders")
+    ordered = od.select(F.col("o_custkey").alias("custkey"))  # with multiplicity
+    rich = cu.filter(F.col("c_acctbal") > 1000).select(
+        F.col("c_custkey").alias("custkey"))
+    return ordered.intersectAll(rich)
+
+
+def q_window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based, not row-based): per customer, total order
+    value within the 30 days ENDING at each order's date."""
+    from pyspark.sql import Window
+
+    od = _read(spark, sf_dir, "orders").withColumn(
+        "day", (F.col("o_orderdate").cast("timestamp").cast("long")
+                / 86400).cast("long"))
+    w = (Window.partitionBy("o_custkey").orderBy("day")
+         .rangeBetween(-30, 0))
+    return od.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("total_30d"))
+
+
 def q_union_all(spark, sf_dir):
     cu = _read(spark, sf_dir, "customer")
     od = _read(spark, sf_dir, "orders")
@@ -584,6 +608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "scalar_funcs": q_scalar_funcs,
         "range_join": q_range_join,
+        "intersect_all": q_intersect_all,
+        "window_range_frame": q_window_range_frame,
         "exists_subquery": q_exists_subquery,
         "quantiles": q_quantiles,
         "semi_anti_join": q_semi_anti_join,
@@ -917,6 +943,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM p JOIN v ON p.user_id = v.user_id "
             "AND v.t >= p.t AND v.t <= p.t + 3600 "
             "GROUP BY p.user_id, p.event_id"
+        ),
+        "intersect_all": (
+            "SELECT o_custkey AS custkey FROM orders "
+            "INTERSECT ALL SELECT c_custkey AS custkey FROM customer "
+            "WHERE c_acctbal > 1000"
+        ),
+        "window_range_frame": (
+            "WITH d AS (SELECT o_custkey, o_orderkey, o_totalprice, "
+            "(epoch(o_orderdate)::BIGINT // 86400) AS day FROM orders) "
+            "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER ("
+            "PARTITION BY o_custkey ORDER BY day "
+            "RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS total_30d "
+            "FROM d"
         ),
         "exists_subquery": (
             "SELECT o_orderpriority, count(*)::BIGINT AS n FROM orders "

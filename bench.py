@@ -188,6 +188,10 @@ def _bench_sf_queries(cpus: int, sf_dir: str) -> dict:
     qs = entrymod.queries()
     out = {}
     try:
+        # spin up the reused Python-UDF worker pool once so the first
+        # pandas-kernel query isn't charged ~10 s of process startup
+        spark.range(cpus * 4).repartition(cpus).mapInPandas(
+            lambda it: it, schema="id long").count()
         for name in names:
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()

@@ -32,14 +32,22 @@ QUERIES: list[tuple[int, str, int]] = [
 ]
 
 
-def query_terms(text: str) -> list[str]:
+def query_terms(text: str, analyzer: dict | None = None) -> list[str]:
     """Tokenize a query and de-duplicate terms preserving first-seen order.
 
     BM25 here treats the query as a term *set* (repeated query terms score
-    once) — both the engine and every oracle share this rule.
+    once) — both the engine and every oracle share this rule.  Pass the
+    index's persisted ``analyzer`` (A8) so query analysis matches indexing
+    (e.g. stopwords configured away at build time never reach the scorer).
     """
+    if analyzer:
+        from .functions.textanalysis import py_tokenize
+
+        toks = py_tokenize(text, analyzer)
+    else:
+        toks = tokenize(text)
     seen: dict[str, None] = {}
-    for t in tokenize(text):
+    for t in toks:
         seen.setdefault(t, None)
     return list(seen)
 

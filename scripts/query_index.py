@@ -27,20 +27,20 @@ def main() -> int:
     from elasticsearch_data_import_handler_spark.session import get_spark
 
     spark = get_spark("eidh-query")
+    reader = IndexReader(spark, args.index)
+    analyzer = reader.state.analyzer or None  # A8: match index-time analysis
     rows = []
     if args.query:
-        for t in query_terms(args.query):
+        for t in query_terms(args.query, analyzer):
             rows.append((0, t, args.k))
     elif args.queries_file:
         with open(args.queries_file) as f:
             for line in f:
                 qid, text, k = line.rstrip("\n").split("\t")
-                for t in query_terms(text):
+                for t in query_terms(text, analyzer):
                     rows.append((int(qid), t, int(k)))
     else:
         ap.error("need --query or --queries-file")
-
-    reader = IndexReader(spark, args.index)
     out = bm25_topk_wand(spark, reader, qterms=query_terms_df(spark, rows))
     ds = reader.doc_stats().select("doc_id", "url")
     for r in out.join(ds, "doc_id").orderBy("query_id", "rank") \

@@ -52,3 +52,18 @@ def test_extraction_byte_identity_through_arrow(spark):
         oracle = extract_text(bytes(r["html"]))
         assert r["recomputed"].encode() == oracle.encode(), r["url"]
         assert r["text"].encode() == oracle.encode(), r["url"]
+
+
+def test_query_analyzer_matches_index_analyzer():
+    """A8: query-side tokenization honors the index's persisted analyzer."""
+    from elasticsearch_data_import_handler_spark.functions.textanalysis import (
+        py_tokenize, resolve_analyzer)
+    from elasticsearch_data_import_handler_spark.queryset import query_terms
+
+    an = {"stopwords": ["the", "of"], "token_pattern": "[a-z]+"}
+    assert py_tokenize("The King of Spain 99", an) == ["king", "spain"]
+    assert query_terms("the king of spain the", an) == ["king", "spain"]
+    assert query_terms("the king of spain") == ["the", "king", "of", "spain"]
+    import pytest
+    with pytest.raises(ValueError, match="unknown analyzer"):
+        resolve_analyzer({"bogus": 1})
