@@ -275,6 +275,14 @@ def q_fingerprint(spark, sf_dir):
     return TQ.fingerprint(_read(spark, sf_dir, "documents")).select("doc_id", "md5")
 
 
+def q_repetition_metrics(spark, sf_dir):
+    return TQ.repetition_metrics(_read(spark, sf_dir, "documents"), n=2)
+
+
+def q_unigram_loglik(spark, sf_dir):
+    return TQ.unigram_loglik(_read(spark, sf_dir, "documents"))
+
+
 # -------------------------------------------------------------- similarity
 
 def q_ann_topk(spark, sf_dir):
@@ -622,6 +630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "repetition_metrics": q_repetition_metrics,
+        "unigram_loglik": q_unigram_loglik,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
@@ -834,6 +844,26 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, {lang_pred} AS pred_lang FROM c"
         ),
         "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "repetition_metrics": (
+            "WITH toks_by_doc AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_transform("
+            "range(1, greatest(len(toks) - 1, 0) + 1), "
+            "i -> array_to_string(toks[i:i+1], ' '))) AS g FROM toks_by_doc) "
+            "SELECT doc_id, count(*)::BIGINT AS n_grams, "
+            "round(count(DISTINCT g) * 1.0 / count(*), 6) AS distinct_ratio, "
+            "round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6) AS repetition "
+            "FROM sh GROUP BY doc_id"
+        ),
+        "unigram_loglik": (
+            f"WITH {_SQL_TOK}, "
+            "c AS (SELECT term, count(*)::BIGINT AS ctf FROM tok GROUP BY term), "
+            "t AS (SELECT sum(ctf)::BIGINT AS total FROM c), "
+            "lm AS (SELECT term, ln(ctf * 1.0 / total) AS loglik FROM c CROSS JOIN t) "
+            "SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+            "round(avg(loglik), 6) AS mean_loglik "
+            "FROM tok JOIN lm USING (term) GROUP BY doc_id"
+        ),
         "extract_text": "SELECT doc_id, text AS extracted FROM documents",
         "multimodal_features": (
             "WITH m AS (SELECT i::BIGINT AS media_id, "

@@ -91,3 +91,43 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         F.md5(F.col("text")).alias("md5"),
         F.xxhash64(F.col("text")).alias("xxh64"),
     )
+
+
+def repetition_metrics(documents: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, n_grams, distinct_ratio, repetition) — the standard
+    repeated-n-gram quality filter (docs dominated by boilerplate/repeats
+    have low distinct-2-gram ratios).  Built from the exploded-shingle form
+    (codegen windows, no interpreted HOFs): one shuffle by doc."""
+    from .dedup import shingles_exploded
+
+    sh = shingles_exploded(documents, "doc_id", "text", n=n)
+    return (sh.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.countDistinct("shingle").alias("n_distinct"))
+            .select(F.col("id").alias("doc_id"),
+                    F.col("n_grams").cast("long").alias("n_grams"),
+                    F.round(F.col("n_distinct") / F.col("n_grams"), 6)
+                    .alias("distinct_ratio"),
+                    F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), 6)
+                    .alias("repetition")))
+
+
+def unigram_loglik(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, mean_loglik) — CCNet-style unigram language-model
+    score: mean over token occurrences of ln p(term), p(term) = corpus tf /
+    corpus total tokens.  Low scores flag gibberish / rare-token spam; high
+    scores flag stopword soup — the standard band-pass quality filter.
+
+    Two shuffles total (corpus tf agg + per-doc agg); the corpus unigram
+    table is broadcast (vocab is metadata-sized even at web scale)."""
+    tok = documents.select("doc_id", F.explode(_tokens()).alias("term"))
+    corpus = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    total = corpus.agg(F.sum("ctf").alias("total"))
+    lm = F.broadcast(corpus.crossJoin(F.broadcast(total)).select(
+        "term", F.log(F.col("ctf") / F.col("total")).alias("loglik")))
+    return (tok.join(lm, "term")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.avg("loglik").alias("m"))
+            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.round("m", 6).alias("mean_loglik")))
