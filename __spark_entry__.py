@@ -275,6 +275,27 @@ def q_fingerprint(spark, sf_dir):
     return TQ.fingerprint(_read(spark, sf_dir, "documents")).select("doc_id", "md5")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Training-prep: fixed-size token windows with overlap per document."""
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        chunk_documents)
+
+    return chunk_documents(_read(spark, sf_dir, "documents"),
+                           chunk_size=64, overlap=16)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Training-prep: deterministic md5-keyed per-language sampling — the
+    oracle reproduces the exact subset (auditable ablation splits)."""
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        stratified_sample)
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(docs, {"en": 0.5, "de": 1.0, "fr": 0.25},
+                            stratum_col="lang", default_rate=0.1)
+    return out.select("doc_id", "lang", "source")
+
+
 def q_repetition_metrics(spark, sf_dir):
     return TQ.repetition_metrics(_read(spark, sf_dir, "documents"), n=2)
 
@@ -632,6 +653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition_metrics": q_repetition_metrics,
         "unigram_loglik": q_unigram_loglik,
+        "chunk_documents": q_chunk_documents,
+        "stratified_sample": q_stratified_sample,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
@@ -854,6 +877,25 @@ def oracle_sql() -> dict[str, str]:
             "round(count(DISTINCT g) * 1.0 / count(*), 6) AS distinct_ratio, "
             "round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6) AS repetition "
             "FROM sh GROUP BY doc_id"
+        ),
+        "chunk_documents": (
+            "WITH d AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
+            "f AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 1), "
+            "st AS (SELECT doc_id, toks, range(1, len(toks) + 1, 48) AS rs FROM f), "
+            "ch AS (SELECT doc_id, unnest(rs) AS s, "
+            "generate_subscripts(rs, 1) - 1 AS chunk_id, toks FROM st), "
+            "cc AS (SELECT doc_id, chunk_id::BIGINT AS chunk_id, "
+            "toks[s:s+63] AS ctoks FROM ch) "
+            "SELECT doc_id, chunk_id, len(ctoks)::BIGINT AS n_tokens, "
+            "array_to_string(ctoks, ' ') AS chunk_text FROM cc "
+            "WHERE len(ctoks) >= 1"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE (('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000) < "
+            "((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 "
+            "WHEN 'fr' THEN 0.25 ELSE 0.1 END) * 10000)::BIGINT"
         ),
         "unigram_loglik": (
             f"WITH {_SQL_TOK}, "

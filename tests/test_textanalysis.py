@@ -67,3 +67,52 @@ def test_query_analyzer_matches_index_analyzer():
     import pytest
     with pytest.raises(ValueError, match="unknown analyzer"):
         resolve_analyzer({"bogus": 1})
+
+
+def test_chunk_documents_invariants(spark):
+    """Window coverage: every token index appears in ≥1 chunk; consecutive
+    chunks overlap by exactly `overlap` (except a short tail); n_tokens
+    matches the emitted text."""
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        chunk_documents)
+
+    text = " ".join(f"w{i:03d}" for i in range(150))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               "doc_id long, text string")
+    rows = sorted(chunk_documents(df, chunk_size=64, overlap=16).collect(),
+                  key=lambda r: (r["doc_id"], r["chunk_id"]))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc                      # empty doc yields nothing
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 2
+    chunks = [r["chunk_text"].split() for r in by_doc[1]]
+    # starts every 48 tokens; full coverage, exact overlap
+    flat = set()
+    for c in chunks:
+        flat.update(c)
+    assert len(flat) == 150
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[48:] == b[:len(a) - 48]        # 16-token overlap (or tail)
+    for r in rows:
+        assert r["n_tokens"] == len(r["chunk_text"].split())
+
+
+def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        stratified_sample)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 0.5, "zh": 0.0}
+    s1 = {r["doc_id"] for r in
+          stratified_sample(docs, rates, default_rate=1.0).collect()}
+    s2 = {r["doc_id"] for r in
+          stratified_sample(docs, rates, default_rate=1.0).collect()}
+    assert s1 == s2                              # reproducible membership
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    assert not any(langs[d] == "zh" for d in s1)  # rate 0 strata excluded
+    n_en_all = sum(1 for v in langs.values() if v == "en")
+    n_en_kept = sum(1 for d in s1 if langs[d] == "en")
+    assert 0.3 * n_en_all < n_en_kept < 0.7 * n_en_all  # ~50% of en
+    n_other = sum(1 for v in langs.values() if v not in ("en", "zh"))
+    assert sum(1 for d in s1 if langs[d] not in ("en", "zh")) == n_other
