@@ -24,7 +24,7 @@ from elasticsearch_data_import_handler_spark.operators import (
     similarity as SIM,
     textquality as TQ,
 )
-from elasticsearch_data_import_handler_spark.queryset import QUERIES, query_term_rows
+from elasticsearch_data_import_handler_spark.queryset import query_term_rows
 
 SALT_TAU = 256
 JACCARD_N = 2

@@ -54,31 +54,15 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles_col(text_col: str = "text", n: int = 3):
-    """Word n-gram shingle array (distinct), built JVM-side from the token
-    array: slide a window over tokens with transform + slice.
-
-    NOTE: higher-order functions are *interpreted* per element in Spark —
-    measured 14× slower than :func:`shingles_exploded` (the hot-path form)
-    at 260k shingles.  Kept for callers that need the array shape."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
-
-
 def shingles_exploded(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       extra_cols: list[str] | None = None,
                       distinct: bool = False) -> DataFrame:
     """(extra..., id, shingle) — one row per word n-gram occurrence, built
     with posexplode + ``n-1`` lead() windows: everything stays inside
-    whole-stage codegen (no interpreted HOF lambdas — 14× faster than the
-    transform/slice form on this suite).  The one shuffle (window by id) is
+    whole-stage codegen.  (A per-row transform/slice higher-order-function
+    variant measured 14× slower — HOF lambdas are interpreted per element.)
+    The one shuffle (window by id) is
     the same key the downstream signature/intersection aggregations need.
     ``distinct=True`` dedupes shingles per id (set semantics for Jaccard;
     MinHash skips it — duplicates can't bias a min)."""
