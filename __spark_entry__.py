@@ -210,6 +210,8 @@ def q_sessionize_stateful(spark, sf_dir):
          .writeStream.format("memory").queryName(name)
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination(180)
+    shutil = __import__("shutil")
+    shutil.rmtree(src, ignore_errors=True)  # memory sink holds the rows now
     emitted = spark.table(name)
     final = emitted.groupBy("user_id", "session_start").agg(
         F2.max(F2.struct("session_end", "n_events")).alias("v"))
