@@ -277,6 +277,32 @@ def q_fingerprint(spark, sf_dir):
     return TQ.fingerprint(_read(spark, sf_dir, "documents")).select("doc_id", "md5")
 
 
+def q_phrase_match(spark, sf_dir):
+    """ES match_phrase analog: docs containing the exact token phrase,
+    with occurrence counts (shingle-window equality, one shuffle)."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        phrase_match)
+
+    return phrase_match(_read(spark, sf_dir, "documents"), "the spark")
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """ES fuzzy-query expansion: vocabulary terms within edit distance 2."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        fuzzy_terms)
+
+    return fuzzy_terms(_read(spark, sf_dir, "documents"), "sort", max_dist=2)
+
+
+def q_snippets(spark, sf_dir):
+    """ES highlighter analog: fixed window around the first query hit."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        snippets)
+
+    return snippets(_read(spark, sf_dir, "documents"), "the spark",
+                    before=30, width=80)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Training-prep: fixed-size token windows with overlap per document."""
     from elasticsearch_data_import_handler_spark.operators.trainprep import (
@@ -657,6 +683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_loglik": q_unigram_loglik,
         "chunk_documents": q_chunk_documents,
         "stratified_sample": q_stratified_sample,
+        "phrase_match": q_phrase_match,
+        "fuzzy_match": q_fuzzy_match,
+        "snippets": q_snippets,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
@@ -879,6 +908,30 @@ def oracle_sql() -> dict[str, str]:
             "round(count(DISTINCT g) * 1.0 / count(*), 6) AS distinct_ratio, "
             "round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6) AS repetition "
             "FROM sh GROUP BY doc_id"
+        ),
+        "phrase_match": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_transform("
+            "range(1, greatest(len(toks) - 1, 0) + 1), "
+            "i -> array_to_string(toks[i:i+1], ' '))) AS g FROM t) "
+            "SELECT doc_id, count(*)::BIGINT AS n_occurrences FROM sh "
+            "WHERE g = 'the spark' GROUP BY doc_id"
+        ),
+        "fuzzy_match": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+            "FROM documents), "
+            "v AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM t "
+            "GROUP BY term) "
+            "SELECT term, df, levenshtein(term, 'sort')::INT AS dist FROM v "
+            "WHERE levenshtein(term, 'sort') <= 2"
+        ),
+        "snippets": (
+            "SELECT doc_id, strpos(lower(text), 'the spark')::BIGINT AS pos, "
+            "substr(text, greatest(1, strpos(lower(text), 'the spark') - 30), 80) "
+            "AS snippet FROM documents "
+            "WHERE strpos(lower(text), 'the spark') > 0"
         ),
         "chunk_documents": (
             "WITH d AS (SELECT doc_id, "

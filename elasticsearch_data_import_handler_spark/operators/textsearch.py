@@ -1,0 +1,68 @@
+"""Text-search query operators beyond plain BM25 — the match_phrase /
+fuzzy / highlight family a user of the reference ran against Elasticsearch
+after the import (SURVEY §2A: the reference's role ends at indexing; these
+re-express the ES query side the reference fed).
+
+All three are exact, engine-agnostic definitions (token windows, edit
+distance, char offsets) so the driver's DuckDB oracle value-verifies them.
+At index scale, phrase matching belongs in a positional postings stream
+(positions varbyte per posting — the documented index extension);
+these operators give the same semantics corpus-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import shingles_exploded
+
+
+def phrase_match(documents: DataFrame, phrase: str,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_occurrences) for docs containing the token phrase —
+    ES match_phrase (slop 0).  An n-word phrase occurrence IS an n-shingle
+    equal to the phrase, so this reuses the codegen shingle windows: filter
+    pushes the phrase equality to the shingle stream (one shuffle by doc)."""
+    words = phrase.lower().split()
+    n = len(words)
+    target = " ".join(words)
+    sh = shingles_exploded(documents, id_col, text_col, n=n)
+    return (sh.filter(F.col("shingle") == target)
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .select(F.col("id").alias("doc_id"),
+                    F.col("n_occurrences").cast("long").alias("n_occurrences")))
+
+
+def fuzzy_terms(documents: DataFrame, query_term: str, max_dist: int = 1,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(term, df, dist): vocabulary terms within ``max_dist`` Levenshtein
+    edits of the query term — ES fuzzy-query expansion.  The distance filter
+    runs over the *vocabulary* (metadata-scale), never per posting; at
+    10^9-term scale pre-bucket by SymSpell deletion neighborhoods."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    vocab = (documents.select(F.col(id_col).alias("id"),
+                              F.explode(toks).alias("term"))
+             .groupBy("term").agg(F.countDistinct("id").alias("df")))
+    return (vocab.withColumn("dist", F.levenshtein("term",
+                                                   F.lit(query_term.lower())))
+            .filter(F.col("dist") <= max_dist)
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("dist").cast("int").alias("dist")))
+
+
+def snippets(documents: DataFrame, query: str, before: int = 30,
+             width: int = 80, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, snippet): a fixed-width highlight window around the
+    FIRST occurrence of the query substring (case-insensitive locate,
+    original-case extraction) — the ES highlighter's unified-mode shape."""
+    pos = F.locate(query.lower(), F.lower(F.col(text_col)))
+    return (documents
+            .withColumn("pos", pos)
+            .filter(F.col("pos") > 0)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col("pos").cast("long").alias("pos"),
+                    F.expr(f"substring({text_col}, "
+                           f"greatest(1, pos - {before}), {width})")
+                    .alias("snippet")))

@@ -116,3 +116,23 @@ def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
     assert 0.3 * n_en_all < n_en_kept < 0.7 * n_en_all  # ~50% of en
     n_other = sum(1 for v in langs.values() if v not in ("en", "zh"))
     assert sum(1 for d in s1 if langs[d] not in ("en", "zh")) == n_other
+
+
+def test_phrase_fuzzy_snippet_semantics(spark):
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        fuzzy_terms, phrase_match, snippets)
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta"),   # 2 in-order occurrences
+         (2, "beta alpha"),                    # reversed — no match
+         (3, "alpha  beta"),                   # token-based: still a phrase
+         (4, "alphax betay")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_match(df, "alpha beta").collect()}
+    assert got == {1: 2, 3: 1}
+    fz = {r["term"]: r["dist"] for r in fuzzy_terms(df, "beta", 1).collect()}
+    assert fz == {"beta": 0, "betay": 1}
+    sn = {r["doc_id"]: r["snippet"] for r in snippets(df, "beta").collect()}
+    assert set(sn) == {1, 2, 3, 4}  # substring semantics incl. betay
+    assert "beta" in sn[1]
