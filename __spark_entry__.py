@@ -286,6 +286,30 @@ def q_phrase_match(spark, sf_dir):
     return phrase_match(_read(spark, sf_dir, "documents"), "the spark")
 
 
+def q_phrase_index(spark, sf_dir):
+    """Index-backed match_phrase: build the positional-postings index, run
+    the phrase through bucket-pruned position joins, map versioned doc_ids
+    back to native ids; the oracle recomputes phrase counts from raw text."""
+    import tempfile
+
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        phrase_search_index)
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        IndexReader, build_index)
+    from elasticsearch_data_import_handler_spark.sources.corpus import (
+        pages_from_documents)
+
+    d = tempfile.mkdtemp(prefix="eidh_phrase_gate_")
+    build_index(spark, pages_from_documents(spark, sf_dir), d,
+                tau=200, n_buckets=8, positions=True)
+    reader = IndexReader(spark, d)
+    hits = phrase_search_index(spark, reader, "the spark")
+    ds = reader.doc_stats().select("doc_id", "url")
+    return hits.join(ds, "doc_id").select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+        "n_occurrences")
+
+
 def q_fuzzy_match(spark, sf_dir):
     """ES fuzzy-query expansion: vocabulary terms within edit distance 2."""
     from elasticsearch_data_import_handler_spark.operators.textsearch import (
@@ -684,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "stratified_sample": q_stratified_sample,
         "phrase_match": q_phrase_match,
+        "phrase_index": q_phrase_index,
         "fuzzy_match": q_fuzzy_match,
         "snippets": q_snippets,
         "ann_topk": q_ann_topk,
@@ -910,6 +935,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh GROUP BY doc_id"
         ),
         "phrase_match": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_transform("
+            "range(1, greatest(len(toks) - 1, 0) + 1), "
+            "i -> array_to_string(toks[i:i+1], ' '))) AS g FROM t) "
+            "SELECT doc_id, count(*)::BIGINT AS n_occurrences FROM sh "
+            "WHERE g = 'the spark' GROUP BY doc_id"
+        ),
+        "phrase_index": (
             "WITH t AS (SELECT doc_id, "
             "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
             "sh AS (SELECT doc_id, unnest(list_transform("

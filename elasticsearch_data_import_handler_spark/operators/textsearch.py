@@ -66,3 +66,41 @@ def snippets(documents: DataFrame, query: str, before: int = 30,
                     F.expr(f"substring({text_col}, "
                            f"greatest(1, pos - {before}), {width})")
                     .alias("snippet")))
+
+
+def phrase_search_index(spark, reader, phrase: str,
+                        analyzer: dict | None = None) -> DataFrame:
+    """Index-backed match_phrase over the positional postings table:
+    (doc_id, n_occurrences) for every ACTIVE document containing the exact
+    token phrase.
+
+    Plan: bucket-pruned positions scan for the phrase's terms only →
+    iterative doc-keyed equi-joins, intersecting the first term's positions
+    with each next term's positions shifted by its offset (small per-doc
+    arrays → the array_intersect HOF cost is per candidate doc, not per
+    posting) → tombstone anti-join.  Candidate docs shrink monotonically:
+    after the i-th join only docs containing the first i terms remain.
+    """
+    from ..functions.hashing import xxhash64_str
+    from ..functions.textanalysis import py_tokenize
+
+    an = analyzer if analyzer is not None else (reader.state.analyzer or None)
+    words = py_tokenize(phrase, an)
+    if not words:
+        raise ValueError(f"phrase {phrase!r} has no tokens under the analyzer")
+    pos = reader.positions_for_terms(words)
+    parts = {w: pos.filter(F.col("term_id") == xxhash64_str(w)) for w in set(words)}
+    acc = parts[words[0]].select("doc_id", F.col("positions").alias("acc"))
+    for i, w in enumerate(words[1:], start=1):
+        nxt = parts[w].select(
+            "doc_id",
+            F.transform("positions", lambda x: x - i).alias(f"p{i}"))
+        acc = (acc.join(nxt, "doc_id")
+               .select("doc_id",
+                       F.array_intersect("acc", f"p{i}").alias("acc"))
+               .filter(F.size("acc") > 0))
+    out = acc.select("doc_id", F.size("acc").cast("long").alias("n_occurrences"))
+    tomb = reader.tombstones_df()
+    if tomb is not None:
+        out = out.join(tomb, "doc_id", "left_anti")
+    return out

@@ -447,15 +447,41 @@ def _read_tombstones(spark: SparkSession, index_dir: str, committed: list[int]):
         .select("doc_id").distinct()
 
 
+def build_positions(docs: DataFrame, n_buckets: int,
+                    shuffle_partitions: int | None = None) -> DataFrame:
+    """docs(doc_id, tokens) → positional postings: one row per (term, doc)
+    with the sorted token-position list — the match_phrase index extension
+    (ES stores positions in the same postings; a separate table keeps the
+    BM25 format untouched and lets positions be optional per index).
+
+    Rows carry ``term_id`` (the reader recomputes xxhash64(term) from query
+    terms) and the same term-hash ``bucket`` partition column as the BM25
+    postings, so phrase queries prune to their terms' buckets at scan time.
+    """
+    ex = docs.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "term")
+    ).select(F.xxhash64("term").alias("term_id"), "doc_id",
+             F.col("pos").cast("int").alias("pos"))
+    p = shuffle_partitions or ex.sparkSession.sparkContext.defaultParallelism
+    return (ex.repartition(p, "term_id", "doc_id")
+            .groupBy("term_id", "doc_id")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            .withColumn("bucket",
+                        F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int")))
+
+
 def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
                  batch_id: int, tau: int = 100_000, n_buckets: int = 8,
                  s_shards: int | None = None, attempt: int = 1,
-                 dedup: bool = True, analyzer: dict | None = None) -> dict:
+                 dedup: bool = True, analyzer: dict | None = None,
+                 positions: bool = False) -> dict:
     """Index one batch and commit it (data dirs → stats → lineage → state).
 
     ``analyzer`` (A8 settings surface): honored on the index's FIRST batch
     and persisted in state; later batches always use the persisted analyzer
-    (a conflicting override raises — an index has one analysis chain)."""
+    (a conflicting override raises — an index has one analysis chain).
+    ``positions=True`` additionally writes the positional postings table
+    (phrase queries); persisted in state like the analyzer."""
     from pyspark.sql import Observation
 
     t0 = time.time()
@@ -470,8 +496,10 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
                 f"index {index_dir} was built with analyzer {st.analyzer}; "
                 "an index has one analysis chain — rebuild to change it")
         analyzer = st.analyzer or None
+        positions = positions or st.has_positions
     else:
         st.analyzer = analyzer or {}
+        st.has_positions = bool(positions)
 
     b = dedup_latest(pages_batch) if dedup else pages_batch
     docs = docs_versioned(b, analyzer)
@@ -542,6 +570,10 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
                 occ_bytes // (128 << 20) + 1)
     postings = build_postings(kept, s_shards, n_buckets,
                               shuffle_partitions=int(p_enc))
+    if positions:
+        build_positions(kept, n_buckets, shuffle_partitions=int(p_enc)) \
+            .write.mode("overwrite").partitionBy("bucket").parquet(
+                f"{index_dir}/positions/batch={batch_id}")
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/postings/batch={batch_id}")
     timings["postings"] = round(time.time() - t_phase, 2)
@@ -597,11 +629,12 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
 
 def build_index(spark: SparkSession, pages: DataFrame, index_dir: str,
                 tau: int = 100_000, n_buckets: int = 8, dedup: bool = True,
-                analyzer: dict | None = None) -> dict:
+                analyzer: dict | None = None, positions: bool = False) -> dict:
     """Full (single-batch) build — the batch-0 special case."""
     with BuildLock(index_dir):
         return commit_batch(spark, pages, index_dir, batch_id=0, tau=tau,
-                            n_buckets=n_buckets, dedup=dedup, analyzer=analyzer)
+                            n_buckets=n_buckets, dedup=dedup,
+                            analyzer=analyzer, positions=positions)
 
 
 def build_incremental(spark: SparkSession, batches: list[DataFrame], index_dir: str,
@@ -678,6 +711,20 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         "term", F.xxhash64("term").alias("term_id"))
     merged = enc.join(terms, "term_id").drop("term_id")
 
+    # positional postings fold into the new generation too: concat batch
+    # segments, drop tombstoned docs, rewrite (rows are already unique per
+    # (term, doc) across segments — a doc version lives in one batch)
+    if st.has_positions:
+        pdirs = _batch_dirs(index_dir, "positions", committed)
+        if pdirs:
+            posd = spark.read.option(
+                "basePath", f"{index_dir}/positions").parquet(*pdirs) \
+                .select("term_id", "doc_id", "positions", "bucket")
+            if tomb is not None:
+                posd = posd.join(tomb, "doc_id", "left_anti")
+            posd.write.mode("overwrite").partitionBy("bucket").parquet(
+                f"{index_dir}/positions/batch={new_b}")
+
     # materialize the new generation (both datasets) before the state flip
     from pyspark.sql import Observation
     obs = Observation(f"compact_b{new_b}")
@@ -705,6 +752,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     for b in committed:
         shutil.rmtree(f"{index_dir}/postings/batch={b}", ignore_errors=True)
         shutil.rmtree(f"{index_dir}/doc_stats/batch={b}", ignore_errors=True)
+        shutil.rmtree(f"{index_dir}/positions/batch={b}", ignore_errors=True)
         p_delta = _cstats_delta_path(index_dir, b)
         if os.path.exists(p_delta):
             os.remove(p_delta)
@@ -755,6 +803,22 @@ class IndexReader:
         none) — consumers join/anti-join it; nothing is collected."""
         return _read_tombstones(self.spark, self.index_dir,
                                 self.state.committed_batches)
+
+    def positions_for_terms(self, terms: list[str]) -> DataFrame:
+        """Bucket-pruned positional-postings scan for the given terms:
+        (term_id, doc_id, positions array<int>)."""
+        from ..functions.hashing import xxhash64_str
+
+        if not self.state.has_positions:
+            raise ValueError(f"index {self.index_dir} was built without "
+                             "positions=True")
+        tids = sorted({xxhash64_str(t) for t in terms})  # signed, Spark parity
+        buckets = sorted({tid % self.state.n_buckets for tid in tids})
+        df = self.spark.read.option(
+            "basePath", f"{self.index_dir}/positions").parquet(
+            *_batch_dirs(self.index_dir, "positions", self.state.committed_batches))
+        return df.filter(F.col("bucket").isin(buckets)
+                         & F.col("term_id").isin(tids))
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         """Partition-pruned scan: bucket IN (term buckets) AND term IN terms.

@@ -38,6 +38,7 @@ class IndexState:
     n_buckets: int = 8         # term-hash partition count for postings
     build_id: str = ""
     analyzer: dict = field(default_factory=dict)  # A8: per-index analysis chain
+    has_positions: bool = False    # positional postings written per batch
 
 
 def _state_path(index_dir: str) -> str:

@@ -73,3 +73,67 @@ def test_partition_pruned_scan(spark, index_dir):
     rows = df.collect()
     assert all(r["term"] == "spark" for r in rows)
     assert len({r["bucket"] for r in rows}) == 1
+
+
+def test_positional_index_phrase_search(spark, tmp_path):
+    """Index-backed match_phrase equals the corpus-side operator, across
+    incremental batches with upserts (tombstoned versions excluded)."""
+    from elasticsearch_data_import_handler_spark.operators.dedup import dedup_latest
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        phrase_match, phrase_search_index)
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        IndexReader, build_incremental, docs_versioned)
+    from elasticsearch_data_import_handler_spark.sources.corpus import synth_pages
+
+    d = str(tmp_path / "posidx")
+    b0 = synth_pages(spark, 300, seed=42, batches=2, batch=0)
+    b1 = synth_pages(spark, 300, seed=42, batches=2, batch=1)
+    import elasticsearch_data_import_handler_spark.plans.build as B
+    from elasticsearch_data_import_handler_spark.plans.state import BuildLock
+    with BuildLock(d):
+        B.commit_batch(spark, b0, d, 0, tau=100, n_buckets=4, positions=True)
+        B.commit_batch(spark, b1, d, 1, tau=100, n_buckets=4)  # flag persists
+    reader = IndexReader(spark, d)
+    assert reader.state.has_positions
+    got = {r["doc_id"]: r["n_occurrences"] for r in
+           phrase_search_index(spark, reader, "the spark").collect()}
+    # corpus-side truth on the latest version of every url
+    pages = synth_pages(spark, 300, seed=42)
+    docs = docs_versioned(dedup_latest(pages))
+    exp = {r["doc_id"]: r["n_occurrences"] for r in
+           phrase_match(docs.select("doc_id", "tokens")
+                        .selectExpr("doc_id", "array_join(tokens, ' ') AS text"),
+                        "the spark").collect()}
+    assert got == exp and len(got) > 0
+    # repeated-word phrase exercises the self-join shift path
+    got2 = {r["doc_id"]: r["n_occurrences"] for r in
+            phrase_search_index(spark, reader, "the the").collect()}
+    exp2 = {r["doc_id"]: r["n_occurrences"] for r in
+            phrase_match(docs.selectExpr("doc_id", "array_join(tokens, ' ') AS text"),
+                         "the the").collect()}
+    assert got2 == exp2 and len(got2) > 0
+
+
+def test_compaction_preserves_positions(spark, tmp_path):
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        phrase_search_index)
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        IndexReader, compact_index)
+    from elasticsearch_data_import_handler_spark.plans.state import BuildLock
+    from elasticsearch_data_import_handler_spark.sources.corpus import synth_pages
+    import elasticsearch_data_import_handler_spark.plans.build as B
+
+    d = str(tmp_path / "posc")
+    b0 = synth_pages(spark, 200, seed=42, batches=2, batch=0)
+    b1 = synth_pages(spark, 200, seed=42, batches=2, batch=1)
+    with BuildLock(d):
+        B.commit_batch(spark, b0, d, 0, tau=100, n_buckets=4, positions=True)
+        B.commit_batch(spark, b1, d, 1, tau=100, n_buckets=4)
+    before = {r["doc_id"]: r["n_occurrences"] for r in
+              phrase_search_index(spark, IndexReader(spark, d),
+                                  "the spark").collect()}
+    compact_index(spark, d)
+    after = {r["doc_id"]: r["n_occurrences"] for r in
+             phrase_search_index(spark, IndexReader(spark, d),
+                                 "the spark").collect()}
+    assert before == after and len(after) > 0
