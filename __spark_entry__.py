@@ -92,25 +92,48 @@ def q_bm25_topk(spark, sf_dir):
     return S.bm25_topk(spark, _docs(spark, sf_dir), round_to=4)
 
 
-def q_bm25_topk_wand(spark, sf_dir):
-    """End-to-end scale path: build the persisted compressed index (SPIMI →
-    varbyte segments), query it with block-max WAND, and map versioned
-    doc_ids back to the documents table's native ids so the SAME DuckDB BM25
-    oracle validates the whole pipeline."""
-    import tempfile
+# One shared positional index per sf_dir for the index-backed gate queries
+# (WAND / phrase / bool) — built once per process, reused across gate rows.
+_GATE_INDEX: dict[str, str] = {}
 
-    from elasticsearch_data_import_handler_spark.operators.wand import bm25_topk_wand
+
+def _gate_index(spark, sf_dir):
     from elasticsearch_data_import_handler_spark.plans.build import (
         IndexReader, build_index)
     from elasticsearch_data_import_handler_spark.sources.corpus import (
         pages_from_documents)
 
+    d = _GATE_INDEX.get(sf_dir)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="eidh_gate_idx_")
+        build_index(spark, pages_from_documents(spark, sf_dir), d,
+                    tau=200, n_buckets=8, positions=True)
+        _GATE_INDEX[sf_dir] = d
+    return IndexReader(spark, d)
+
+
+def _native_doc_ids(reader, hits, cols):
+    """Map versioned index doc_ids back to the documents table's native ids
+    (the synthetic corpus encodes them in the url tail) so DuckDB oracles
+    over the raw table can value-match index-backed results."""
+    ds = reader.doc_stats().select("doc_id", "url")
+    return hits.join(ds, "doc_id").select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+        *cols)
+
+
+def q_bm25_topk_wand(spark, sf_dir):
+    """End-to-end scale path: build the persisted compressed index (SPIMI →
+    varbyte segments), query it with block-max WAND, and map versioned
+    doc_ids back to the documents table's native ids so the SAME DuckDB BM25
+    oracle validates the whole pipeline."""
+    from elasticsearch_data_import_handler_spark.operators.wand import bm25_topk_wand
+
     from pyspark.sql import Window
 
-    d = tempfile.mkdtemp(prefix="eidh_wand_gate_")
-    build_index(spark, pages_from_documents(spark, sf_dir), d,
-                tau=200, n_buckets=8)
-    reader = IndexReader(spark, d)
+    reader = _gate_index(spark, sf_dir)
     # tie-inclusive candidate pool, then rank under the NATIVE doc-id order
     # so exact-score ties break identically to the SQL oracle
     cand = bm25_topk_wand(spark, reader, candidates=True)
@@ -277,6 +300,14 @@ def q_fingerprint(spark, sf_dir):
     return TQ.fingerprint(_read(spark, sf_dir, "documents")).select("doc_id", "md5")
 
 
+def q_text_metrics(spark, sf_dir):
+    """One-pass per-doc text features (token counts + quality components +
+    lang-ID + md5 fingerprint) — the consolidated gate row for the
+    token_count/quality_score/lang_id/fingerprint family: every formula is
+    hash-verified jointly in a single shuffle-free projection."""
+    return TQ.text_metrics(_read(spark, sf_dir, "documents"))
+
+
 def q_phrase_match(spark, sf_dir):
     """ES match_phrase analog: docs containing the exact token phrase,
     with occurrence counts (shingle-window equality, one shuffle)."""
@@ -290,24 +321,36 @@ def q_phrase_index(spark, sf_dir):
     """Index-backed match_phrase: build the positional-postings index, run
     the phrase through bucket-pruned position joins, map versioned doc_ids
     back to native ids; the oracle recomputes phrase counts from raw text."""
-    import tempfile
-
     from elasticsearch_data_import_handler_spark.operators.textsearch import (
         phrase_search_index)
-    from elasticsearch_data_import_handler_spark.plans.build import (
-        IndexReader, build_index)
-    from elasticsearch_data_import_handler_spark.sources.corpus import (
-        pages_from_documents)
 
-    d = tempfile.mkdtemp(prefix="eidh_phrase_gate_")
-    build_index(spark, pages_from_documents(spark, sf_dir), d,
-                tau=200, n_buckets=8, positions=True)
-    reader = IndexReader(spark, d)
+    reader = _gate_index(spark, sf_dir)
     hits = phrase_search_index(spark, reader, "the spark")
-    ds = reader.doc_stats().select("doc_id", "url")
-    return hits.join(ds, "doc_id").select(
-        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
-        "n_occurrences")
+    return _native_doc_ids(reader, hits, ["n_occurrences"])
+
+
+def q_phrase_slop(spark, sf_dir):
+    """ES match_phrase with slop: in-order terms within a bounded window
+    over the positional postings table; the oracle recomputes matches from
+    raw token positions with ordered self-joins."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        phrase_search_slop)
+
+    reader = _gate_index(spark, sf_dir)
+    hits = phrase_search_slop(spark, reader, "fast table scan", slop=3)
+    return _native_doc_ids(reader, hits, ["n_matches"])
+
+
+def q_bool_query(spark, sf_dir):
+    """ES bool-query combinator over the index: must/should/must_not with
+    min_should_match, BM25-scored over the matched scoring terms."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        bool_query)
+
+    reader = _gate_index(spark, sf_dir)
+    out = bool_query(spark, reader, must=["spark"], should=["merge", "batch"],
+                     must_not=["vector"], min_should=1, round_to=4)
+    return _native_doc_ids(reader, out, ["should_hits", "score"])
 
 
 def q_fuzzy_match(spark, sf_dir):
@@ -672,63 +715,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 gate rows — the driver's CORRECTNESS artifact records at
+    most 50, so redundant rows are consolidated rather than truncated:
+    ``bm25_topk``→``bm25_topk_wand`` (same oracle, scale path gated),
+    ``setops``→``intersect_all``(+union/except), ``sessionize``→
+    ``sessionize_stateful`` (same semantics, test-enforced equal),
+    ``embedding_neardup``→``embedding_neardup_lsh`` (label-free scale path),
+    ``phrase_match``→``phrase_index``/``phrase_slop`` (index-backed paths),
+    token_count/quality_score/lang_id/fingerprint→``text_metrics`` (all four
+    formulas hash-verified jointly).  Every consolidated operator's function
+    remains public API and pytest-covered."""
     return {
+        # previously gate-truncated or new — registered first
+        "asof_join": q_asof_join,
+        "sessionize_stateful": q_sessionize_stateful,
+        "pivot": q_pivot,
+        "cube_agg": q_cube_agg,
+        "topn_per_group": q_topn_per_group,
+        "phrase_slop": q_phrase_slop,
+        "bool_query": q_bool_query,
+        "text_metrics": q_text_metrics,
+        # index family
         "term_freqs": q_term_freqs,
         "doc_stats": q_doc_stats,
         "corpus_stats": q_corpus_stats,
         "lexicon": q_lexicon,
         "salt_plan": q_salt_plan,
-        "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
+        "phrase_index": q_phrase_index,
+        "fuzzy_match": q_fuzzy_match,
+        "snippets": q_snippets,
+        # streaming / multimodal / extraction
         "windowed_events": q_windowed_events,
         "multimodal_features": q_multimodal_features,
         "frame_sampling": q_frame_sampling,
         "extract_text": q_extract_text,
-        "union_all": q_union_all,
-        "except_all": q_except_all,
-        "grouping_sets": q_grouping_sets,
-        "scalar_funcs": q_scalar_funcs,
-        "range_join": q_range_join,
-        "intersect_all": q_intersect_all,
-        "window_range_frame": q_window_range_frame,
-        "exists_subquery": q_exists_subquery,
-        "quantiles": q_quantiles,
-        "semi_anti_join": q_semi_anti_join,
+        # dedup / similarity
         "dedup_latest": q_dedup_latest,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_verified": q_minhash_verified,
         "simhash_neardup": q_simhash_neardup,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        # text quality / training prep
         "repetition_metrics": q_repetition_metrics,
         "unigram_loglik": q_unigram_loglik,
         "chunk_documents": q_chunk_documents,
         "stratified_sample": q_stratified_sample,
-        "phrase_match": q_phrase_match,
-        "phrase_index": q_phrase_index,
-        "fuzzy_match": q_fuzzy_match,
-        "snippets": q_snippets,
-        "ann_topk": q_ann_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "minhash_verified": q_minhash_verified,
+        # delegated Spark SQL surface
+        "union_all": q_union_all,
+        "except_all": q_except_all,
+        "intersect_all": q_intersect_all,
+        "grouping_sets": q_grouping_sets,
+        "scalar_funcs": q_scalar_funcs,
+        "range_join": q_range_join,
+        "window_range_frame": q_window_range_frame,
+        "window_running": q_window_running,
+        "exists_subquery": q_exists_subquery,
+        "quantiles": q_quantiles,
+        "semi_anti_join": q_semi_anti_join,
         "tpch_pricing": q_tpch_pricing,
         "join_topn": q_join_topn,
-        "window_running": q_window_running,
         "rollup_agg": q_rollup_agg,
-        "setops": q_setops,
         "events_json": q_events_json,
-        "topn_per_group": q_topn_per_group,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "pivot": q_pivot,
-        "cube_agg": q_cube_agg,
-        "sessionize_stateful": q_sessionize_stateful,
     }
 
 
@@ -838,20 +891,6 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT term, ceil(df / {SALT_TAU}.0)::BIGINT AS n_salts "
             f"FROM dfreq WHERE df > {SALT_TAU}"
         ),
-        "bm25_topk": (
-            f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
-            f"{_query_values_sql()}, "
-            f"scored AS (SELECT q.query_id, tf.doc_id, any_value(q.k) AS k, "
-            f"sum({bm25_contrib}) AS score "
-            "FROM q JOIN tf USING (term) JOIN dfreq USING (term) "
-            "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s "
-            "GROUP BY q.query_id, tf.doc_id), "
-            "ranked AS (SELECT query_id, doc_id, score, k, "
-            "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank "
-            "FROM scored) "
-            "SELECT query_id, rank, doc_id, round(score, 4) AS score "
-            "FROM ranked WHERE rank <= k"
-        ),
         "bm25_topk_wand": (
             f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
             f"{_query_values_sql()}, "
@@ -900,29 +939,23 @@ def oracle_sql() -> dict[str, str]:
             "AND sb.lang = inter.lang AND sb.doc_id = id_b) "
             f"WHERE jaccard >= {JACCARD_THRESHOLD}"
         ),
-        "token_count": (
-            "SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens, "
-            "len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT AS n_distinct "
-            "FROM documents"
-        ),
-        "quality_score": (
-            "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
-            "m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, "
+        "text_metrics": (
+            "WITH t AS (SELECT doc_id, text, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
+            "m AS (SELECT doc_id, text, len(toks)::BIGINT AS n_tokens, "
+            "len(list_distinct(toks))::BIGINT AS n_distinct, "
             "length(array_to_string(toks, ''))::DOUBLE AS sum_len, "
             f"len(list_filter(toks, t -> t IN ({stop_list})))::DOUBLE AS stop, "
-            "len(list_distinct(toks))::DOUBLE AS dst FROM t) "
-            "SELECT doc_id, n_tokens, round(sum_len / n_tokens, 6) AS mean_token_len, "
+            f"{lang_counts} FROM t) "
+            "SELECT doc_id, n_tokens, n_distinct, "
+            "round(sum_len / n_tokens, 6) AS mean_token_len, "
             "round(stop / n_tokens, 6) AS stopword_ratio, "
-            "round(dst / n_tokens, 6) AS distinct_ratio, "
+            "round(n_distinct * 1.0 / n_tokens, 6) AS distinct_ratio, "
             "round(0.4 * least(1.0, n_tokens / 100.0) + 0.3 * (1.0 - stop / n_tokens) "
-            "+ 0.3 * (dst / n_tokens), 6) AS quality FROM m"
+            "+ 0.3 * (n_distinct * 1.0 / n_tokens), 6) AS quality, "
+            f"hits_de, hits_en, hits_es, hits_fr, {lang_pred} AS pred_lang, "
+            "md5(text) AS md5 FROM m"
         ),
-        "lang_id": (
-            "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
-            f"c AS (SELECT doc_id, {lang_counts} FROM t) "
-            f"SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, {lang_pred} AS pred_lang FROM c"
-        ),
-        "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "repetition_metrics": (
             "WITH toks_by_doc AS (SELECT doc_id, "
             "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
@@ -934,14 +967,34 @@ def oracle_sql() -> dict[str, str]:
             "round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6) AS repetition "
             "FROM sh GROUP BY doc_id"
         ),
-        "phrase_match": (
+        "phrase_slop": (
             "WITH t AS (SELECT doc_id, "
             "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
-            "sh AS (SELECT doc_id, unnest(list_transform("
-            "range(1, greatest(len(toks) - 1, 0) + 1), "
-            "i -> array_to_string(toks[i:i+1], ' '))) AS g FROM t) "
-            "SELECT doc_id, count(*)::BIGINT AS n_occurrences FROM sh "
-            "WHERE g = 'the spark' GROUP BY doc_id"
+            "p AS (SELECT doc_id, unnest(toks) AS term, "
+            "generate_subscripts(toks, 1) AS pos FROM t), "
+            "m AS (SELECT p1.doc_id, p1.pos AS start FROM p p1 "
+            "JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.term = 'table' "
+            "AND p2.pos > p1.pos AND p2.pos - p1.pos <= 5 "
+            "JOIN p p3 ON p3.doc_id = p1.doc_id AND p3.term = 'scan' "
+            "AND p3.pos > p2.pos AND p3.pos - p1.pos <= 5 "
+            "WHERE p1.term = 'fast') "
+            "SELECT doc_id, count(DISTINCT start)::BIGINT AS n_matches "
+            "FROM m GROUP BY doc_id"
+        ),
+        "bool_query": (
+            f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
+            "scored AS (SELECT tf.doc_id, "
+            "count(DISTINCT CASE WHEN tf.term IN ('spark') THEN tf.term END) "
+            "AS must_hits, "
+            "count(DISTINCT CASE WHEN tf.term IN ('merge', 'batch') "
+            "THEN tf.term END)::BIGINT AS should_hits, "
+            f"sum({bm25_contrib}) AS score "
+            "FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "CROSS JOIN stats s WHERE tf.term IN ('spark', 'merge', 'batch') "
+            "GROUP BY tf.doc_id) "
+            "SELECT doc_id, should_hits, round(score, 4) AS score FROM scored "
+            "WHERE must_hits = 1 AND should_hits >= 1 AND doc_id NOT IN "
+            "(SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')"
         ),
         "phrase_index": (
             "WITH t AS (SELECT doc_id, "
@@ -1172,12 +1225,6 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) "
             "SELECT query_id, rank, vec_id, round(cos, 4) AS cos FROM ranked WHERE rank <= 10"
         ),
-        "embedding_neardup": (
-            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos "
-            "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id "
-            f"WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEARDUP_COS}"
-        ),
         "tpch_pricing": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
             "round(sum(l_extendedprice), 2) AS sum_base_price, "
@@ -1202,10 +1249,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n, "
             "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
             "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
-        ),
-        "setops": (
-            "SELECT DISTINCT o_custkey AS custkey FROM orders "
-            "INTERSECT SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000"
         ),
         "events_json": (
             "SELECT event_type, count(*)::BIGINT AS n, "
@@ -1258,15 +1301,5 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
             "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end, "
             "count(*)::BIGINT AS n_events FROM s GROUP BY user_id, sid"
-        ),
-        "sessionize": (
-            "WITH g AS (SELECT user_id, ts, event_id, "
-            "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 "
-            "WHEN epoch(ts) - lag(epoch(ts)) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 THEN 1 ELSE 0 END AS new_session "
-            "FROM events) "
-            "SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events "
-            "FROM g GROUP BY user_id"
         ),
     }

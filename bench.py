@@ -185,7 +185,9 @@ def _bench_sf_queries(cpus: int, sf_dir: str) -> dict:
              "minhash_verified", "ann_ivf", "embedding_neardup_lsh",
              "range_join", "asof_join"]
     spark = get_spark(f"bench-sf-c{cpus}", cpus=cpus)
-    qs = entrymod.queries()
+    # resolve by q_<name> function (not the gate registration) so bench keeps
+    # timing the same operator set across rounds even as gate rows consolidate
+    qs = {n: getattr(entrymod, f"q_{n}") for n in names}
     out = {}
     try:
         # spin up the reused Python-UDF worker pool once so the first

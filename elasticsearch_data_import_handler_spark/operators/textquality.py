@@ -93,6 +93,50 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def text_metrics(documents: DataFrame) -> DataFrame:
+    """One-pass union of the per-doc scalar text metrics: token counts,
+    quality-score components, language-ID hits + prediction, and the md5
+    content fingerprint — a single shuffle-free projection (every column is
+    a codegen array/string expression over the same tokenization), which is
+    how a 100 TB quality-filter pass actually runs: one scan, all features.
+
+    Columns: doc_id, n_tokens, n_distinct, mean_token_len, stopword_ratio,
+    distinct_ratio, quality, hits_{de,en,es,fr}, pred_lang, md5 — the same
+    formulas as token_count/quality_score/lang_id/fingerprint (shared
+    oracle)."""
+    toks = _tokens()
+    n = F.size(toks).cast("double")
+    sum_len = F.length(F.array_join(toks, "")).cast("double")
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    distinct = F.size(F.array_distinct(toks)).cast("double")
+
+    def _hits(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
+
+    counts = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):  # reverse so earliest wins last
+        pred = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(pred)
+    sel = [
+        F.col("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.round(sum_len / n, 6).alias("mean_token_len"),
+        F.round(stop / n, 6).alias("stopword_ratio"),
+        F.round(distinct / n, 6).alias("distinct_ratio"),
+        F.round(
+            F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(100.0))
+            + F.lit(0.3) * (F.lit(1.0) - stop / n)
+            + F.lit(0.3) * (distinct / n),
+            6,
+        ).alias("quality"),
+    ]
+    sel += [c.alias(f"hits_{lang}") for lang, c in counts.items()]
+    sel += [pred.alias("pred_lang"), F.md5(F.col("text")).alias("md5")]
+    return documents.select(*sel)
+
+
 def repetition_metrics(documents: DataFrame, n: int = 2) -> DataFrame:
     """(doc_id, n_grams, distinct_ratio, repetition) — the standard
     repeated-n-gram quality filter (docs dominated by boilerplate/repeats

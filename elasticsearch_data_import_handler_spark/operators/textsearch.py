@@ -104,3 +104,126 @@ def phrase_search_index(spark, reader, phrase: str,
     if tomb is not None:
         out = out.join(tomb, "doc_id", "left_anti")
     return out
+
+
+def phrase_search_slop(spark, reader, phrase: str, slop: int = 0,
+                       analyzer: dict | None = None) -> DataFrame:
+    """Index-backed sloppy match_phrase over the positional postings table:
+    (doc_id, n_matches) for every ACTIVE document with the phrase terms
+    IN ORDER within a window of (n-1) + ``slop`` positions.
+
+    Semantics (exact, oracle-checkable): a *match* is a start position p1 of
+    the first term for which in-order positions p1 < p2 < ... < pn of the
+    remaining terms exist with pn - p1 <= (n-1) + slop; ``n_matches`` counts
+    distinct starts.  slop=0 degenerates to the contiguous phrase.
+
+    Plan: bucket-pruned positions scan for the phrase's terms only →
+    iterative doc-keyed equi-joins carrying an array of (start, last)
+    candidate spans.  After each step only the MINIMAL last per start is
+    kept — a smaller last admits a superset of future continuations under
+    both constraints (q > last, q - start <= maxspan), so the greedy
+    representative is lossless for the exists-quantified count and bounds
+    the array at |starts| entries (no combinatorial growth on repetitive
+    docs).  All array work is per candidate doc over position lists —
+    metadata-sized next to the postings — and candidates shrink
+    monotonically with each join.
+    """
+    from ..functions.hashing import xxhash64_str
+    from ..functions.textanalysis import py_tokenize
+
+    an = analyzer if analyzer is not None else (reader.state.analyzer or None)
+    words = py_tokenize(phrase, an)
+    if not words:
+        raise ValueError(f"phrase {phrase!r} has no tokens under the analyzer")
+    maxspan = len(words) - 1 + slop
+    pos = reader.positions_for_terms(words)
+    parts = {w: pos.filter(F.col("term_id") == xxhash64_str(w))
+             for w in set(words)}
+    acc = parts[words[0]].select(
+        "doc_id",
+        F.expr("transform(positions, p -> struct(p AS start, p AS last))")
+        .alias("acc"))
+    for i, w in enumerate(words[1:], start=1):
+        nxt = parts[w].select("doc_id", F.col("positions").alias("nx"))
+        step = (
+            # extend every surviving span with every admissible next position
+            f"flatten(transform(acc, a -> transform("
+            f"filter(nx, q -> q > a.last AND q - a.start <= {maxspan}), "
+            f"q -> struct(a.start AS start, q AS last))))"
+        )
+        # greedy dominance: keep min(last) per start
+        dedup = (
+            "transform(array_distinct(transform(pairs, p -> p.start)), "
+            "s -> struct(s AS start, "
+            "array_min(transform(filter(pairs, p -> p.start = s), "
+            "p -> p.last)) AS last))"
+        )
+        acc = (acc.join(nxt, "doc_id")
+               .select("doc_id", F.expr(step).alias("pairs"))
+               .filter(F.size("pairs") > 0)
+               .select("doc_id", F.expr(dedup).alias("acc")))
+    out = acc.select("doc_id", F.size("acc").cast("long").alias("n_matches"))
+    tomb = reader.tombstones_df()
+    if tomb is not None:
+        out = out.join(tomb, "doc_id", "left_anti")
+    return out
+
+
+def bool_query(spark, reader, must: list[str] | None = None,
+               should: list[str] | None = None,
+               must_not: list[str] | None = None,
+               min_should: int = 0, round_to: int | None = None) -> DataFrame:
+    """ES bool-query combinator over the persisted index: (doc_id,
+    should_hits, score) for every ACTIVE document that contains ALL ``must``
+    terms, at least ``min_should`` distinct ``should`` terms, and NO
+    ``must_not`` term.  ``score`` is the BM25 sum over the doc's matched
+    must+should terms (the ES convention: filter-style clauses gate, scoring
+    clauses add).
+
+    Plan: bucket-pruned postings scan for the scoring terms, streamed
+    through the vectorized varbyte decode (O(Σ df) rows, never the corpus)
+    → broadcast lexicon join → one shuffle: groupBy(doc_id) counting
+    distinct must/should hits and summing contributions → must_not and
+    tombstone anti-joins.  This is the TAAT path — correct at any scale and
+    proportional to the query terms' df; pair it with the WAND scorer when
+    only a top-k is needed.
+    """
+    from ..operators.indexing import bm25_score_expr
+
+    must = list(must or [])
+    should = list(should or [])
+    must_not = list(must_not or [])
+    if set(must) & set(should):
+        raise ValueError("a term cannot be in both must and should")
+    terms = sorted(set(must) | set(should))
+    if not terms:
+        raise ValueError("bool_query needs at least one must or should term")
+    dec = reader.decoded_postings_for_terms(terms)
+    lex = reader.lexicon().filter(F.col("term").isin(terms)).select("term", "idf")
+    avgdl = reader.corpus_stats().select("avgdl")
+
+    def _hit(term_list):
+        if not term_list:
+            return F.lit(None).cast("string")
+        return F.when(F.col("term").isin(term_list), F.col("term"))
+
+    agg = (dec.join(F.broadcast(lex), "term")
+           .crossJoin(F.broadcast(avgdl))
+           .withColumn("contrib", bm25_score_expr())
+           .groupBy("doc_id")
+           .agg(F.countDistinct(_hit(must)).alias("must_hits"),
+                F.countDistinct(_hit(should)).alias("should_hits"),
+                F.sum("contrib").alias("score")))
+    out = agg.filter((F.col("must_hits") == len(must))
+                     & (F.col("should_hits") >= min_should))
+    if must_not:
+        ex = (reader.decoded_postings_for_terms(sorted(set(must_not)))
+              .select("doc_id").distinct())
+        out = out.join(ex, "doc_id", "left_anti")
+    tomb = reader.tombstones_df()
+    if tomb is not None:
+        out = out.join(tomb, "doc_id", "left_anti")
+    score = F.round("score", round_to) if round_to is not None else F.col("score")
+    return out.select("doc_id",
+                      F.col("should_hits").cast("long").alias("should_hits"),
+                      score.alias("score"))

@@ -829,3 +829,28 @@ class IndexReader:
         df = self.spark.read.option("basePath", f"{self.index_dir}/postings").parquet(
             *_batch_dirs(self.index_dir, "postings", self.state.committed_batches))
         return df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+
+    def decoded_postings_for_terms(self, terms: list[str]) -> DataFrame:
+        """Bucket-pruned scan decoded to one row per posting:
+        (term, doc_id, tf, doc_len) — the TAAT-scorer input used by the
+        boolean-query combinator.  Streaming mapInPandas over the varbyte
+        blocks (vectorized decode, np.repeat for the term column); cost is
+        O(Σ df(terms)) rows, never the whole index."""
+
+        def _scan(it):
+            for pdf in it:
+                outs = []
+                for term, dvb, tvb, lvb in zip(
+                        pdf["term"], pdf["doc_ids_vb"], pdf["tfs_vb"],
+                        pdf["dls_vb"]):
+                    d, t, l = decode_posting_list(dvb, tvb, lvb)
+                    outs.append(pd.DataFrame({
+                        "term": np.repeat(term, d.size),
+                        "doc_id": d, "tf": t, "doc_len": l}))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        post = self.postings_for_terms(terms)
+        return post.select("term", "doc_ids_vb", "tfs_vb", "dls_vb") \
+            .mapInPandas(_scan, schema="term string, doc_id bigint, "
+                                       "tf int, doc_len int")

@@ -21,7 +21,7 @@ def test_filter_and_projection_pushdown(spark, sf_dir):
 def test_bm25_join_scorer_broadcasts_query_side(spark, sf_dir):
     import __spark_entry__ as m
 
-    df = m.queries()["bm25_topk"](spark, sf_dir)
+    df = m.q_bm25_topk(spark, sf_dir)
     df.collect()  # AQE finalizes the physical plan only after execution
     plan = _plan(df)
     assert "BroadcastExchange" in plan  # query terms + lexicon side

@@ -118,7 +118,7 @@ def test_stateful_sessionize_stream_equals_batch(spark, tmp_path, sf_dir):
                for r in got.collect()}
 
     import __spark_entry__ as entrymod
-    exp = entrymod.queries()["sessionize"](spark, sf_dir)
+    exp = entrymod.q_sessionize(spark, sf_dir)
     exp_map = {r["user_id"]: (r["n_sessions"], r["n_events"])
                for r in exp.collect()}
     assert got_map == exp_map

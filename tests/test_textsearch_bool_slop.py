@@ -1,0 +1,144 @@
+"""phrase_search_slop + bool_query vs brute-force Python ground truth.
+
+Truth is computed driver-side from the same versioned docs the index was
+built from (tiny fixture corpus), so the tests pin the exact semantics:
+slop = in-order terms within a (n-1)+slop window counting distinct starts;
+bool = must/should/min_should/must_not gating with BM25 over matched terms.
+"""
+
+import math
+import shutil
+
+import pytest
+
+from elasticsearch_data_import_handler_spark.operators.dedup import dedup_latest
+from elasticsearch_data_import_handler_spark.operators.indexing import BM25_B, BM25_K1
+from elasticsearch_data_import_handler_spark.operators.textsearch import (
+    bool_query,
+    phrase_match,
+    phrase_search_slop,
+)
+from elasticsearch_data_import_handler_spark.plans.build import (
+    IndexReader,
+    build_index,
+    docs_versioned,
+)
+from elasticsearch_data_import_handler_spark.sources.corpus import synth_pages
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bsidx"))
+    pages = synth_pages(spark, 300, seed=42)
+    build_index(spark, pages, d, tau=100, n_buckets=4, positions=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(spark):
+    docs = docs_versioned(dedup_latest(synth_pages(spark, 300, seed=42)))
+    return {r["doc_id"]: list(r["tokens"])
+            for r in docs.select("doc_id", "tokens").collect()}
+
+
+def _slop_truth(tokens_by_doc, words, slop):
+    """Distinct starts of the first term with an in-order completion whose
+    span is <= (n-1)+slop — the exists-quantified brute force."""
+    maxspan = len(words) - 1 + slop
+    out = {}
+    for doc_id, toks in tokens_by_doc.items():
+        pos = {w: [i for i, t in enumerate(toks) if t == w] for w in set(words)}
+        starts = set()
+        for p1 in pos[words[0]]:
+            frontier = [p1]
+            ok = True
+            for w in words[1:]:
+                nxt = [q for q in pos[w]
+                       if any(q > f and q - p1 <= maxspan for f in frontier)]
+                if not nxt:
+                    ok = False
+                    break
+                frontier = nxt
+            if ok:
+                starts.add(p1)
+        if starts:
+            out[doc_id] = len(starts)
+    return out
+
+
+def test_phrase_slop_matches_bruteforce(spark, pos_index, doc_tokens):
+    reader = IndexReader(spark, pos_index)
+    for phrase, slop in [("the spark", 2), ("fast the spark", 3)]:
+        words = phrase.split()
+        got = {r["doc_id"]: r["n_matches"] for r in
+               phrase_search_slop(spark, reader, phrase, slop=slop).collect()}
+        exp = _slop_truth(doc_tokens, words, slop)
+        assert got == exp, f"{phrase} slop={slop}"
+        assert len(got) > 0
+
+
+def test_phrase_slop_zero_equals_contiguous_phrase(spark, pos_index):
+    """slop=0 degenerates to match_phrase: every start has exactly the
+    contiguous completion, so n_matches == n_occurrences."""
+    reader = IndexReader(spark, pos_index)
+    got = {r["doc_id"]: r["n_matches"] for r in
+           phrase_search_slop(spark, reader, "the spark", slop=0).collect()}
+    docs = docs_versioned(dedup_latest(synth_pages(spark, 300, seed=42)))
+    exp = {r["doc_id"]: r["n_occurrences"] for r in
+           phrase_match(docs.selectExpr(
+               "doc_id", "array_join(tokens, ' ') AS text"),
+               "the spark").collect()}
+    assert got == exp and len(got) > 0
+
+
+def _bm25_truth(tokens_by_doc, must, should, must_not, min_should):
+    n = len(tokens_by_doc)
+    avgdl = sum(len(t) for t in tokens_by_doc.values()) / n
+    terms = sorted(set(must) | set(should))
+    df = {w: sum(1 for t in tokens_by_doc.values() if w in t) for w in terms}
+    idf = {w: math.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5)) for w in terms}
+    out = {}
+    for doc_id, toks in tokens_by_doc.items():
+        if any(w in toks for w in must_not):
+            continue
+        hit_m = [w for w in must if w in toks]
+        hit_s = [w for w in should if w in toks]
+        if len(hit_m) != len(must) or len(hit_s) < min_should:
+            continue
+        dl = len(toks)
+        score = 0.0
+        for w in hit_m + hit_s:
+            tf = toks.count(w)
+            score += idf[w] * tf / (tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+        out[doc_id] = (len(hit_s), score)
+    return out
+
+
+def test_bool_query_matches_bruteforce(spark, pos_index, doc_tokens):
+    reader = IndexReader(spark, pos_index)
+    must, should, must_not = ["spark"], ["merge", "batch"], ["vector"]
+    got = {r["doc_id"]: (r["should_hits"], r["score"]) for r in
+           bool_query(spark, reader, must=must, should=should,
+                      must_not=must_not, min_should=1).collect()}
+    exp = _bm25_truth(doc_tokens, must, should, must_not, 1)
+    assert set(got) == set(exp)
+    assert len(got) > 0
+    for doc_id, (sh, sc) in got.items():
+        esh, esc = exp[doc_id]
+        assert sh == esh
+        assert abs(sc - esc) < 1e-9
+
+
+def test_bool_query_should_only_and_validation(spark, pos_index, doc_tokens):
+    reader = IndexReader(spark, pos_index)
+    # pure-should query (ES "or") with min_should=2
+    got = {r["doc_id"]: (r["should_hits"], r["score"]) for r in
+           bool_query(spark, reader, should=["merge", "batch", "scan"],
+                      min_should=2).collect()}
+    exp = _bm25_truth(doc_tokens, [], ["merge", "batch", "scan"], [], 2)
+    assert set(got) == set(exp) and len(got) > 0
+    with pytest.raises(ValueError):
+        bool_query(spark, reader, must=["spark"], should=["spark"])
+    with pytest.raises(ValueError):
+        bool_query(spark, reader)
