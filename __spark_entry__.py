@@ -232,7 +232,12 @@ def q_sessionize_stateful(spark, sf_dir):
     q = (sessionize_stream(stream, gap_sec=1800)
          .writeStream.format("memory").queryName(name)
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    finished = q.awaitTermination(180)
+    if not finished:
+        # fail loudly rather than deleting the source out from under a
+        # still-running query and returning a partial memory-sink table
+        q.stop()
+        raise TimeoutError("sessionize_stateful stream did not drain in 180s")
     shutil = __import__("shutil")
     shutil.rmtree(src, ignore_errors=True)  # memory sink holds the rows now
     emitted = spark.table(name)
@@ -1034,10 +1039,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE len(ctoks) >= 1"
         ),
         "stratified_sample": (
+            # thresholds in integer basis points — the operator resolves
+            # round(rate*10000) driver-side, so both engines compare against
+            # the same exact integer (no float-product truncation skew)
             "SELECT doc_id, lang, source FROM documents "
             "WHERE (('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000) < "
-            "((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 "
-            "WHEN 'fr' THEN 0.25 ELSE 0.1 END) * 10000)::BIGINT"
+            "(CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000 "
+            "WHEN 'fr' THEN 2500 ELSE 1000 END)"
         ),
         "unigram_loglik": (
             f"WITH {_SQL_TOK}, "

@@ -126,8 +126,15 @@ def upsert_table(df: DataFrame, target: str, id_field: str,
                   F.lit(UPSERT_PARTITIONS)).cast("int")
     incoming = df.withColumn("__pkey", pkey).withColumn("__gen", F.lit(1)) \
         .persist()  # read twice: affected-partition probe + the merge itself
-    exists = os.path.exists(_upsert_meta_path(target))
-    legacy_files = [] if exists else glob.glob(os.path.join(target, "*.parquet"))
+    meta_exists = os.path.exists(_upsert_meta_path(target))
+    legacy_files = glob.glob(os.path.join(target, "*.parquet"))
+    pkey_dirs = glob.glob(os.path.join(target, "__pkey=*"))
+    # The partitioned layout is evidenced by the meta file OR by __pkey dirs
+    # with no legacy top-level files: the meta file lands only AFTER the data
+    # write, so a crash between the two must not make the next upsert mistake
+    # a partitioned target for an empty one (it would dynamic-overwrite the
+    # affected partitions with incoming-only rows — silent data loss).
+    exists = meta_exists or (bool(pkey_dirs) and not legacy_files)
     if exists:
         # bounded collect: ≤ UPSERT_PARTITIONS ints (doubles as empty check)
         affected = sorted(
@@ -145,7 +152,14 @@ def upsert_table(df: DataFrame, target: str, id_field: str,
         else:
             unioned = incoming
     elif legacy_files:
-        # one-time migration of a pre-partitioned-layout target: full merge
+        # one-time migration of a pre-partitioned-layout target: full merge.
+        # __pkey dirs here are remnants of a CRASHED migration write — the
+        # legacy files (removed only after a successful write) are still the
+        # authoritative copy, so the remnants are dropped and rebuilt.
+        import shutil
+
+        for d in pkey_dirs:
+            shutil.rmtree(d, ignore_errors=True)
         existing = (spark.read.parquet(*legacy_files)
                     .withColumn("__pkey", pkey).withColumn("__gen", F.lit(0)))
         unioned = existing.unionByName(incoming)
@@ -173,10 +187,17 @@ def upsert_table(df: DataFrame, target: str, id_field: str,
     if not exists:
         for f_old in legacy_files:  # migrated into __pkey dirs above
             os.remove(f_old)
-        with open(_upsert_meta_path(target), "w") as f:
+    if not meta_exists:
+        # (re)write the meta atomically, after legacy cleanup — also heals
+        # the crashed-before-meta window where the partitioned layout was
+        # detected via __pkey dirs
+        tmp = _upsert_meta_path(target) + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"id_field": id_field, "partitions": UPSERT_PARTITIONS,
                        "partition_expr": "pmod(xxhash64(cast(id as string)), P)"},
                       f)
+        os.replace(tmp, _upsert_meta_path(target))
+    if not exists:
         return n_written
     untouched = [p for p in range(UPSERT_PARTITIONS) if p not in affected]
     return n_written + sum(_partition_row_count(target, p) for p in untouched)

@@ -59,13 +59,22 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
                       default_rate: float = 0.0) -> DataFrame:
     """Keep each row iff its deterministic hash bucket falls under the
     stratum's rate — per-language up/down-weighting with byte-reproducible
-    membership.  ``rates`` maps stratum value → keep fraction in [0, 1]."""
+    membership.  ``rates`` maps stratum value → keep fraction in [0, 1].
+
+    Rates are resolved to integer basis points ON THE DRIVER (round, not a
+    float-product truncate) so engines can't disagree on the threshold when
+    rate*10000 is inexact in binary (0.3 → 2999.999…: a truncating cast
+    gives 2999 while a DECIMAL-rounding engine gives 3000)."""
     b = sample_hash_col(id_col)
+
+    def _bps(r: float) -> int:
+        return int(round(float(r) * 10_000))
+
     rate = None
     for v, r in sorted(rates.items()):
         cond = F.col(stratum_col) == v
-        rate = F.when(cond, F.lit(float(r))) if rate is None \
-            else rate.when(cond, F.lit(float(r)))
-    rate = rate.otherwise(F.lit(float(default_rate))) if rate is not None \
-        else F.lit(float(default_rate))
-    return df.filter(b < (rate * 10_000).cast("long"))
+        rate = F.when(cond, F.lit(_bps(r))) if rate is None \
+            else rate.when(cond, F.lit(_bps(r)))
+    rate = rate.otherwise(F.lit(_bps(default_rate))) if rate is not None \
+        else F.lit(_bps(default_rate))
+    return df.filter(b < rate.cast("long"))

@@ -144,8 +144,13 @@ def _score_plain(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _score_cogrouped(pdf: pd.DataFrame, tomb: pd.DataFrame) -> pd.DataFrame:
+    """One (query-bucket, salt) group holding MULTIPLE queries' posting rows
+    plus the shard's tombstones exactly once: WAND runs per query inside."""
+    if len(pdf) == 0:
+        return _EMPTY_TOPK
     ts = np.sort(tomb["__ts_doc_id"].to_numpy(np.int64)) if len(tomb) else None
-    return _score_shard(pdf, ts)
+    outs = [_score_shard(sub, ts) for _, sub in pdf.groupby("query_id", sort=True)]
+    return pd.concat(outs, ignore_index=True) if outs else _EMPTY_TOPK
 
 
 def bm25_topk_wand(spark: SparkSession, reader, qterms: DataFrame | None = None,
@@ -163,7 +168,11 @@ def bm25_topk_wand(spark: SparkSession, reader, qterms: DataFrame | None = None,
 
     if qterms is None:
         qterms = query_terms_df(spark)
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    # one bounded collect (|queries|×|terms| rows) feeds both the pruned
+    # postings scan and the query-bucket count — no extra jobs
+    qt_rows = qterms.select("query_id", "term").distinct().collect()
+    terms = sorted({r["term"] for r in qt_rows})
+    n_queries = len({r["query_id"] for r in qt_rows})
     post = reader.postings_for_terms(terms)
     q_lex = qterms.join(reader.lexicon().select("term", "idf"), "term")
     avgdl = F.broadcast(reader.corpus_stats().select("avgdl"))
@@ -174,22 +183,32 @@ def bm25_topk_wand(spark: SparkSession, reader, qterms: DataFrame | None = None,
         shard_topk = joined.groupBy("query_id", "salt").applyInPandas(
             _score_plain, schema=schema)
     else:
-        # tombstones keyed like the postings groups: same doc-hash salt,
-        # crossed with the (tiny) query-id set — cogrouped so each shard
-        # scorer gets exactly its shard's deleted ids, fully distributed.
-        # Fresh aliases guard against the Spark 4.1 shared-lineage cogroup
-        # pruning bug (see operators/asof.py).
-        qids = F.broadcast(qterms.select("query_id").distinct())
+        # Tombstones cogrouped with the postings groups on (query-BUCKET,
+        # salt), not (query_id, salt): replicating each tombstone row per
+        # query would shuffle |tombstones| × |queries| rows — multiplicative
+        # blow-up for batched querying over an unbounded delete set.  With
+        # B ≈ √|queries| buckets each tombstone travels B times while each
+        # group holds ~√|queries| queries' postings (still bounded by
+        # |terms|·τ per query) — the balanced replication/group-size point.
+        # The scorer iterates queries inside the group.  Fresh aliases guard
+        # against the Spark 4.1 shared-lineage cogroup pruning bug (see
+        # operators/asof.py).
+        n_qb = max(1, int(round(n_queries ** 0.5)))
+        qb = F.pmod(F.xxhash64(F.col("query_id").cast("bigint")),
+                    F.lit(n_qb)).cast("int")
+        joined_b = joined.withColumn("__qbucket", qb)
+        buckets = spark.range(n_qb).select(
+            F.col("id").cast("int").alias("__ts_qbucket"))
         tomb_keyed = (
             tomb.select(
                 F.col("doc_id").alias("__ts_doc_id"),
                 F.pmod(F.xxhash64("doc_id"), F.lit(reader.state.s_shards))
                 .cast("int").alias("__ts_salt"))
-            .crossJoin(qids.select(F.col("query_id").alias("__ts_query_id")))
+            .crossJoin(F.broadcast(buckets))
         )
         shard_topk = (
-            joined.groupBy("query_id", "salt")
-            .cogroup(tomb_keyed.groupBy("__ts_query_id", "__ts_salt"))
+            joined_b.groupBy("__qbucket", "salt")
+            .cogroup(tomb_keyed.groupBy("__ts_qbucket", "__ts_salt"))
             .applyInPandas(_score_cogrouped, schema=schema)
         )
     with_k = shard_topk.join(

@@ -496,7 +496,14 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
                 f"index {index_dir} was built with analyzer {st.analyzer}; "
                 "an index has one analysis chain — rebuild to change it")
         analyzer = st.analyzer or None
-        positions = positions or st.has_positions
+        if positions and not st.has_positions:
+            # mirror the analyzer conflict check: silently half-honoring the
+            # flag would write an orphaned positions/batch=K segment that
+            # phrase_search (gated on state.has_positions) can never use
+            raise ValueError(
+                f"index {index_dir} was built without positions=True; "
+                "an index has one positions setting — rebuild to change it")
+        positions = st.has_positions
     else:
         st.analyzer = analyzer or {}
         st.has_positions = bool(positions)

@@ -136,3 +136,53 @@ def test_upsert_touches_only_affected_partitions(spark, tmp_path):
     out = spark.read.parquet(target)
     assert out.filter("k = 7").first()["v"] == 999
     assert out.count() == 200
+
+
+def test_upsert_survives_crash_before_meta_write(spark, tmp_path):
+    """Crash window: data written into __pkey dirs but the meta file never
+    landed.  The next upsert must still recognize the partitioned layout
+    (else it would dynamic-overwrite affected partitions with incoming-only
+    rows — silent data loss)."""
+    import os
+
+    from elasticsearch_data_import_handler_spark.app import (
+        _upsert_meta_path, upsert_table)
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "crash_tbl")
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    assert upsert_table(base, target, "k", "") == 200
+    os.remove(_upsert_meta_path(target))  # simulate the crash window
+    one = spark.createDataFrame([(7, 999)], "k long, v long")
+    assert upsert_table(one, target, "k", "") == 200
+    out = spark.read.parquet(target)
+    assert out.count() == 200
+    assert out.filter("k = 7").first()["v"] == 999
+    assert os.path.exists(_upsert_meta_path(target))  # meta restored
+
+
+def test_upsert_migration_retry_after_crash(spark, tmp_path):
+    """A legacy (top-level parquet) target whose first migration crashed
+    mid-write leaves stray __pkey dirs next to the still-authoritative
+    legacy files — the retried migration must rebuild from the legacy files
+    and drop the remnants."""
+    import glob
+    import os
+
+    from elasticsearch_data_import_handler_spark.app import upsert_table
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "legacy_tbl")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    base.coalesce(1).write.parquet(target)  # legacy layout
+    # stray remnant of a crashed migration: a partition with ghost rows
+    spark.createDataFrame([(12345, -1)], "k long, v long") \
+        .write.parquet(os.path.join(target, "__pkey=3"))
+    one = spark.createDataFrame([(7, 999)], "k long, v long")
+    assert upsert_table(one, target, "k", "") == 100
+    out = spark.read.parquet(target)
+    assert out.count() == 100  # ghost row gone, legacy rows intact
+    assert out.filter("k = 7").first()["v"] == 999
+    assert not glob.glob(os.path.join(target, "*.parquet"))  # migrated

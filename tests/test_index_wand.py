@@ -137,3 +137,19 @@ def test_compaction_preserves_positions(spark, tmp_path):
              phrase_search_index(spark, IndexReader(spark, d),
                                  "the spark").collect()}
     assert before == after and len(after) > 0
+
+
+def test_positions_flag_conflict_raises(spark, tmp_path):
+    """positions=True on a later batch of an index built WITHOUT positions
+    must raise (mirror of the analyzer conflict check) instead of silently
+    writing an orphaned positions segment the reader can never use."""
+    import elasticsearch_data_import_handler_spark.plans.build as B
+
+    d = str(tmp_path / "posconf")
+    b0 = synth_pages(spark, 100, seed=42, batches=2, batch=0)
+    b1 = synth_pages(spark, 100, seed=42, batches=2, batch=1)
+    with BuildLock(d):
+        B.commit_batch(spark, b0, d, 0, tau=100, n_buckets=4)
+        with pytest.raises(ValueError, match="positions"):
+            B.commit_batch(spark, b1, d, 1, tau=100, n_buckets=4,
+                           positions=True)
