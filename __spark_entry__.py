@@ -43,6 +43,67 @@ _SQL_STATS = "stats AS (SELECT count(*)::BIGINT AS n_docs, sum(doc_len)::BIGINT 
 _SQL_DF = "dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)"
 
 
+def _ivf_kmeans_sql(n_queries: int = 5, k: int = 10, n_probe: int = 4,
+                    k_cells: int = 16, iters: int = 3, dim: int = 64) -> str:
+    """DuckDB replay of operators.similarity.ivf_topk INCLUDING its k-means
+    training loop: every step is integer-exact (quantized dots, index
+    tie-breaks, floor-of-mean updates), so the unrolled Lloyd iterations
+    land on bit-identical centroids and the final top-k hash-matches."""
+    dots = (f"list_sum(list_transform(range(1, {dim + 1}), "
+            "i -> z.q[i]*c.c[i]))::DOUBLE")
+    cnorm = "sqrt(greatest(list_sum(list_transform(c.c, x -> x*x)), 1)::DOUBLE)"
+    parts = [
+        "qz AS (SELECT vec_id, embedding, list_transform(embedding, "
+        "x -> floor(x::DOUBLE*1000)::BIGINT) AS q FROM embeddings)",
+        f"cand AS (SELECT vec_id, q FROM qz WHERE vec_id >= {n_queries})",
+        "seeds AS (SELECT vec_id, row_number() OVER ("
+        "ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell FROM cand "
+        f"ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k_cells})",
+        "c0 AS (SELECT s.cell, z.q AS c FROM seeds s JOIN cand z USING (vec_id))",
+        "ex AS (SELECT vec_id, unnest(q) AS val, "
+        "generate_subscripts(q, 1) - 1 AS pos FROM cand)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts += [
+            f"a{i} AS (SELECT z.vec_id, c.cell, {dots} / {cnorm} AS sim "
+            f"FROM cand z CROSS JOIN {prev} c)",
+            f"b{i} AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, "
+            "row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY sim DESC, cell ASC) AS r FROM a{i}) WHERE r = 1)",
+            f"s{i} AS (SELECT b.cell, e.pos, sum(e.val) AS s, "
+            f"count(*) AS n FROM b{i} b JOIN ex e USING (vec_id) "
+            "GROUP BY b.cell, e.pos)",
+            f"p{i} AS (SELECT cell, unnest(c) AS val, "
+            f"generate_subscripts(c, 1) - 1 AS pos FROM {prev})",
+            f"n{i} AS (SELECT p.cell, p.pos, CASE WHEN s.s IS NULL THEN p.val "
+            f"ELSE floor(s.s * 1.0 / s.n)::BIGINT END AS val FROM p{i} p "
+            f"LEFT JOIN s{i} s ON s.cell = p.cell AND s.pos = p.pos)",
+            f"c{i} AS (SELECT cell, list(val ORDER BY pos) AS c "
+            f"FROM n{i} GROUP BY cell)",
+        ]
+    parts += [
+        f"af AS (SELECT z.vec_id, c.cell, {dots} / {cnorm} AS sim "
+        f"FROM qz z CROSS JOIN c{iters} c)",
+        "rf AS (SELECT vec_id, cell, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS crank FROM af)",
+        f"cc AS (SELECT vec_id, cell FROM rf WHERE vec_id >= {n_queries} "
+        "AND crank = 1)",
+        f"qq AS (SELECT vec_id AS query_id, cell FROM rf "
+        f"WHERE vec_id < {n_queries} AND crank <= {n_probe})",
+        "sc AS (SELECT q.query_id, c.vec_id, list_cosine_similarity("
+        "eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) AS cos "
+        "FROM qq q JOIN cc c USING (cell) "
+        "JOIN embeddings eq ON eq.vec_id = q.query_id "
+        "JOIN embeddings ec ON ec.vec_id = c.vec_id)",
+        "r2 AS (SELECT query_id, vec_id, cos, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM sc)",
+    ]
+    return ("WITH " + ", ".join(parts)
+            + f" SELECT query_id, rank, vec_id, round(cos, 4) AS cos "
+              f"FROM r2 WHERE rank <= {k}")
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -442,10 +503,12 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN: deterministic coarse quantizer, integer-exact cell
-    assignment, n_probe cells per query, exact cosine re-rank."""
+    """IVF ANN with a TRAINED coarse quantizer: deterministic integer
+    Lloyd k-means (md5-seeded, 3 iterations), matmul cell assignment,
+    n_probe cells per query, exact cosine re-rank.  The DuckDB oracle
+    replays the entire training loop bit-identically."""
     return SIM.ivf_topk(_read(spark, sf_dir, "embeddings"), n_queries=5,
-                        k=10, n_probe=4)
+                        k=10, n_probe=4, k_cells=16, iters=3)
 
 
 def q_range_join(spark, sf_dir):
@@ -1117,31 +1180,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN embeddings eb ON eb.vec_id = id_b) "
             f"WHERE cos >= {NEARDUP_COS}"
         ),
-        "ann_ivf": (
-            "WITH qz AS (SELECT vec_id, embedding, "
-            "list_transform(embedding, x -> floor(x::DOUBLE*1000)::BIGINT) AS q "
-            "FROM embeddings), "
-            "cents AS (SELECT vec_id AS cent_id, q AS qc FROM qz "
-            "WHERE vec_id >= 5 AND vec_id % 31 = 6), "
-            "assign AS (SELECT z.vec_id, z.embedding, c.cent_id, "
-            "list_sum(list_transform(range(1, 65), i -> z.q[i]*c.qc[i]))::DOUBLE "
-            "/ sqrt(list_sum(list_transform(c.qc, x -> x*x))::DOUBLE) AS csim "
-            "FROM qz z CROSS JOIN cents c), "
-            "rankedc AS (SELECT vec_id, embedding, cent_id, row_number() OVER ("
-            "PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS crank "
-            "FROM assign), "
-            "cand AS (SELECT vec_id, embedding, cent_id FROM rankedc "
-            "WHERE vec_id >= 5 AND crank = 1), "
-            "qry AS (SELECT vec_id AS query_id, embedding AS qe, cent_id "
-            "FROM rankedc WHERE vec_id < 5 AND crank <= 4), "
-            "sc AS (SELECT query_id, c.vec_id, list_cosine_similarity("
-            "qe::DOUBLE[], c.embedding::DOUBLE[]) AS cos "
-            "FROM qry JOIN cand c USING (cent_id)), "
-            "r2 AS (SELECT query_id, vec_id, cos, row_number() OVER ("
-            "PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM sc) "
-            "SELECT query_id, rank, vec_id, round(cos, 4) AS cos FROM r2 "
-            "WHERE rank <= 10"
-        ),
+        "ann_ivf": _ivf_kmeans_sql(),
         "ann_lsh": (
             f"WITH {srp_chain}, "
             "cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS vec_id "

@@ -32,6 +32,32 @@ def _norm(a):
     )
 
 
+def cosine_pairs(pairs: DataFrame, a_col: str, b_col: str, out_cols: list[str],
+                 threshold: float | None = None) -> DataFrame:
+    """Row-wise cosine over two vector columns as ONE einsum per Arrow batch
+    (the zip_with/aggregate HOF fold is interpreted per element: dim ops ×
+    millions of pairs).  Keeps ``out_cols`` (must be bigint ids) and appends
+    ``cos``; optionally filters to cos ≥ threshold inside the kernel so
+    sub-threshold pairs never cross the Arrow boundary back."""
+    import numpy as np
+    import pandas as pd
+
+    def _verify(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf[a_col].tolist(), dtype=np.float64)
+            B = np.array(pdf[b_col].tolist(), dtype=np.float64)
+            cos = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+            out = pd.DataFrame({c: pdf[c] for c in out_cols})
+            out["cos"] = cos
+            yield out[out["cos"] >= threshold] if threshold is not None else out
+
+    schema = ", ".join(f"{c} long" for c in out_cols) + ", cos double"
+    return pairs.mapInPandas(_verify, schema=schema)
+
+
 def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 method: str = "matmul") -> DataFrame:
@@ -104,15 +130,12 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.92,
         F.col(bucket_col).alias("bucket"), F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(b, "bucket").filter(F.col("a.id") < F.col("b.id"))
-    cos = _dot(F.col("a.vec"), F.col("b.vec")) / (_norm(F.col("a.vec")) * _norm(F.col("b.vec")))
-    return (
-        pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     cos.alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
-    )
+    a = e.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = e.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (cosine_pairs(pairs, "va", "vb", ["id_a", "id_b"],
+                         threshold=threshold)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cos")))
 
 
 def rademacher_sign(tbl: int, plane: int, dim_idx: int) -> int:
@@ -147,18 +170,24 @@ def srp_signatures(embeddings: DataFrame, n_planes: int = 4, n_tables: int = 8,
     import numpy as np
     import pandas as pd
 
-    dim = len(embeddings.select(vec_col).first()[0])  # schema probe: 1 row
-    P = np.array([[rademacher_sign(t, j, d) for d in range(dim)]
-                  for t in range(n_tables) for j in range(n_planes)],
-                 dtype=np.int64)
     weights = np.array([1 << (n_planes - 1 - j) for j in range(n_planes)],
                        dtype=np.int64)
     tbls = np.arange(n_tables, dtype=np.int32)
 
     def _sigs(it):
+        P = None  # plane matrix built per task from the first batch's dim —
+        # rademacher_sign is a pure md5 derivation (T·J·dim hashes, ~µs),
+        # cheaper than the extra Spark job a driver-side .first() probe costs
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             V = np.floor(np.array(pdf["__vec"].tolist(),
                                   dtype=np.float64) * 1000.0).astype(np.int64)
+            if P is None:
+                dim = V.shape[1]
+                P = np.array([[rademacher_sign(t, j, d) for d in range(dim)]
+                              for t in range(n_tables) for j in range(n_planes)],
+                             dtype=np.int64)
             bits = (V @ P.T > 0).astype(np.int64)          # n × (T·J)
             sig = bits.reshape(len(pdf), n_tables, n_planes) @ weights  # n × T
             yield pd.DataFrame({
@@ -201,11 +230,8 @@ def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")))
     ce = embeddings.select(F.col(id_col).alias("vec_id"),
                            F.col(vec_col).alias("cvec"))
-    scored = cand.join(qe, "query_id").join(ce, "vec_id").select(
-        "query_id", "vec_id",
-        (_dot(F.col("qvec"), F.col("cvec"))
-         / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias("cos"),
-    )
+    scored = cosine_pairs(cand.join(qe, "query_id").join(ce, "vec_id"),
+                          "qvec", "cvec", ["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -223,9 +249,6 @@ def embedding_neardup_lsh(embeddings: DataFrame, threshold: float = 0.35,
     (same-bucket in ANY table), then exact cosine verification.  Candidate
     count is Σ_bucket |bucket|² per table — controlled by n_planes; never
     all-pairs.  → (id_a, id_b, cos) with cos ≥ threshold."""
-    import numpy as np
-    import pandas as pd
-
     # candidate generation on (id, tbl, sig) ONLY — vectors must not travel
     # through the bucket self-join + distinct (they'd be shuffled per
     # candidate pair); they are joined back once per surviving pair
@@ -240,71 +263,154 @@ def embedding_neardup_lsh(embeddings: DataFrame, threshold: float = 0.35,
     eb = embeddings.select(F.col(id_col).alias("id_b"),
                            F.col(vec_col).alias("vb"))
     pairs = cand.join(ea, "id_a").join(eb, "id_b")
-
-    def _verify(it):
-        # row-wise cosine as ONE einsum per Arrow batch (the HOF fold is
-        # interpreted per element: 64 ops × millions of pairs)
-        for pdf in it:
-            A = np.array(pdf["va"].tolist(), dtype=np.float64)
-            B = np.array(pdf["vb"].tolist(), dtype=np.float64)
-            cos = np.einsum("ij,ij->i", A, B) / (
-                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
-            out = pd.DataFrame({
-                "id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos": cos})
-            yield out[out["cos"] >= threshold]
-
-    return (pairs.mapInPandas(_verify, schema="id_a long, id_b long, cos double")
+    return (cosine_pairs(pairs, "va", "vb", ["id_a", "id_b"],
+                         threshold=threshold)
             .select("id_a", "id_b", F.round("cos", 4).alias("cos")))
 
 
 def ivf_centroids_filter(id_col: str = "vec_id"):
-    """Deterministic IVF 'training': the coarse quantizer's centroids are the
-    candidate vectors with id % 31 == 6 — a closed-form stand-in for k-means
-    (any engine can regenerate the set; a real deployment plugs trained
-    centroids in without touching the query plan)."""
+    """The round-2 closed-form stand-in quantizer (centroids = vectors with
+    id % 31 == 6).  Superseded by ``kmeans_centroids`` — kept as the
+    zero-training fallback and for recall comparisons in tests."""
     return (F.col(id_col) % 31 == 6)
 
 
-def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
-             n_probe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """IVF (inverted-file) ANN: assign every candidate vector to its nearest
-    coarse centroid, probe the query's ``n_probe`` nearest cells, exact
-    cosine re-rank inside the probed cells.
+def _cell_norms(C):
+    """Per-centroid L2 norms of the integer centroid matrix, with a
+    zero-vector guard (an all-zero updated centroid would divide by zero —
+    the guard maps its sims to 0, same as the oracle's greatest(·, 1))."""
+    import numpy as np
 
-    Cell assignment uses integer-quantized dots with sqrt only on exact
-    integers (IEEE-deterministic in any engine) and centroid-id tie-breaks,
-    so the partition of the corpus into cells is bit-reproducible in the
-    DuckDB oracle.  At 100 TB the assigned table is persisted partitioned
-    by cell id: a query scans n_probe partitions (partition pruning), the
-    IVF analog of the LSH table layout."""
-    cents = F.broadcast(
-        embeddings.filter((F.col(id_col) >= n_queries) & ivf_centroids_filter(id_col))
-        .select(F.col(id_col).alias("cent_id"),
-                quantized_vec(vec_col).alias("qc")))
-    qall = embeddings.withColumn("__qv", quantized_vec(vec_col))
-    qdot = F.aggregate(F.zip_with(F.col("__qv"), F.col("qc"), lambda x, y: x * y),
-                       F.lit(0).cast("long"), lambda acc, v: acc + v)
-    qcnorm = F.sqrt(F.aggregate(F.col("qc"), F.lit(0).cast("long"),
-                                lambda acc, v: acc + v * v).cast("double"))
-    sim = (qdot.cast("double") / qcnorm).alias("csim")
-    scored_cells = qall.crossJoin(cents).select(
-        id_col, vec_col, "cent_id", sim)
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.desc("csim"), F.asc("cent_id"))
-    ranked_cells = scored_cells.withColumn("crank", F.row_number().over(w_assign))
-    # candidates: nearest cell only; queries: top n_probe cells
-    cand = (ranked_cells.filter((F.col(id_col) >= n_queries) & (F.col("crank") == 1))
-            .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
-                    "cent_id"))
+    sq = (C * C).sum(axis=1)
+    return np.sqrt(np.maximum(sq, 1).astype(np.float64))
+
+
+def _assign_cells(df: DataFrame, C, n_probe: int, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """(id, cell, crank ≤ n_probe): nearest-centroid ranks per vector as one
+    int64 matmul per Arrow batch against the closed-over centroid matrix —
+    the srp_signatures kernel shape, replacing the round-2
+    crossJoin(centroids) + interpreted-HOF dot (O(n·C·dim) lambda evals).
+
+    Ranking metric: dot(floor(v·1000), c) / ||c|| with integer dots (exact in
+    any engine) and stable index tie-break — bit-reproducible in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    Cm = C.copy()
+    norms = _cell_norms(Cm)
+    p = min(n_probe, Cm.shape[0])
+
+    def _assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.floor(np.array(pdf["__v"].tolist(),
+                                  dtype=np.float64) * 1000.0).astype(np.int64)
+            S = (V @ Cm.T) / norms          # exact int dot / exact sqrt
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :p]  # ties → low cell
+            n = len(pdf)
+            yield pd.DataFrame({
+                "id": np.repeat(pdf["__id"].to_numpy(np.int64), p),
+                "cell": idx.ravel().astype(np.int32),
+                "crank": np.tile(np.arange(1, p + 1, dtype=np.int32), n),
+            })
+
+    return df.select(F.col(id_col).alias("__id"),
+                     F.col(vec_col).alias("__v")) \
+        .mapInPandas(_assign, schema="id long, cell int, crank int") \
+        .withColumnRenamed("id", id_col)
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = 16, iters: int = 3,
+                     n_queries: int = 0, id_col: str = "vec_id",
+                     vec_col: str = "embedding"):
+    """Deterministic Lloyd k-means for the IVF coarse quantizer, as
+    DataFrame ops — returns the k×dim int64 centroid matrix (cell = row).
+
+    Every step is bit-reproducible in any engine (the DuckDB oracle replays
+    the whole loop):
+
+    * init: the k candidate vectors with smallest md5(id) hex (byte-lexical,
+      id tie-break), quantized to floor(x·1000) ints;
+    * assign: integer dot / ||c|| argmax via the matmul kernel — one pass,
+      no shuffle;
+    * update: element-wise floor(Σ quantized / count) — integer sums are
+      summation-order-free, so engines can't drift; an emptied cell keeps
+      its previous centroid.
+
+    Per iteration: one kernel pass + one (cell, pos) aggregation shuffle +
+    a k×dim driver collect (metadata-scale at any corpus size — this is the
+    standard scalable Lloyd formulation)."""
+    import numpy as np
+
+    cand = embeddings.filter(F.col(id_col) >= n_queries).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        quantized_vec(vec_col).alias("__q"))
+    seed_rows = (cand.select("__id",
+                             F.md5(F.col("__id").cast("string")).alias("__h"))
+                 .orderBy("__h", "__id").limit(k).collect())
+    seed_ids = [r["__id"] for r in seed_rows]
+    qmap = {r["__id"]: list(r["__q"]) for r in
+            cand.filter(F.col("__id").isin(seed_ids))
+            .select("__id", "__q").collect()}
+    C = np.array([qmap[i] for i in seed_ids], dtype=np.int64)
+    dim = C.shape[1]
+    for _ in range(iters):
+        assigned = _assign_cells(cand, C, n_probe=1, id_col="__id",
+                                 vec_col="__v")
+        sums = (assigned.join(cand.select("__id", "__q"), "__id")
+                .select("cell", F.posexplode("__q").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect())  # ≤ k×dim rows
+        Cn = C.copy()  # emptied cells keep their previous centroid
+        acc = {}
+        for r in sums:
+            acc.setdefault(r["cell"], ([0] * dim, [0] * dim))
+            acc[r["cell"]][0][r["pos"]] = r["s"]
+            acc[r["cell"]][1][r["pos"]] = r["n"]
+        for cell, (s, n) in acc.items():
+            s = np.array(s, dtype=np.float64)
+            n = np.array(n, dtype=np.float64)
+            Cn[cell] = np.floor(s / n).astype(np.int64)
+        C = Cn
+    return C
+
+
+def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+             n_probe: int = 4, k_cells: int = 16, iters: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids=None) -> DataFrame:
+    """IVF (inverted-file) ANN: train a deterministic k-means coarse
+    quantizer, assign every candidate vector to its nearest cell, probe the
+    query's ``n_probe`` nearest cells, exact cosine re-rank (einsum kernel)
+    inside the probed cells.
+
+    Assignment is one int64 matmul per Arrow batch against the broadcast
+    (closure) centroid matrix — no crossJoin, no interpreted HOFs — and is
+    bit-reproducible in the DuckDB oracle (integer dots, exact sqrt, index
+    tie-break).  At 100 TB the assigned table is persisted partitioned by
+    cell id: a query scans n_probe partitions (partition pruning), the IVF
+    analog of the LSH table layout; training cost is iters passes with a
+    (cell, pos)-sized shuffle each."""
+    C = centroids if centroids is not None else kmeans_centroids(
+        embeddings, k=k_cells, iters=iters, n_queries=n_queries,
+        id_col=id_col, vec_col=vec_col)
+    assigned = _assign_cells(embeddings, C, n_probe=n_probe,
+                             id_col=id_col, vec_col=vec_col)
+    cand = (assigned.filter((F.col(id_col) >= n_queries) & (F.col("crank") == 1))
+            .select(F.col(id_col).alias("vec_id"), "cell"))
     qry = F.broadcast(
-        ranked_cells.filter((F.col(id_col) < n_queries) & (F.col("crank") <= n_probe))
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-                "cent_id"))
-    scored = qry.join(cand, "cent_id").select(
-        "query_id", "vec_id",
-        (_dot(F.col("qvec"), F.col("cvec"))
-         / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias("cos"))
+        assigned.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), "cell"))
+    pairs = qry.join(cand, "cell").select("query_id", "vec_id")
+    qe = F.broadcast(embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")))
+    ce = embeddings.select(F.col(id_col).alias("vec_id"),
+                           F.col(vec_col).alias("cvec"))
+    scored = cosine_pairs(pairs.join(qe, "query_id").join(ce, "vec_id"),
+                          "qvec", "cvec", ["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)

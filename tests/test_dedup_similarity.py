@@ -126,3 +126,40 @@ def test_minhash_verified_subset_of_exact(spark, sf_dir):
                                 n=3, threshold=0.3).collect()}
     for pair, j in ver.items():
         assert pair in allp and abs(allp[pair] - j) < 1e-6  # op rounds to 6dp
+
+
+def test_ivf_trained_recall_at_least_closed_form(spark, sf_dir):
+    """The k-means-trained coarse quantizer must recall at least as much of
+    the exact top-10 as the round-2 closed-form stand-in (ids % 31 == 6),
+    and its assignment stage must plan as a kernel + equi-joins — no
+    crossJoin of all vectors x centroids, no nested-loop join."""
+    from elasticsearch_data_import_handler_spark.operators.similarity import (
+        ivf_centroids_filter, ivf_topk, quantized_vec)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, n_queries=5, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def mean_recall(rows):
+        sets = {}
+        for r in rows:
+            sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(exact_sets[q] & sets.get(q, set())) / len(exact_sets[q])
+                   for q in exact_sets) / len(exact_sets)
+
+    # closed-form quantizer via the centroids override
+    cf = np.array([list(r["q"]) for r in
+                   emb.filter((F.col("vec_id") >= 5)
+                              & ivf_centroids_filter())
+                   .select(quantized_vec().alias("q"))
+                   .orderBy("vec_id").collect()], dtype=np.int64)
+    trained_df = ivf_topk(emb, n_queries=5, k=10, n_probe=4)
+    r_trained = mean_recall(trained_df.collect())
+    r_cf = mean_recall(
+        ivf_topk(emb, n_queries=5, k=10, n_probe=4, centroids=cf).collect())
+    assert r_trained >= r_cf, (r_trained, r_cf)
+    plan = trained_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
