@@ -440,11 +440,45 @@ def _idf_expr(n_docs: int):
 
 
 def _read_tombstones(spark: SparkSession, index_dir: str, committed: list[int]):
-    dirs = _batch_dirs(index_dir, "tombstones", committed)
+    """Tombstoned doc_ids across committed batches.  Tombstones live as the
+    ``__t=t`` partition of each batch's doc_stats dataset (written in the
+    same job as the doc rows — one action per commit); the standalone
+    ``tombstones/batch=K`` layout from older indexes is still honored."""
+    dirs = []
+    for b in committed:
+        d = f"{index_dir}/doc_stats/batch={b}/__t=t"
+        if glob.glob(f"{d}/*.parquet"):
+            dirs.append(d)
+        legacy = f"{index_dir}/tombstones/batch={b}"
+        if os.path.isdir(legacy) and glob.glob(f"{legacy}/*.parquet"):
+            dirs.append(legacy)
     if not dirs:
         return None
-    return spark.read.option("basePath", f"{index_dir}/tombstones").parquet(*dirs) \
-        .select("doc_id").distinct()
+    return spark.read.parquet(*dirs).select("doc_id").distinct()
+
+
+def _docstats_dirs(index_dir: str, committed: list[int]) -> list[str]:
+    """Per-batch doc-row dirs: the ``__t=d`` partition when the batch was
+    written by the folded single-job path, else the flat legacy/compacted
+    layout.  Returning leaf dirs keeps tombstone rows out of every doc_stats
+    scan by partition pruning on path alone."""
+    out = []
+    for b in committed:
+        d = f"{index_dir}/doc_stats/batch={b}"
+        if glob.glob(f"{d}/__t=d/*.parquet"):
+            out.append(f"{d}/__t=d")
+        elif os.path.isdir(d) and glob.glob(f"{d}/*.parquet"):
+            out.append(d)
+    return out
+
+
+def _read_doc_stats(spark: SparkSession, index_dir: str,
+                    committed: list[int]) -> DataFrame | None:
+    dirs = _docstats_dirs(index_dir, committed)
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).select("doc_id", "url", "warc_ts",
+                                            "doc_len")
 
 
 def build_positions(docs: DataFrame, n_buckets: int,
@@ -511,23 +545,38 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
     b = dedup_latest(pages_batch) if dedup else pages_batch
     docs = docs_versioned(b, analyzer)
     existing = None
-    if committed and _batch_dirs(index_dir, "doc_stats", committed):
-        existing = spark.read.option("basePath", f"{index_dir}/doc_stats").parquet(
-            *_batch_dirs(index_dir, "doc_stats", committed)
-        ).select("doc_id", "url", "warc_ts", "doc_len")
+    if committed:
+        existing = _read_doc_stats(spark, index_dir, committed)
     kept, tombs = _resolve_upserts(docs, existing)
     kept = kept.persist()
 
-    # ONE job: write doc_stats while observing (n_docs, sum_dl) in-flight —
-    # the Observation API collects scalar stats during the write action, so
-    # corpus stats cost zero extra passes at any scale
+    # ONE job writes BOTH doc rows and tombstones (partitions __t=d / __t=t
+    # of the same dataset) while observing all four scalars in-flight — the
+    # round-2 layout spent a second action (+ full plan recompute) on the
+    # tombstone write; folding it shaves the per-commit Amdahl constant and
+    # the Observation API keeps corpus stats at zero extra passes
     timings: dict[str, float] = {}
     t_phase = time.time()
     obs = Observation(f"docstats_b{batch_id}")
-    (kept.select("doc_id", "url", "warc_ts", "doc_len")
-     .observe(obs, F.count(F.lit(1)).alias("n_docs"),
-              F.coalesce(F.sum("doc_len"), F.lit(0)).alias("sum_dl"))
-     .write.mode("overwrite").parquet(f"{index_dir}/doc_stats/batch={batch_id}"))
+    out_rows = kept.select("doc_id", "url", "warc_ts", "doc_len",
+                           F.lit("d").alias("__t"))
+    if tombs is not None:
+        out_rows = out_rows.unionByName(tombs.select(
+            "doc_id", F.lit(None).cast("string").alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"), "doc_len",
+            F.lit("t").alias("__t")))
+    (out_rows
+     .observe(obs,
+              F.coalesce(F.sum(F.when(F.col("__t") == "d", 1)),
+                         F.lit(0)).alias("n_docs"),
+              F.coalesce(F.sum(F.when(F.col("__t") == "d", F.col("doc_len"))),
+                         F.lit(0)).alias("sum_dl"),
+              F.coalesce(F.sum(F.when(F.col("__t") == "t", 1)),
+                         F.lit(0)).alias("n_tombs"),
+              F.coalesce(F.sum(F.when(F.col("__t") == "t", F.col("doc_len"))),
+                         F.lit(0)).alias("tomb_dl"))
+     .write.mode("overwrite").partitionBy("__t")
+     .parquet(f"{index_dir}/doc_stats/batch={batch_id}"))
     observed = obs.get
     timings["doc_stats"] = round(time.time() - t_phase, 2)
     n_docs = int(observed["n_docs"])
@@ -551,19 +600,9 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
         else:
             s_shards = _next_pow2(max(1, (n_docs + tau - 1) // tau))
 
-    # tombstones: distributed write, counts observed in-flight (no toPandas)
-    t_phase = time.time()
-    n_tombs, tomb_dl = 0, 0
-    if tombs is not None:
-        tombs = tombs.persist()
-        tobs = Observation(f"tombs_b{batch_id}")
-        (tombs.observe(tobs, F.count(F.lit(1)).alias("n"),
-                       F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"))
-         .write.mode("overwrite").parquet(f"{index_dir}/tombstones/batch={batch_id}"))
-        n_tombs = int(tobs.get["n"])
-        tomb_dl = int(tobs.get["dl"])
-
-    timings["tombstones"] = round(time.time() - t_phase, 2)
+    # tombstone counts came out of the same Observation — no second action
+    n_tombs = int(observed["n_tombs"])
+    tomb_dl = int(observed["tomb_dl"])
     t_phase = time.time()
     # Size the encode shuffle from the DATA, not the core count: sum_dl is
     # the exact occurrence count (already observed during the doc_stats
@@ -595,7 +634,13 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
     t_phase = time.time()
     corr = None
     if n_tombs:
-        corr = _df_corrections_df(spark, index_dir, committed, tombs, s_shards)
+        # read the tombstones just materialized by the folded write — a
+        # vocab-free leaf-dir scan, instead of recomputing the upsert join
+        tombs_mat = spark.read.parquet(
+            f"{index_dir}/doc_stats/batch={batch_id}/__t=t") \
+            .select("doc_id", "doc_len")
+        corr = _df_corrections_df(spark, index_dir, committed, tombs_mat,
+                                  s_shards)
         if corr is not None:
             corr.write.mode("overwrite").parquet(
                 f"{index_dir}/df_corrections/batch={batch_id}")
@@ -612,8 +657,6 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
     _write_lexicon_gen(spark, index_dir, batch_id, committed, corr)
     timings["stats_lexicon"] = round(time.time() - t_phase, 2)
     kept.unpersist()
-    if tombs is not None:
-        tombs.unpersist()
 
     wall_ms = int((time.time() - t0) * 1000)
     append_lineage(index_dir, [lineage_row(st.build_id or new_build_id(), batch_id,
@@ -680,8 +723,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     committed = st.committed_batches
     new_b = max(committed) + 1
     tomb = _read_tombstones(spark, index_dir, committed)
-    ds = spark.read.option("basePath", f"{index_dir}/doc_stats").parquet(
-        *_batch_dirs(index_dir, "doc_stats", committed))
+    ds = _read_doc_stats(spark, index_dir, committed)
     active = ds.join(tomb, "doc_id", "left_anti") if tomb is not None else ds
 
     post = spark.read.option("basePath", f"{index_dir}/postings").parquet(
@@ -709,7 +751,15 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         .withColumn("term_id", F.xxhash64("term")).drop("term")
     if tomb is not None:
         decoded = decoded.join(tomb, "doc_id", "left_anti")
-    p = spark.sparkContext.defaultParallelism
+    # Size the re-encode shuffle from the DATA, not the core count — the
+    # same ~48 B/occurrence rule as commit_batch: compaction folds the WHOLE
+    # index, so a core-count partition count is the first thing to spill at
+    # scale.  Committed cstats already hold the active occurrence total
+    # (tombstoned doc_len subtracted at commit time) — a driver-side
+    # metadata read, no extra job.
+    _, sum_dl_active = _read_cstats(index_dir, committed)
+    p = max(spark.sparkContext.defaultParallelism,
+            int(sum_dl_active) * 48 // (128 << 20) + 1)
     part = (decoded.repartition(p, "term_id", "salt")
             .sortWithinPartitions("term_id", "salt", "doc_id"))
     enc = part.mapInPandas(_encode_stream_factory(st.n_buckets, with_tf=True),
@@ -802,8 +852,8 @@ class IndexReader:
             [(n_docs, sum_dl, avgdl)], "n_docs long, sum_dl long, avgdl double")
 
     def doc_stats(self) -> DataFrame:
-        return self.spark.read.option("basePath", f"{self.index_dir}/doc_stats").parquet(
-            *_batch_dirs(self.index_dir, "doc_stats", self.state.committed_batches))
+        return _read_doc_stats(self.spark, self.index_dir,
+                               self.state.committed_batches)
 
     def tombstones_df(self) -> DataFrame | None:
         """Distinct tombstoned doc_ids as a DataFrame (None when there are
