@@ -114,7 +114,8 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 64, bands: int = 16,
-                      jaccard_threshold: float = 0.8) -> DataFrame:
+                      jaccard_threshold: float = 0.8,
+                      hash_band_key: bool = True) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs with estimated Jaccard.
 
     shingle → minhash → band → bucket self-join (the classic MMDS ch.3
@@ -133,14 +134,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    # plain concatenated band key (at scale, wrap in xxhash64
-                    # to bound key width; the string form is oracle-checkable)
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
+                    # band key: xxhash64 of the concatenated band slice by
+                    # default — a fixed-width 8-byte shuffle key instead of a
+                    # rows_per_band × ~10-char string (the join output is
+                    # identical: a 2^-64 collision only adds a candidate
+                    # pair, which signature verification then scores).
+                    # hash_band_key=False keeps the raw string for oracles
+                    # that want to inspect the key itself.
+                    (lambda key: F.xxhash64(key) if hash_band_key else key)(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1,
+                                        rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
                     ).alias("bucket"),
                 ),
             )

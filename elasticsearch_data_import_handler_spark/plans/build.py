@@ -360,13 +360,76 @@ def _write_cstats_delta(index_dir: str, batch_id: int, d_docs: int,
     os.replace(tmp, _cstats_delta_path(index_dir, batch_id))
 
 
-def _read_cstats(index_dir: str, committed: list[int]) -> tuple[int, int]:
-    """(n_docs, sum_dl) = Σ committed batches' deltas.  Driver-side parquet
-    reads of single-row files (metadata-scale; compaction folds them)."""
+_CSTATS_FOLD_EVERY = 16
+
+
+def _cstats_ckpt_path(index_dir: str, batch_id: int) -> str:
+    return f"{index_dir}/corpus_stats/ckpt_b{batch_id}.parquet"
+
+
+def _write_cstats_ckpt(index_dir: str, committed: list[int], n: int,
+                       s: int) -> None:
+    """Atomic cumulative checkpoint: totals + the exact batch set covered
+    (so a reader can prove the checkpoint applies to ITS committed list)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    n, s = 0, 0
+    t = pa.table({
+        "batches": pa.array([sorted(committed)], pa.list_(pa.int64())),
+        "n_docs": pa.array([n], pa.int64()),
+        "sum_dl": pa.array([s], pa.int64()),
+    })
+    dst = _cstats_ckpt_path(index_dir, max(committed))
+    pq.write_table(t, dst + ".tmp")
+    os.replace(dst + ".tmp", dst)
+
+
+def _cstats_ckpts(index_dir: str) -> list[str]:
+    ps = glob.glob(f"{index_dir}/corpus_stats/ckpt_b*.parquet")
+    return sorted(ps, key=lambda p: int(
+        os.path.basename(p)[len("ckpt_b"):-len(".parquet")]), reverse=True)
+
+
+def _maybe_fold_cstats(index_dir: str, committed: list[int]) -> None:
+    """Every _CSTATS_FOLD_EVERY commits, fold the per-batch delta files into
+    one cumulative checkpoint and delete the covered deltas, keeping
+    _read_cstats at O(fold window) file reads however many batches the index
+    has seen.  Crash-safe: the checkpoint lands atomically BEFORE any delta
+    is removed, and a checkpoint plus its still-present deltas double-counts
+    nothing (covered batches are skipped by the reader)."""
+    if len(committed) % _CSTATS_FOLD_EVERY:
+        return
+    n, s = _read_cstats(index_dir, committed)
+    _write_cstats_ckpt(index_dir, committed, n, s)
     for b in committed:
+        p = _cstats_delta_path(index_dir, b)
+        if os.path.exists(p):
+            os.remove(p)
+    for stale in _cstats_ckpts(index_dir)[1:]:
+        os.remove(stale)
+
+
+def _read_cstats(index_dir: str, committed: list[int]) -> tuple[int, int]:
+    """(n_docs, sum_dl) over committed batches: newest applicable cumulative
+    checkpoint (batch set ⊆ committed) + the uncovered batches' delta files.
+    Driver-side parquet reads of single-row files — with folding every
+    _CSTATS_FOLD_EVERY commits this stays ≲ a handful of files at any batch
+    count (compaction resets it to one)."""
+    import pyarrow.parquet as pq
+
+    cset = set(committed)
+    n, s, covered = 0, 0, set()
+    for p in _cstats_ckpts(index_dir):
+        t = pq.read_table(p)
+        bs = t["batches"][0].as_py()
+        if set(bs) <= cset:
+            n = int(t["n_docs"][0].as_py())
+            s = int(t["sum_dl"][0].as_py())
+            covered = set(bs)
+            break
+    for b in committed:
+        if b in covered:
+            continue
         p = _cstats_delta_path(index_dir, b)
         if os.path.exists(p):
             t = pq.read_table(p)
@@ -667,6 +730,10 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
     st.s_shards = s_shards
     st.n_buckets = n_buckets
     write_state(index_dir, st)
+    # fold cstats deltas ONLY once the batch is durably committed — folding
+    # before the state flip would let a crash delete deltas for a batch set
+    # the checkpoint can never apply to (its set ⊄ any future committed list)
+    _maybe_fold_cstats(index_dir, committed_now)
     # best-effort: drop lexicon generations older than the previous one
     # (kept so an in-flight reader of gen K-1 doesn't lose its files mid-scan)
     prev = _latest_lexicon_gen(index_dir, committed)
@@ -813,6 +880,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         p_delta = _cstats_delta_path(index_dir, b)
         if os.path.exists(p_delta):
             os.remove(p_delta)
+    for ckpt in _cstats_ckpts(index_dir):
+        os.remove(ckpt)  # they cover pre-compaction batch sets only
     shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
     shutil.rmtree(f"{index_dir}/df_corrections", ignore_errors=True)
     _cleanup_stale_gens(index_dir, new_b)

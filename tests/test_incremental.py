@@ -250,3 +250,34 @@ def test_analyzer_settings_surface(spark, tmp_path_factory):
         commit_batch(spark, _pages_df(spark, [("u3", "2026-01-01", "x")]),
                      d, 2, tau=100, n_buckets=2, analyzer={"stopwords": ["a"]})
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cstats_fold_bounds_file_reads(tmp_path_factory):
+    """100 commits' corpus-stats deltas fold into cumulative checkpoints
+    every _CSTATS_FOLD_EVERY commits: totals stay exact, the directory holds
+    ≤ fold-window + 1 files, and a checkpoint written for a batch set that
+    never got committed (crash before the state flip) is ignored."""
+    import glob as _glob
+
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        _CSTATS_FOLD_EVERY, _maybe_fold_cstats, _read_cstats,
+        _write_cstats_ckpt, _write_cstats_delta)
+
+    d = str(tmp_path_factory.mktemp("cstatsfold"))
+    committed = []
+    exp_n = exp_s = 0
+    for b in range(100):
+        _write_cstats_delta(d, b, b + 1, 10 * (b + 1))
+        committed.append(b)
+        _maybe_fold_cstats(d, committed)
+        exp_n += b + 1
+        exp_s += 10 * (b + 1)
+    assert _read_cstats(d, committed) == (exp_n, exp_s)
+    files = _glob.glob(f"{d}/corpus_stats/*.parquet")
+    # one checkpoint + at most (fold window) uncovered deltas
+    assert len(files) <= _CSTATS_FOLD_EVERY + 1, sorted(files)
+
+    # crash-window property: a ckpt covering a batch that is NOT committed
+    # must not be applied (its deltas were never folded away)
+    _write_cstats_ckpt(d, committed + [999], 10**9, 10**9)
+    assert _read_cstats(d, committed) == (exp_n, exp_s)
