@@ -419,12 +419,15 @@ def q_bool_query(spark, sf_dir):
     return _native_doc_ids(reader, out, ["should_hits", "score"])
 
 
-def q_fuzzy_match(spark, sf_dir):
-    """ES fuzzy-query expansion: vocabulary terms within edit distance 2."""
+def q_term_expansion(spark, sf_dir):
+    """ES multi-term query expansion — fuzzy (edit distance ≤ 2), prefix,
+    and wildcard resolved against the vocabulary in one pass (subsumes the
+    round-2 ``fuzzy_match`` gate row; ``fuzzy_terms`` remains public API)."""
     from elasticsearch_data_import_handler_spark.operators.textsearch import (
-        fuzzy_terms)
+        expand_terms)
 
-    return fuzzy_terms(_read(spark, sf_dir, "documents"), "sort", max_dist=2)
+    return expand_terms(_read(spark, sf_dir, "documents"), fuzzy="sort",
+                        max_dist=2, prefix="sor", wildcard="s?rt*")
 
 
 def q_snippets(spark, sf_dir):
@@ -811,7 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salt_plan": q_salt_plan,
         "bm25_topk_wand": q_bm25_topk_wand,
         "phrase_index": q_phrase_index,
-        "fuzzy_match": q_fuzzy_match,
+        "term_expansion": q_term_expansion,
         "snippets": q_snippets,
         # streaming / multimodal / extraction
         "windowed_events": q_windowed_events,
@@ -1073,14 +1076,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, count(*)::BIGINT AS n_occurrences FROM sh "
             "WHERE g = 'the spark' GROUP BY doc_id"
         ),
-        "fuzzy_match": (
+        "term_expansion": (
             "WITH t AS (SELECT doc_id, "
             "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
             "FROM documents), "
             "v AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM t "
             "GROUP BY term) "
-            "SELECT term, df, levenshtein(term, 'sort')::INT AS dist FROM v "
-            "WHERE levenshtein(term, 'sort') <= 2"
+            "SELECT 'fuzzy' AS method, term, df FROM v "
+            "WHERE levenshtein(term, 'sort') <= 2 "
+            "UNION ALL SELECT 'prefix', term, df FROM v "
+            "WHERE term LIKE 'sor%' "
+            "UNION ALL SELECT 'wildcard', term, df FROM v "
+            "WHERE term LIKE 's_rt%'"
         ),
         "snippets": (
             "SELECT doc_id, strpos(lower(text), 'the spark')::BIGINT AS pos, "

@@ -51,6 +51,48 @@ def fuzzy_terms(documents: DataFrame, query_term: str, max_dist: int = 1,
                     F.col("dist").cast("int").alias("dist")))
 
 
+def expand_terms(documents: DataFrame, fuzzy: str | None = None,
+                 max_dist: int = 1, prefix: str | None = None,
+                 wildcard: str | None = None, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(method, term, df): ES multi-term query expansion — fuzzy (Levenshtein
+    ≤ max_dist), prefix, and wildcard (``*``/``?``, ES syntax) resolved
+    against the corpus VOCABULARY in one pass: a single groupBy(term) shuffle
+    builds (term, df); all requested predicates evaluate as flags on that one
+    frame and explode into per-method rows (a UNION of per-method filters
+    would recompute the vocabulary aggregation per clause).
+
+    Like ES, expansion cost is vocabulary-metadata-scale, never per posting;
+    a leading-``*`` wildcard full-scans the vocab exactly as ES warns.  At
+    10^9 terms, pre-bucket fuzzy by SymSpell deletion neighborhoods and
+    serve prefix from a sorted lexicon range scan."""
+    if fuzzy is None and prefix is None and wildcard is None:
+        raise ValueError("expand_terms needs at least one of fuzzy / prefix "
+                         "/ wildcard")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    vocab = (documents.select(F.col(id_col).alias("id"),
+                              F.explode(toks).alias("term"))
+             .groupBy("term").agg(F.countDistinct("id").alias("df")))
+    flags = []
+    if fuzzy is not None:
+        flags.append(F.when(
+            F.levenshtein("term", F.lit(fuzzy.lower())) <= max_dist,
+            F.lit("fuzzy")))
+    if prefix is not None:
+        flags.append(F.when(F.col("term").startswith(prefix.lower()),
+                            F.lit("prefix")))
+    if wildcard is not None:
+        # ES wildcard → SQL LIKE: * → %, ? → _ (identical semantics in any
+        # engine; literal %/_ in the term pattern are escaped first)
+        pat = (wildcard.lower().replace("\\", "\\\\").replace("%", "\\%")
+               .replace("_", "\\_").replace("*", "%").replace("?", "_"))
+        flags.append(F.when(F.col("term").like(pat), F.lit("wildcard")))
+    return (vocab
+            .select(F.array_compact(F.array(*flags)).alias("ms"), "term", "df")
+            .select(F.explode("ms").alias("method"), "term",
+                    F.col("df").cast("long").alias("df")))
+
+
 def snippets(documents: DataFrame, query: str, before: int = 30,
              width: int = 80, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:

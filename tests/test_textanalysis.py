@@ -136,3 +136,30 @@ def test_phrase_fuzzy_snippet_semantics(spark):
     sn = {r["doc_id"]: r["snippet"] for r in snippets(df, "beta").collect()}
     assert set(sn) == {1, 2, 3, 4}  # substring semantics incl. betay
     assert "beta" in sn[1]
+
+
+def test_expand_terms_methods(spark):
+    """ES multi-term expansion: fuzzy/prefix/wildcard flags from ONE
+    vocabulary pass; a term matching several methods yields one row each;
+    wildcard * / ? follow ES glob semantics (LIKE translation)."""
+    import pytest as _pytest
+
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        expand_terms)
+
+    df = spark.createDataFrame(
+        [(1, "beta betay bet alpha"), (2, "beta delta be_a")],
+        "doc_id long, text string")
+    rows = expand_terms(df, fuzzy="beta", max_dist=1, prefix="bet",
+                        wildcard="b*a").collect()
+    got = {(r["method"], r["term"]): r["df"] for r in rows}
+    assert got == {
+        ("fuzzy", "beta"): 2, ("fuzzy", "betay"): 1, ("fuzzy", "bet"): 1,
+        # tokenizer splits be_a -> (be, a); 'beta'->'be' is 2 edits, excluded
+        ("prefix", "beta"): 2, ("prefix", "betay"): 1, ("prefix", "bet"): 1,
+        ("wildcard", "beta"): 2,   # 'b*a' anchors both ends: betay excluded
+    }
+    only_wild = expand_terms(df, wildcard="?et?").collect()
+    assert {r["term"] for r in only_wild} == {"beta"}
+    with _pytest.raises(ValueError):
+        expand_terms(df)
