@@ -554,17 +554,36 @@ def build_positions(docs: DataFrame, n_buckets: int,
     Rows carry ``term_id`` (the reader recomputes xxhash64(term) from query
     terms) and the same term-hash ``bucket`` partition column as the BM25
     postings, so phrase queries prune to their terms' buckets at scan time.
-    """
+
+    The position list is stored delta+varbyte compressed (``pos_vb``
+    binary, same codec family as the BM25 postings) — positions are the
+    bulk of a positional index's bytes (Σ doc_len rows), and gap-coded
+    token offsets are mostly 1-byte.  ``IndexReader.positions_for_terms``
+    decodes AFTER bucket/term pruning, so the Python kernel only ever sees
+    the query terms' rows."""
     ex = docs.select(
         "doc_id", F.posexplode("tokens").alias("pos", "term")
     ).select(F.xxhash64("term").alias("term_id"), "doc_id",
              F.col("pos").cast("int").alias("pos"))
     p = shuffle_partitions or ex.sparkSession.sparkContext.defaultParallelism
-    return (ex.repartition(p, "term_id", "doc_id")
-            .groupBy("term_id", "doc_id")
-            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
-            .withColumn("bucket",
-                        F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int")))
+    lists = (ex.repartition(p, "term_id", "doc_id")
+             .groupBy("term_id", "doc_id")
+             .agg(F.sort_array(F.collect_list("pos")).alias("positions")))
+
+    def _enc(it):
+        from ..functions.varbyte import delta_encode, varbyte_encode
+        for pdf in it:
+            yield pd.DataFrame({
+                "term_id": pdf["term_id"], "doc_id": pdf["doc_id"],
+                "n_pos": [len(ps) for ps in pdf["positions"]],
+                "pos_vb": [varbyte_encode(delta_encode(
+                    np.asarray(ps, dtype=np.int64))) for ps in pdf["positions"]],
+            })
+
+    return (lists.mapInPandas(
+        _enc, schema="term_id bigint, doc_id bigint, n_pos int, pos_vb binary")
+        .withColumn("bucket",
+                    F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int")))
 
 
 def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
@@ -843,7 +862,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         if pdirs:
             posd = spark.read.option(
                 "basePath", f"{index_dir}/positions").parquet(*pdirs) \
-                .select("term_id", "doc_id", "positions", "bucket")
+                .select("term_id", "doc_id", "n_pos", "pos_vb", "bucket")
             if tomb is not None:
                 posd = posd.join(tomb, "doc_id", "left_anti")
             posd.write.mode("overwrite").partitionBy("bucket").parquet(
@@ -931,8 +950,11 @@ class IndexReader:
                                 self.state.committed_batches)
 
     def positions_for_terms(self, terms: list[str]) -> DataFrame:
-        """Bucket-pruned positional-postings scan for the given terms:
-        (term_id, doc_id, positions array<int>)."""
+        """Bucket-pruned positional-postings scan for the given terms,
+        decoded to (term_id, doc_id, positions array<int>).  The bucket +
+        term_id predicates push to the parquet scan (partition pruning and
+        row-group stats), so the varbyte decode kernel receives only the
+        query terms' rows — O(Σ query-term df), never the corpus."""
         from ..functions.hashing import xxhash64_str
 
         if not self.state.has_positions:
@@ -943,8 +965,21 @@ class IndexReader:
         df = self.spark.read.option(
             "basePath", f"{self.index_dir}/positions").parquet(
             *_batch_dirs(self.index_dir, "positions", self.state.committed_batches))
-        return df.filter(F.col("bucket").isin(buckets)
-                         & F.col("term_id").isin(tids))
+        pruned = df.filter(F.col("bucket").isin(buckets)
+                           & F.col("term_id").isin(tids))
+
+        def _dec(it):
+            from ..functions.varbyte import delta_decode, varbyte_decode
+            for pdf in it:
+                yield pd.DataFrame({
+                    "term_id": pdf["term_id"], "doc_id": pdf["doc_id"],
+                    "positions": [
+                        delta_decode(varbyte_decode(vb)).astype(np.int64)
+                        for vb in pdf["pos_vb"]],
+                })
+
+        return pruned.select("term_id", "doc_id", "pos_vb").mapInPandas(
+            _dec, schema="term_id bigint, doc_id bigint, positions array<int>")
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         """Partition-pruned scan: bucket IN (term buckets) AND term IN terms.
