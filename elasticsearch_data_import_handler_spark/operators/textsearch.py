@@ -51,6 +51,65 @@ def fuzzy_terms(documents: DataFrame, query_term: str, max_dist: int = 1,
                     F.col("dist").cast("int").alias("dist")))
 
 
+def _deletion_variants_expr(col: str, max_dist: int):
+    """array<string> of all strings reachable from ``col`` by deleting up to
+    ``max_dist`` characters (the term itself included) — SymSpell's index
+    key set, as nested JVM HOFs (no Python in the vocab pass)."""
+    d1 = (f"transform(sequence(1, length({col})), i -> "
+          f"concat(substring({col}, 1, i - 1), "
+          f"substring({col}, i + 1, length({col}))))")
+    if max_dist <= 0:
+        return F.array(F.col(col))
+    if max_dist == 1:
+        return F.array_distinct(F.concat(F.array(F.col(col)), F.expr(d1)))
+    # max_dist == 2: deletions of deletions
+    d2 = (f"flatten(transform({d1}, v -> transform(sequence(1, length(v)), "
+          f"i -> concat(substring(v, 1, i - 1), "
+          f"substring(v, i + 1, length(v))))))")
+    return F.array_distinct(F.concat(F.array(F.col(col)), F.expr(d1),
+                                     F.expr(d2)))
+
+
+def _py_deletion_variants(term: str, max_dist: int) -> set[str]:
+    out = {term}
+    frontier = {term}
+    for _ in range(max_dist):
+        frontier = {v[:i] + v[i + 1:] for v in frontier for i in range(len(v))}
+        out |= frontier
+    return out
+
+
+def symspell_terms(documents: DataFrame, query_term: str, max_dist: int = 1,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(term, df, dist): the same result as ``fuzzy_terms`` via SymSpell
+    deletion neighborhoods — candidate terms are those sharing a ≤max_dist
+    deletion variant with the query (an equi-match on precomputed keys),
+    then the exact Levenshtein check runs on candidates only.
+
+    This is the 10^9-term path ``fuzzy_terms`` documents: a full-vocabulary
+    Levenshtein scan touches every term for every query, while the deletion
+    keys make fuzzy lookup an IN-filter / equi-join whose cost follows the
+    CANDIDATE count (vocab with a shared variant).  In a persisted index the
+    (variant → term) table is precomputed once per lexicon generation;
+    max_dist ≤ 2 keeps the variant blow-up ≤ O(len²) per term."""
+    if max_dist > 2:
+        raise ValueError("symspell_terms supports max_dist ≤ 2")
+    q = query_term.lower()
+    qvars = sorted(_py_deletion_variants(q, max_dist))
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    vocab = (documents.select(F.col(id_col).alias("id"),
+                              F.explode(toks).alias("term"))
+             .groupBy("term").agg(F.countDistinct("id").alias("df")))
+    cand = (vocab
+            .withColumn("__v", _deletion_variants_expr("term", max_dist))
+            .filter(F.arrays_overlap(
+                "__v", F.array(*[F.lit(v) for v in qvars]))))
+    return (cand.withColumn("dist", F.levenshtein("term", F.lit(q)))
+            .filter(F.col("dist") <= max_dist)
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("dist").cast("int").alias("dist")))
+
+
 def expand_terms(documents: DataFrame, fuzzy: str | None = None,
                  max_dist: int = 1, prefix: str | None = None,
                  wildcard: str | None = None, id_col: str = "doc_id",

@@ -163,3 +163,22 @@ def test_expand_terms_methods(spark):
     assert {r["term"] for r in only_wild} == {"beta"}
     with _pytest.raises(ValueError):
         expand_terms(df)
+
+
+def test_symspell_equals_levenshtein_scan(spark):
+    """SymSpell deletion-neighborhood fuzzy must return EXACTLY the
+    full-vocabulary Levenshtein scan's rows at max_dist 1 and 2 (deletion
+    keys are a complete cover for edit distance ≤ d)."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        fuzzy_terms, symspell_terms)
+
+    df = spark.createDataFrame(
+        [(1, "beta bta betax bxta xbeta abcdef beat"),
+         (2, "beta zzz betaxy baeta")],
+        "doc_id long, text string")
+    for d in (1, 2):
+        exp = {(r["term"], r["dist"])
+               for r in fuzzy_terms(df, "beta", d).collect()}
+        got = {(r["term"], r["dist"])
+               for r in symspell_terms(df, "beta", d).collect()}
+        assert got == exp and len(got) > 1, (d, got, exp)
