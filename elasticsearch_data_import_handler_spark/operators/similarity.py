@@ -347,14 +347,11 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, iters: int = 3,
     cand = embeddings.filter(F.col(id_col) >= n_queries).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
         quantized_vec(vec_col).alias("__q"))
-    seed_rows = (cand.select("__id",
+    # one TakeOrdered job collects ids AND quantized vectors for the k seeds
+    seed_rows = (cand.select("__id", "__q",
                              F.md5(F.col("__id").cast("string")).alias("__h"))
                  .orderBy("__h", "__id").limit(k).collect())
-    seed_ids = [r["__id"] for r in seed_rows]
-    qmap = {r["__id"]: list(r["__q"]) for r in
-            cand.filter(F.col("__id").isin(seed_ids))
-            .select("__id", "__q").collect()}
-    C = np.array([qmap[i] for i in seed_ids], dtype=np.int64)
+    C = np.array([list(r["__q"]) for r in seed_rows], dtype=np.int64)
     dim = C.shape[1]
     for _ in range(iters):
         assigned = _assign_cells(cand, C, n_probe=1, id_col="__id",
