@@ -4,6 +4,7 @@ resume skips committed batches, upserts tombstone old versions (SURVEY §5.2.5).
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from elasticsearch_data_import_handler_spark.operators.wand import bm25_topk_wand
 from elasticsearch_data_import_handler_spark.plans.build import (
@@ -281,3 +282,34 @@ def test_cstats_fold_bounds_file_reads(tmp_path_factory):
     # must not be applied (its deltas were never folded away)
     _write_cstats_ckpt(d, committed + [999], 10**9, 10**9)
     assert _read_cstats(d, committed) == (exp_n, exp_s)
+
+
+def test_commit_after_compaction_mixes_layouts(spark, tmp_path_factory):
+    """A compacted generation stores doc_stats flat; later commits store the
+    partitioned __t=d/__t=t layout.  Readers must resolve the mixed layouts
+    (and upserts against a compacted index must still tombstone)."""
+    import os
+
+    d = str(tmp_path_factory.mktemp("mixlayout"))
+    b0 = synth_pages(spark, 120, seed=42, batches=2, batch=0)
+    b1 = synth_pages(spark, 120, seed=42, batches=2, batch=1)
+    build_incremental(spark, [b0, b1], d, tau=100, n_buckets=4)
+    compact_index(spark, d)
+    full = synth_pages(spark, 120, seed=42)   # re-import: newer versions win
+    from elasticsearch_data_import_handler_spark.plans.build import commit_batch
+    from elasticsearch_data_import_handler_spark.plans.state import BuildLock
+    st = read_state(d)
+    nb = max(st.committed_batches) + 1
+    bump = full.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+    with BuildLock(d):
+        commit_batch(spark, bump.limit(40), d, nb, tau=100, n_buckets=4)
+    reader = IndexReader(spark, d)
+    assert os.path.isdir(f"{d}/doc_stats/batch={nb}/__t=d")
+    assert reader.tombstones_df() is not None       # upsert tombstoned
+    # doc_stats spans both layouts; active doc count is unchanged
+    tomb = reader.tombstones_df()
+    active = reader.doc_stats().join(tomb, "doc_id", "left_anti")
+    assert active.count() == 120
+    assert len(_topk(spark, d)) > 0                 # index still queryable
+    shutil.rmtree(d, ignore_errors=True)
