@@ -270,53 +270,68 @@ def phrase_search_slop(spark, reader, phrase: str, slop: int = 0,
     return out
 
 
-def bool_query(spark, reader, must: list[str] | None = None,
-               should: list[str] | None = None,
+def _clause_groups(clauses) -> list[list[str]]:
+    """Normalize a must/should list whose elements are a term (str) or an
+    OR-group (list of terms — e.g. the expansions of one wildcard/fuzzy
+    clause; any member satisfies the clause, ES multi-term semantics)."""
+    return [[c] if isinstance(c, str) else sorted(set(c))
+            for c in (clauses or []) if (isinstance(c, str) and c) or c]
+
+
+def bool_query(spark, reader, must=None, should=None,
                must_not: list[str] | None = None,
                min_should: int = 0, round_to: int | None = None) -> DataFrame:
     """ES bool-query combinator over the persisted index: (doc_id,
-    should_hits, score) for every ACTIVE document that contains ALL ``must``
-    terms, at least ``min_should`` distinct ``should`` terms, and NO
-    ``must_not`` term.  ``score`` is the BM25 sum over the doc's matched
-    must+should terms (the ES convention: filter-style clauses gate, scoring
-    clauses add).
+    should_hits, score) for every ACTIVE document that satisfies ALL
+    ``must`` clauses, at least ``min_should`` ``should`` clauses, and NO
+    ``must_not`` term.  A clause is a term or an OR-group of terms (the
+    rewrite of one wildcard/prefix/fuzzy clause: ANY member satisfies it —
+    ES multi-term semantics); ``should_hits`` counts satisfied CLAUSES.
+    ``score`` is the BM25 sum over the doc's matched must+should terms (the
+    ES convention: filter-style clauses gate, scoring clauses add).
 
     Plan: bucket-pruned postings scan for the scoring terms, streamed
     through the vectorized varbyte decode (O(Σ df) rows, never the corpus)
-    → broadcast lexicon join → one shuffle: groupBy(doc_id) counting
-    distinct must/should hits and summing contributions → must_not and
-    tombstone anti-joins.  This is the TAAT path — correct at any scale and
+    → broadcast lexicon join → one shuffle: groupBy(doc_id) evaluating one
+    max-flag per clause and summing contributions → must_not and tombstone
+    anti-joins.  This is the TAAT path — correct at any scale and
     proportional to the query terms' df; pair it with the WAND scorer when
     only a top-k is needed.
     """
     from ..operators.indexing import bm25_score_expr
 
-    must = list(must or [])
-    should = list(should or [])
+    mgroups = _clause_groups(must)
+    sgroups = _clause_groups(should)
     must_not = list(must_not or [])
-    if set(must) & set(should):
+    mflat = {t for g in mgroups for t in g}
+    sflat = {t for g in sgroups for t in g}
+    if mflat & sflat:
         raise ValueError("a term cannot be in both must and should")
-    terms = sorted(set(must) | set(should))
+    terms = sorted(mflat | sflat)
     if not terms:
         raise ValueError("bool_query needs at least one must or should term")
     dec = reader.decoded_postings_for_terms(terms)
     lex = reader.lexicon().filter(F.col("term").isin(terms)).select("term", "idf")
     avgdl = reader.corpus_stats().select("avgdl")
 
-    def _hit(term_list):
-        if not term_list:
-            return F.lit(None).cast("string")
-        return F.when(F.col("term").isin(term_list), F.col("term"))
+    def _flag(group):
+        return F.max(F.when(F.col("term").isin(group), 1).otherwise(0))
 
+    aggs = ([_flag(g).alias(f"__m{i}") for i, g in enumerate(mgroups)]
+            + [_flag(g).alias(f"__s{i}") for i, g in enumerate(sgroups)]
+            + [F.sum("contrib").alias("score")])
     agg = (dec.join(F.broadcast(lex), "term")
            .crossJoin(F.broadcast(avgdl))
            .withColumn("contrib", bm25_score_expr())
            .groupBy("doc_id")
-           .agg(F.countDistinct(_hit(must)).alias("must_hits"),
-                F.countDistinct(_hit(should)).alias("should_hits"),
-                F.sum("contrib").alias("score")))
-    out = agg.filter((F.col("must_hits") == len(must))
-                     & (F.col("should_hits") >= min_should))
+           .agg(*aggs))
+    should_hits = (sum((F.col(f"__s{i}") for i in range(len(sgroups))),
+                       F.lit(0)) if sgroups else F.lit(0))
+    agg = agg.withColumn("should_hits", should_hits.cast("long"))
+    must_ok = F.lit(True)
+    for i in range(len(mgroups)):
+        must_ok = must_ok & (F.col(f"__m{i}") == 1)
+    out = agg.filter(must_ok & (F.col("should_hits") >= min_should))
     if must_not:
         ex = (reader.decoded_postings_for_terms(sorted(set(must_not)))
               .select("doc_id").distinct())

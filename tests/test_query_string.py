@@ -1,0 +1,104 @@
+"""query_string_search: parser, lexicon expansion, and end-to-end semantics
+against a hand-built positional index."""
+
+import shutil
+
+import pytest
+
+from elasticsearch_data_import_handler_spark.operators.search import (
+    _levenshtein,
+    parse_query_string,
+    query_string_search,
+)
+
+
+def test_parse_query_string():
+    p = parse_query_string('"big data"~2 +spark -ocean luce* te?m fuzz~ deep~2 plain')
+    assert p["phrases"] == [("big data", 2)]
+    assert p["must"] == [("term", "spark")]
+    assert p["must_not"] == [("term", "ocean")]
+    assert p["should"] == [("prefix", "luce"), ("wildcard", "te?m"),
+                           ("fuzzy", "fuzz", 1), ("fuzzy", "deep", 2),
+                           ("plain" and ("term", "plain"))]
+    assert parse_query_string('"exact phrase"')["phrases"] == [("exact phrase", 0)]
+
+
+def test_levenshtein_reference():
+    assert _levenshtein("kitten", "sitting") == 3
+    assert _levenshtein("", "ab") == 2
+    assert _levenshtein("same", "same") == 0
+
+
+@pytest.fixture(scope="module")
+def qs_index(spark, tmp_path_factory):
+    import pandas as pd
+
+    from elasticsearch_data_import_handler_spark.plans.build import build_index
+    from elasticsearch_data_import_handler_spark.sources.corpus import PAGES_SCHEMA
+
+    rows = [
+        ("u1", "spark engine handles big data pipelines", ),
+        ("u2", "lucene index and spark together", ),
+        ("u3", "the ocean is big data free", ),
+        ("u4", "spark spark spark lucena", ),
+        ("u5", "big data without the engine", ),
+    ]
+    pdf = pd.DataFrame({
+        "url": [r[0] for r in rows],
+        "warc_ts": pd.to_datetime("2026-01-01"),
+        "html": [b"" for _ in rows],
+        "text": [r[1] for r in rows],
+        "lang": "en",
+    })
+    df = spark.createDataFrame(pdf, PAGES_SCHEMA)
+    d = str(tmp_path_factory.mktemp("qsidx"))
+    build_index(spark, df, d, tau=100, n_buckets=4, positions=True)
+    from elasticsearch_data_import_handler_spark.plans.build import IndexReader
+    yield spark, IndexReader(spark, d), d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _doc_urls(reader, rows):
+    ds = {r["doc_id"]: r["url"] for r in reader.doc_stats().collect()}
+    return [ds[r["doc_id"]] for r in rows]
+
+
+def test_query_string_end_to_end(qs_index):
+    spark, reader, _ = qs_index
+
+    # phrase + must_not: docs with "big data" contiguous, excluding 'ocean'
+    rows = query_string_search(spark, reader, '"big data" -ocean').collect()
+    assert set(_doc_urls(reader, rows)) == {"u1", "u5"}
+
+    # prefix expansion: luce* -> lucene, lucena
+    rows = query_string_search(spark, reader, "luce*").collect()
+    assert set(_doc_urls(reader, rows)) == {"u2", "u4"}
+
+    # fuzzy: lucene~1 matches lucene and lucena
+    rows = query_string_search(spark, reader, "lucene~1").collect()
+    assert set(_doc_urls(reader, rows)) == {"u2", "u4"}
+
+    # wildcard in must position, combined with should scoring
+    rows = query_string_search(spark, reader, "+luc?n? spark").collect()
+    assert set(_doc_urls(reader, rows)) == {"u2", "u4"}
+
+    # must term ranks tf: u4 (3x spark) must outrank u2 (1x spark)
+    rows = query_string_search(spark, reader, "+spark").collect()
+    urls = _doc_urls(reader, sorted(rows, key=lambda r: r["rank"]))
+    assert urls[0] == "u4" and set(urls) == {"u1", "u2", "u4"}
+
+    # sloppy phrase: "spark data" within slop 2 only in u1
+    # (u1: spark engine handles big data -> distance 4; too far) — use slop 4
+    r0 = query_string_search(spark, reader, '"spark data"').collect()
+    assert r0 == []
+    r4 = query_string_search(spark, reader, '"spark data"~3').collect()
+    assert set(_doc_urls(reader, r4)) == {"u1"}
+
+    # ranks are contiguous from 1 and scores non-increasing
+    rows = sorted(query_string_search(spark, reader, "big data spark").collect(),
+                  key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a["score"] >= b["score"] for a, b in zip(rows, rows[1:]))
+
+    with pytest.raises(ValueError):
+        query_string_search(spark, reader, "-onlyexcluded")
