@@ -63,34 +63,47 @@ def parse_query_string(q: str) -> dict:
     return out
 
 
-def _expand_clause(lex_rows: list, clause: tuple,
-                   max_expansions: int) -> list[str]:
-    """Resolve one clause against collected lexicon terms → concrete terms,
-    highest-df first (the ES top-N rewrite), capped at max_expansions."""
+def _clause_condition(clause: tuple):
+    """Spark Column predicate for one expansion clause over a lexicon
+    ``term`` column."""
     kind = clause[0]
-    if kind == "term":
-        return [clause[1]]
     if kind == "prefix":
-        hits = [(df, t) for t, df in lex_rows if t.startswith(clause[1])]
-    elif kind == "wildcard":
-        pat = re.escape(clause[1]).replace("\\*", ".*").replace("\\?", ".")
-        rx = re.compile(f"^{pat}$")
-        hits = [(df, t) for t, df in lex_rows if rx.match(t)]
-    elif kind == "fuzzy":
-        from .textsearch import _py_deletion_variants
+        return F.col("term").startswith(clause[1])
+    if kind == "wildcard":
+        pat = (clause[1].replace("\\", "\\\\").replace("%", "\\%")
+               .replace("_", "\\_").replace("*", "%").replace("?", "_"))
+        return F.col("term").like(pat)
+    if kind == "fuzzy":
+        d = min(clause[2], 2)
+        return ((F.abs(F.length("term") - len(clause[1])) <= d)
+                & (F.levenshtein("term", F.lit(clause[1])) <= d))
+    raise ValueError(f"unknown clause {clause!r}")  # pragma: no cover
 
-        base, dist = clause[1], min(clause[2], 2)
-        qvars = _py_deletion_variants(base, dist)
-        hits = []
-        for t, df in lex_rows:
-            if abs(len(t) - len(base)) > dist:
-                continue
-            if _py_deletion_variants(t, dist) & qvars and \
-                    _levenshtein(t, base) <= dist:
-                hits.append((df, t))
-    else:  # pragma: no cover
-        raise ValueError(f"unknown clause {clause!r}")
-    return [t for _, t in sorted(hits, reverse=True)[:max_expansions]]
+
+def _resolve_expansions(reader, clauses: list[tuple],
+                        max_expansions: int) -> dict[int, list[str]]:
+    """clause index → its concrete terms, highest-df first (the ES top-N
+    rewrite), resolved in ONE distributed lexicon pass: every clause
+    evaluates as a flag on the scanned vocab, top-df rows survive per clause
+    via a window, and the driver collects ≤ |clauses| × max_expansions rows
+    — never the vocabulary (which is 10^9 terms at web scale)."""
+    if not clauses:
+        return {}
+    lex = reader.lexicon().select("term", "df")
+    flags = [F.when(_clause_condition(c), F.lit(ci))
+             for ci, c in enumerate(clauses)]
+    matched = (lex
+               .select("term", "df", F.array_compact(F.array(*flags)).alias("cs"))
+               .filter(F.size("cs") > 0)
+               .select(F.explode("cs").alias("ci"), "term", "df"))
+    w = Window.partitionBy("ci").orderBy(F.desc("df"), F.asc("term"))
+    rows = (matched.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= max_expansions)
+            .select("ci", "term").collect())
+    out: dict[int, list[str]] = {}
+    for r in rows:
+        out.setdefault(r["ci"], []).append(r["term"])
+    return out
 
 
 def _levenshtein(a: str, b: str) -> int:
@@ -116,29 +129,30 @@ def query_string_search(spark, reader, q: str, k: int = 10,
     from .textsearch import bool_query, phrase_search_slop
 
     parsed = parse_query_string(q)
-    needs_lex = any(c[0] != "term"
-                    for d in ("must", "should", "must_not")
-                    for c in parsed[d])
-    lex_rows = []
-    if needs_lex:
-        lex_rows = [(r["term"], r["df"])
-                    for r in reader.lexicon().select("term", "df").collect()]
+    exp_clauses = [(dest, c) for dest in ("must", "should", "must_not")
+                   for c in parsed[dest] if c[0] != "term"]
+    resolved = _resolve_expansions(reader, [c for _, c in exp_clauses],
+                                   max_expansions)
 
     # each query clause becomes ONE bool_query clause: a bare term is a
     # singleton, a wildcard/prefix/fuzzy clause becomes an OR-group of its
     # expansions (ES multi-term semantics: any expansion satisfies it)
-    groups: dict[str, list[list[str]]] = {}
+    groups: dict[str, list[list[str]]] = {
+        "must": [], "should": [], "must_not": []}
+    ei = 0
     for dest in ("must", "should", "must_not"):
-        gs = []
         for clause in parsed[dest]:
-            exp = _expand_clause(lex_rows, clause, max_expansions)
+            if clause[0] == "term":
+                groups[dest].append([clause[1]])
+                continue
+            exp = resolved.get(ei, [])
+            ei += 1
             if exp:
-                gs.append(sorted(set(exp)))
+                groups[dest].append(sorted(set(exp)))
             elif dest == "must":
                 return spark.createDataFrame(
                     [], "doc_id long, score double, rank long"
                 )  # an unexpandable must clause matches nothing
-        groups[dest] = gs
     from ..functions.textanalysis import py_tokenize
 
     an = reader.state.analyzer or None
