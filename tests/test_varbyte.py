@@ -129,3 +129,20 @@ def test_salted_split_union_equals_original():
         assert np.array_equal(merged[0], doc_ids[base_order])
         assert np.array_equal(merged[1], tfs[base_order])
         assert np.array_equal(merged[2], dls[base_order])
+
+
+@given(st.lists(st.integers(min_value=0, max_value=1 << 20), min_size=1,
+                max_size=200, unique=True))
+@settings(max_examples=200, deadline=None)
+def test_position_list_roundtrip(vals):
+    """The positional-postings codec path: sorted unique positions →
+    delta+varbyte → decode → identical list (build_positions/_dec pair)."""
+    import numpy as np
+
+    from elasticsearch_data_import_handler_spark.functions.varbyte import (
+        delta_decode, delta_encode, varbyte_decode, varbyte_encode)
+
+    pos = np.array(sorted(vals), dtype=np.int64)
+    vb = varbyte_encode(delta_encode(pos))
+    back = delta_decode(varbyte_decode(vb)).astype(np.int64)
+    assert back.tolist() == pos.tolist()
