@@ -126,7 +126,8 @@ def query_string_search(spark, reader, q: str, k: int = 10,
     them) and additionally gate via the positional table; ``min_should``
     defaults to the ES rule: 1 when the query has no must clause and no
     phrase, else 0."""
-    from .textsearch import bool_query, phrase_search_slop
+    from .textsearch import (bool_query, phrase_search_index,
+                             phrase_search_slop)
 
     parsed = parse_query_string(q)
     exp_clauses = [(dest, c) for dest in ("must", "should", "must_not")
@@ -174,9 +175,12 @@ def query_string_search(spark, reader, q: str, k: int = 10,
     scored = bool_query(spark, reader, must=must, should=should,
                         must_not=must_not, min_should=min_should)
     for text, slop in parsed["phrases"]:
-        hits = phrase_search_slop(spark, reader, text, slop=slop,
-                                  analyzer=an).select("doc_id")
-        scored = scored.join(hits, "doc_id", "left_semi")
+        if slop == 0:  # contiguous phrase: the cheaper array_intersect path
+            hits = phrase_search_index(spark, reader, text, analyzer=an)
+        else:
+            hits = phrase_search_slop(spark, reader, text, slop=slop,
+                                      analyzer=an)
+        scored = scored.join(hits.select("doc_id"), "doc_id", "left_semi")
     # distributed top-k (TakeOrdered) FIRST; the global rank window then
     # only ever sees ≤ k rows — never a single-partition sort of all hits
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
