@@ -448,6 +448,19 @@ def q_chunk_documents(spark, sf_dir):
                            chunk_size=64, overlap=16)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-prep: chunking → concat-and-split packing into fixed-length
+    training sequences (subsumes the round-2 ``chunk_documents`` gate row —
+    the chunker feeds the packer, so its output is verified transitively;
+    ``chunk_documents`` remains public API with its own pytest oracle)."""
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        chunk_documents, pack_sequences)
+
+    ch = chunk_documents(_read(spark, sf_dir, "documents"),
+                         chunk_size=64, overlap=16)
+    return pack_sequences(ch, seq_len=128, n_buckets=32)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Training-prep: deterministic md5-keyed per-language sampling — the
     oracle reproduces the exact subset (auditable ablation splits)."""
@@ -610,6 +623,36 @@ def q_except_all(spark, sf_dir):
     rich = cu.filter(F.col("c_acctbal") > 5000).select(
         F.col("c_custkey").alias("custkey"))
     return ordered.exceptAll(rich)
+
+
+def q_set_ops(spark, sf_dir):
+    """UNION ALL + EXCEPT ALL + INTERSECT ALL in one tagged result — the
+    full multiset set-op surface gated as one row (each branch is the
+    previously-gated query verbatim, tagged with an ``op`` column)."""
+    tag = lambda df, op: df.withColumn("op", F.lit(op))  # noqa: E731
+    return (tag(q_union_all(spark, sf_dir), "union")
+            .unionByName(tag(q_except_all(spark, sf_dir), "except"))
+            .unionByName(tag(q_intersect_all(spark, sf_dir), "intersect")))
+
+
+def q_window_frames(spark, sf_dir):
+    """ROWS + RANGE window frames in one result: per customer, the running
+    order total (ROWS UNBOUNDED PRECEDING) and the value-based 30-day
+    trailing total (RANGE 30 PRECEDING on days) for every order."""
+    from pyspark.sql import Window
+
+    od = _read(spark, sf_dir, "orders").withColumn(
+        "day", (F.col("o_orderdate").cast("timestamp").cast("long")
+                / 86400).cast("long"))
+    w_rows = (Window.partitionBy("o_custkey")
+              .orderBy("o_orderdate", "o_orderkey")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_range = (Window.partitionBy("o_custkey").orderBy("day")
+               .rangeBetween(-30, 0))
+    return od.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w_rows), 4).alias("running_total"),
+        F.round(F.sum("o_totalprice").over(w_range), 4).alias("total_30d"))
 
 
 def q_scalar_funcs(spark, sf_dir):
@@ -835,17 +878,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text quality / training prep
         "repetition_metrics": q_repetition_metrics,
         "unigram_loglik": q_unigram_loglik,
-        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
-        # delegated Spark SQL surface
-        "union_all": q_union_all,
-        "except_all": q_except_all,
-        "intersect_all": q_intersect_all,
+        # delegated Spark SQL surface (set_ops tags union/except/intersect
+        # ALL in one row; window_frames carries the ROWS and RANGE frames)
+        "set_ops": q_set_ops,
         "grouping_sets": q_grouping_sets,
         "scalar_funcs": q_scalar_funcs,
         "range_join": q_range_join,
-        "window_range_frame": q_window_range_frame,
-        "window_running": q_window_running,
+        "window_frames": q_window_frames,
         "exists_subquery": q_exists_subquery,
         "quantiles": q_quantiles,
         "semi_anti_join": q_semi_anti_join,
@@ -1095,7 +1136,11 @@ def oracle_sql() -> dict[str, str]:
             "AS snippet FROM documents "
             "WHERE strpos(lower(text), 'the spark') > 0"
         ),
-        "chunk_documents": (
+        "pack_sequences": (
+            # chunker CTEs verbatim (the packed result transitively verifies
+            # chunk_documents), then a global cumsum + per-piece unnest; the
+            # naive single-window cumsum is fine HERE — the oracle is the
+            # spec, the Spark side scans it as a two-level bucket prefix sum
             "WITH d AS (SELECT doc_id, "
             "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
             "f AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 1), "
@@ -1103,10 +1148,21 @@ def oracle_sql() -> dict[str, str]:
             "ch AS (SELECT doc_id, unnest(rs) AS s, "
             "generate_subscripts(rs, 1) - 1 AS chunk_id, toks FROM st), "
             "cc AS (SELECT doc_id, chunk_id::BIGINT AS chunk_id, "
-            "toks[s:s+63] AS ctoks FROM ch) "
-            "SELECT doc_id, chunk_id, len(ctoks)::BIGINT AS n_tokens, "
-            "array_to_string(ctoks, ' ') AS chunk_text FROM cc "
-            "WHERE len(ctoks) >= 1"
+            "toks[s:s+63] AS ctoks FROM ch), "
+            "ck AS (SELECT doc_id, chunk_id, len(ctoks)::BIGINT AS n FROM cc "
+            "WHERE len(ctoks) >= 1), "
+            "gg AS (SELECT doc_id, chunk_id, n, (sum(n) OVER ("
+            "ORDER BY doc_id, chunk_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)::BIGINT "
+            "AS g FROM ck), "
+            "p AS (SELECT doc_id, chunk_id, g, n, unnest(range("
+            "(g // 128)::BIGINT, ((g + n - 1) // 128 + 1)::BIGINT)) "
+            "AS seq_id FROM gg) "
+            "SELECT doc_id, chunk_id, seq_id::BIGINT AS seq_id, "
+            "(greatest(g, seq_id * 128) - seq_id * 128)::BIGINT AS seq_off, "
+            "(greatest(g, seq_id * 128) - g)::BIGINT AS tok_off, "
+            "(least(g + n, (seq_id + 1) * 128) "
+            "- greatest(g, seq_id * 128))::BIGINT AS piece_len FROM p"
         ),
         "stratified_sample": (
             # thresholds in integer basis points — the operator resolves
@@ -1212,15 +1268,27 @@ def oracle_sql() -> dict[str, str]:
             "AND v.t >= p.t AND v.t <= p.t + 3600 "
             "GROUP BY p.user_id, p.event_id"
         ),
-        "intersect_all": (
+        "set_ops": (
+            "SELECT custkey, 'union' AS op FROM ("
+            "SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000 "
+            "UNION ALL SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT') "
+            "UNION ALL SELECT custkey, 'except' AS op FROM ("
             "SELECT o_custkey AS custkey FROM orders "
-            "INTERSECT ALL SELECT c_custkey AS custkey FROM customer "
-            "WHERE c_acctbal > 1000"
+            "EXCEPT ALL SELECT c_custkey FROM customer WHERE c_acctbal > 5000) "
+            "UNION ALL SELECT custkey, 'intersect' AS op FROM ("
+            "SELECT o_custkey AS custkey FROM orders "
+            "INTERSECT ALL SELECT c_custkey FROM customer "
+            "WHERE c_acctbal > 1000)"
         ),
-        "window_range_frame": (
-            "WITH d AS (SELECT o_custkey, o_orderkey, o_totalprice, "
-            "(epoch(o_orderdate)::BIGINT // 86400) AS day FROM orders) "
+        "window_frames": (
+            "WITH d AS (SELECT o_custkey, o_orderkey, o_orderdate, "
+            "o_totalprice, (epoch(o_orderdate)::BIGINT // 86400) AS day "
+            "FROM orders) "
             "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) "
+            "AS running_total, round(sum(o_totalprice) OVER ("
             "PARTITION BY o_custkey ORDER BY day "
             "RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS total_30d "
             "FROM d"
@@ -1245,16 +1313,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment, count(*)::BIGINT AS n, 0 AS has_orders "
             "FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders "
             "WHERE o_custkey = c_custkey) GROUP BY c_mktsegment"
-        ),
-        "union_all": (
-            "SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000 "
-            "UNION ALL SELECT o_custkey AS custkey FROM orders "
-            "WHERE o_orderpriority = '1-URGENT'"
-        ),
-        "except_all": (
-            "SELECT o_custkey AS custkey FROM orders "
-            "EXCEPT ALL SELECT c_custkey AS custkey FROM customer "
-            "WHERE c_acctbal > 5000"
         ),
         "scalar_funcs": (
             "SELECT event_id, ((props::JSON)->>'k')::BIGINT AS k, "
@@ -1292,12 +1350,6 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey "
             "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"
-        ),
-        "window_running": (
-            "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER ("
-            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total "
-            "FROM orders"
         ),
         "rollup_agg": (
             "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n, "

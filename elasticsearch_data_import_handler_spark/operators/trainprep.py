@@ -1,11 +1,19 @@
-"""Training-data preparation operators: deterministic chunking and sampling.
+"""Training-data preparation operators: deterministic chunking, packing,
+and sampling.
 
-The two ops every LLM-pretraining pipeline runs after dedup/quality:
+The ops every LLM-pretraining pipeline runs after dedup/quality:
 
 * :func:`chunk_documents` — split each document into fixed-size token
   windows with overlap (the packing precursor).  Pure JVM expressions:
   the per-doc chunk count is small, so the per-chunk slice/join HOF cost
   is negligible (unlike per-token HOFs — see operators/dedup.py).
+* :func:`pack_sequences` — concat-and-split sequence packing: lay all
+  chunks end-to-end in a deterministic global order and cut the token
+  stream into fixed-length training sequences, emitting full lineage
+  (which piece of which chunk lands where in which sequence).  The global
+  token offset is a DISTRIBUTED two-level prefix sum — per-range-bucket
+  sums cumulated on the driver (≤ n_buckets rows), within-bucket window —
+  never a single-partition global window.
 * :func:`stratified_sample` — reproducible per-stratum rate sampling keyed
   on md5(doc_id): the SAME subset on every engine and every run (no RNG
   state, no seed plumbing), which is what makes ablation subsets and
@@ -45,6 +53,77 @@ def chunk_documents(documents: DataFrame, chunk_size: int = 64,
             .select("doc_id", "chunk_id",
                     F.size("ctoks").cast("long").alias("n_tokens"),
                     F.array_join("ctoks", " ").alias("chunk_text")))
+
+
+def pack_sequences(chunks: DataFrame, seq_len: int = 128,
+                   n_buckets: int = 1024, id_col: str = "doc_id",
+                   chunk_col: str = "chunk_id",
+                   len_col: str = "n_tokens") -> DataFrame:
+    """(doc_id, chunk_id, seq_id, seq_off, tok_off, piece_len): concat-and-
+    split packing of token chunks into fixed-``seq_len`` training sequences.
+
+    Semantics (exact, engine-agnostic): order chunks globally by (doc_id,
+    chunk_id), concatenate their token counts into one stream, and cut the
+    stream every ``seq_len`` tokens.  A chunk that straddles a cut emits one
+    row per overlapped sequence; ``seq_off`` is where the piece starts
+    inside the sequence, ``tok_off`` where it starts inside the chunk.
+    Every sequence except the final one holds exactly ``seq_len`` tokens
+    (test-enforced) — the standard GPT-style pretraining packing.
+
+    Scale shape: the only global state is the prefix sum of token counts in
+    chunk order.  It is computed as a two-level scan: (1) chunks map to
+    order-preserving doc-id range buckets; per-bucket token sums — at most
+    ``n_buckets`` rows — are cumulated on the driver and broadcast back;
+    (2) a window partitioned BY BUCKET adds the within-bucket running
+    total.  No stage sorts or windows the full stream in one partition,
+    and the piece explosion is a per-row JVM ``sequence`` over the ≤
+    ceil(n/seq_len)+1 spanned sequences.  At 10^12 docs raise ``n_buckets``
+    so driver state stays ~O(n_buckets); everything else is per-bucket.
+    """
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    hi = chunks.agg(F.max(F.col(id_col)).cast("long")).first()[0]
+    if hi is None:
+        return chunks.sparkSession.createDataFrame(
+            [], "doc_id long, chunk_id long, seq_id long, seq_off long, "
+                "tok_off long, piece_len long")
+    width = max(1, (int(hi) + n_buckets) // n_buckets)  # ceil((hi+1)/nb)
+    c = chunks.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(chunk_col).cast("long").alias("chunk_id"),
+        F.col(len_col).cast("long").alias("n"),
+    ).withColumn("bucket", (F.col("doc_id") / width).cast("long"))
+    # level 1: per-bucket sums → driver cumsum (≤ n_buckets rows) → broadcast
+    sums = {r["bucket"]: r["s"]
+            for r in c.groupBy("bucket").agg(F.sum("n").alias("s")).collect()}
+    off, acc = {}, 0
+    for b in sorted(sums):
+        off[b] = acc
+        acc += sums[b]
+    spark = chunks.sparkSession
+    offs = F.broadcast(spark.createDataFrame(
+        [(b, o) for b, o in off.items()], "bucket long, bucket_off long"))
+    # level 2: within-bucket running total (distributed across buckets)
+    w = (Window.partitionBy("bucket").orderBy("doc_id", "chunk_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    g = (c.join(offs, "bucket")
+         .withColumn("g", F.col("bucket_off") + F.sum("n").over(w) - F.col("n")))
+    # piece explosion: sequences floor(g/L) .. floor((g+n-1)/L)
+    L = seq_len
+    pieces = g.select(
+        "doc_id", "chunk_id", "g", "n",
+        F.explode(F.sequence(
+            (F.col("g") / L).cast("long"),
+            ((F.col("g") + F.col("n") - 1) / L).cast("long"))).alias("seq_id"))
+    start = F.greatest(F.col("g"), F.col("seq_id") * L)
+    end = F.least(F.col("g") + F.col("n"), (F.col("seq_id") + 1) * L)
+    return pieces.select(
+        "doc_id", "chunk_id", F.col("seq_id").cast("long").alias("seq_id"),
+        (start - F.col("seq_id") * L).cast("long").alias("seq_off"),
+        (start - F.col("g")).cast("long").alias("tok_off"),
+        (end - start).cast("long").alias("piece_len"))
 
 
 def sample_hash_col(id_col: str = "doc_id", buckets: int = 10_000):

@@ -182,3 +182,57 @@ def test_symspell_equals_levenshtein_scan(spark):
         got = {(r["term"], r["dist"])
                for r in symspell_terms(df, "beta", d).collect()}
         assert got == exp and len(got) > 1, (d, got, exp)
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-and-split packing: every sequence but the last holds exactly
+    seq_len tokens, pieces tile each chunk without gaps, lineage offsets
+    reconstruct the global stream, and the result is independent of the
+    prefix-sum bucket count (the distributed scan is exact)."""
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        chunk_documents, pack_sequences)
+
+    texts = [(i, " ".join(f"t{i}x{j}" for j in range(17 + (i * 37) % 140)))
+             for i in range(1, 30)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    ch = chunk_documents(df, chunk_size=64, overlap=16)
+    L = 100
+    rows = pack_sequences(ch, seq_len=L, n_buckets=7).collect()
+
+    # per-sequence totals: exactly L except the last
+    per_seq = {}
+    for r in rows:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["piece_len"]
+    last = max(per_seq)
+    assert set(per_seq) == set(range(last + 1))      # dense sequence ids
+    for s, tot in per_seq.items():
+        assert tot == L or (s == last and 0 < tot <= L), (s, tot)
+
+    # pieces tile each chunk: tok_offs are contiguous and sum to n_tokens
+    n_by_chunk = {(r["doc_id"], r["chunk_id"]): r["n_tokens"]
+                  for r in ch.collect()}
+    by_chunk = {}
+    for r in rows:
+        by_chunk.setdefault((r["doc_id"], r["chunk_id"]), []).append(r)
+    assert set(by_chunk) == set(n_by_chunk)
+    for key, ps in by_chunk.items():
+        ps.sort(key=lambda r: r["tok_off"])
+        assert ps[0]["tok_off"] == 0
+        for a, b in zip(ps, ps[1:]):
+            assert a["tok_off"] + a["piece_len"] == b["tok_off"]
+            assert a["seq_id"] + 1 == b["seq_id"]     # straddles are adjacent
+        assert sum(p["piece_len"] for p in ps) == n_by_chunk[key]
+
+    # global stream order: seq_id*L + seq_off is the chunk-order prefix sum
+    firsts = sorted((r for r in rows if r["tok_off"] == 0),
+                    key=lambda r: (r["doc_id"], r["chunk_id"]))
+    acc = 0
+    for r in firsts:
+        assert r["seq_id"] * L + r["seq_off"] == acc
+        acc += n_by_chunk[(r["doc_id"], r["chunk_id"])]
+
+    # bucket-count independence
+    alt = pack_sequences(ch, seq_len=L, n_buckets=1000).collect()
+    key = lambda r: (r["doc_id"], r["chunk_id"], r["seq_id"],
+                     r["seq_off"], r["tok_off"], r["piece_len"])
+    assert sorted(map(key, alt)) == sorted(map(key, rows))
