@@ -419,6 +419,84 @@ def q_bool_query(spark, sf_dir):
     return _native_doc_ids(reader, out, ["should_hits", "score"])
 
 
+def q_query_string(spark, sf_dir):
+    """The full ES query_string surface end-to-end: parse (+must, -must_not,
+    wildcard/prefix expansion, sloppy phrase), resolve expansions against
+    the distributed lexicon, bool-score with BM25, gate on the positional
+    phrase, top-k.  The oracle replays every stage — including the top-df
+    expansion rewrite — from the raw corpus."""
+    from pyspark.sql import Window
+
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        query_string_search)
+
+    reader = _gate_index(spark, sf_dir)
+    # rank under the NATIVE doc-id tie order (as bm25_topk_wand does):
+    # take a tie-safe candidate pool (3k) and re-rank after the url map
+    cand = query_string_search(
+        spark, reader, '+spark merg* quer? "fast table scan"~4 -vector',
+        k=3000, round_to=None)
+    ds = reader.doc_stats().select(
+        "doc_id",
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("__nid"))
+    native = cand.join(ds, "doc_id").select(
+        F.col("__nid").alias("doc_id"), "score")
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (native.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .select("doc_id", F.round("score", 4).alias("score"), "rank"))
+
+
+def q_search_facets(spark, sf_dir):
+    """ES search-with-aggregations: bool query against the index, matching
+    docs bucketed by metadata fields (lang, source) with doc_count + score
+    sums — the terms-agg + sum-sub-agg shape."""
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        facet_search)
+
+    reader = _gate_index(spark, sf_dir)
+    # metadata side table keyed by INDEX doc_id (the doc-values analog):
+    # index doc_stats carries the url, whose tail is the native documents id
+    ds = reader.doc_stats().select(
+        "doc_id",
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("__nid"))
+    meta = ds.join(
+        _read(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("__nid"), "lang", "source"),
+        "__nid").select("doc_id", "lang", "source")
+    return facet_search(spark, reader, meta, ["lang", "source"],
+                        must=["spark"], should=["merge", "batch"],
+                        min_should=0, top_n=8)
+
+
+def q_more_like_this(spark, sf_dir):
+    """ES more_like_this: the seed doc's top tf·idf terms become a should
+    query; BM25 top-k over the index, seed excluded, ranked under the
+    native doc-id tie order so the DuckDB oracle replays it exactly."""
+    from pyspark.sql import Window
+
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        more_like_this)
+
+    seed_native = 7
+    reader = _gate_index(spark, sf_dir)
+    seed_text = (_read(spark, sf_dir, "documents")
+                 .filter(F.col("doc_id") == seed_native)
+                 .select("text").first()[0])
+    ds = reader.doc_stats().select(
+        "doc_id",
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("__nid"))
+    seed_idx = ds.filter(F.col("__nid") == seed_native).first()["doc_id"]
+    cand = more_like_this(spark, reader, seed_text, seed_doc_id=seed_idx,
+                          candidates=True)
+    native = cand.join(ds, "doc_id").select(
+        F.col("__nid").alias("doc_id"), "score")
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (native.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .select("doc_id", F.round("score", 4).alias("score"), "rank"))
+
+
 def q_term_expansion(spark, sf_dir):
     """ES multi-term query expansion — fuzzy (edit distance ≤ 2), prefix,
     and wildcard resolved against the vocabulary in one pass (subsumes the
@@ -859,6 +937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_index": q_phrase_index,
         "term_expansion": q_term_expansion,
         "snippets": q_snippets,
+        "search_facets": q_search_facets,
+        "more_like_this": q_more_like_this,
+        "query_string": q_query_string,
         # streaming / multimodal / extraction
         "windowed_events": q_windowed_events,
         "multimodal_features": q_multimodal_features,
@@ -1107,6 +1188,90 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, should_hits, round(score, 4) AS score FROM scored "
             "WHERE must_hits = 1 AND should_hits >= 1 AND doc_id NOT IN "
             "(SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')"
+        ),
+        "query_string": (
+            # replay of '+spark merg* quer? "fast table scan"~4 -vector':
+            # top-df expansion rewrite, BM25 bool scoring over must+should
+            # terms, in-order phrase gate with span <= (n-1)+slop = 6
+            f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
+            "exp AS (SELECT term FROM (SELECT term, row_number() OVER ("
+            "ORDER BY df DESC, term ASC) AS r FROM dfreq "
+            "WHERE term LIKE 'merg%') e1 WHERE r <= 50 "
+            "UNION SELECT term FROM (SELECT term, row_number() OVER ("
+            "ORDER BY df DESC, term ASC) AS r FROM dfreq "
+            "WHERE term LIKE 'quer_') e2 WHERE r <= 50), "
+            "sterms AS (SELECT 'spark' AS term UNION SELECT 'fast' "
+            "UNION SELECT 'table' UNION SELECT 'scan' "
+            "UNION SELECT term FROM exp), "
+            "scored AS (SELECT tf.doc_id, "
+            f"sum({bm25_contrib}) AS score, "
+            "max(CASE WHEN tf.term = 'spark' THEN 1 ELSE 0 END) AS m0, "
+            "max(CASE WHEN tf.term = 'fast' THEN 1 ELSE 0 END) AS m1, "
+            "max(CASE WHEN tf.term = 'table' THEN 1 ELSE 0 END) AS m2, "
+            "max(CASE WHEN tf.term = 'scan' THEN 1 ELSE 0 END) AS m3 "
+            "FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "CROSS JOIN stats s WHERE tf.term IN (SELECT term FROM sterms) "
+            "GROUP BY tf.doc_id), "
+            "tt AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks "
+            "FROM documents), "
+            "pp AS (SELECT doc_id, unnest(toks) AS term, "
+            "generate_subscripts(toks, 1) AS pos FROM tt), "
+            "ph AS (SELECT DISTINCT p1.doc_id FROM pp p1 "
+            "JOIN pp p2 ON p2.doc_id = p1.doc_id AND p2.term = 'table' "
+            "AND p2.pos > p1.pos AND p2.pos - p1.pos <= 6 "
+            "JOIN pp p3 ON p3.doc_id = p1.doc_id AND p3.term = 'scan' "
+            "AND p3.pos > p2.pos AND p3.pos - p1.pos <= 6 "
+            "WHERE p1.term = 'fast'), "
+            "ok AS (SELECT sc.doc_id, sc.score FROM scored sc "
+            "WHERE m0 = 1 AND m1 = 1 AND m2 = 1 AND m3 = 1 "
+            "AND sc.doc_id IN (SELECT doc_id FROM ph) "
+            "AND sc.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok "
+            "WHERE term = 'vector')), "
+            "rr AS (SELECT doc_id, score, row_number() OVER ("
+            "ORDER BY score DESC, doc_id ASC) AS rank FROM ok) "
+            "SELECT doc_id, round(score, 4) AS score, rank FROM rr "
+            "WHERE rank <= 10"
+        ),
+        "search_facets": (
+            f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
+            "scored AS (SELECT tf.doc_id, "
+            "count(DISTINCT CASE WHEN tf.term IN ('spark') THEN tf.term END) "
+            "AS must_hits, "
+            f"round(sum({bm25_contrib}), 4) AS score "
+            "FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "CROSS JOIN stats s WHERE tf.term IN ('spark', 'merge', 'batch') "
+            "GROUP BY tf.doc_id), "
+            "m AS (SELECT s.doc_id, s.score, d.lang, d.source FROM scored s "
+            "JOIN documents d USING (doc_id) WHERE must_hits = 1), "
+            "fa AS (SELECT 'lang' AS facet, lang AS value, "
+            "count(*)::BIGINT AS doc_count, round(sum(score), 2) AS sum_score "
+            "FROM m GROUP BY lang "
+            "UNION ALL SELECT 'source' AS facet, source AS value, "
+            "count(*)::BIGINT, round(sum(score), 2) FROM m GROUP BY source), "
+            "rr AS (SELECT facet, value, doc_count, sum_score, row_number() "
+            "OVER (PARTITION BY facet ORDER BY doc_count DESC, value ASC) "
+            "AS r FROM fa) "
+            "SELECT facet, value, doc_count, sum_score FROM rr WHERE r <= 8"
+        ),
+        "more_like_this": (
+            f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
+            "seed AS (SELECT term, tf FROM tf WHERE doc_id = 7), "
+            "seli AS (SELECT sd.term, round(sd.tf * ln(1 + "
+            "(st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6) AS interest "
+            "FROM seed sd JOIN dfreq USING (term) CROSS JOIN stats st "
+            "WHERE sd.tf >= 1 AND dfreq.df >= 2), "
+            "sel AS (SELECT term FROM seli "
+            "ORDER BY interest DESC, term ASC LIMIT 25), "
+            "scored AS (SELECT tf.doc_id, "
+            f"sum({bm25_contrib}) AS score "
+            "FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "CROSS JOIN stats s WHERE tf.term IN (SELECT term FROM sel) "
+            "AND tf.doc_id <> 7 GROUP BY tf.doc_id), "
+            "rr AS (SELECT doc_id, score, row_number() OVER ("
+            "ORDER BY score DESC, doc_id ASC) AS rank FROM scored) "
+            "SELECT doc_id, round(score, 4) AS score, rank FROM rr "
+            "WHERE rank <= 10"
         ),
         "phrase_index": (
             "WITH t AS (SELECT doc_id, "

@@ -106,6 +106,110 @@ def _resolve_expansions(reader, clauses: list[tuple],
     return out
 
 
+def facet_search(spark, reader, meta: DataFrame, facet_cols: list[str],
+                 must=None, should=None, must_not=None, min_should: int = 0,
+                 top_n: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """ES search-with-aggregations analog: run a bool query against the
+    index, then bucket the MATCHING documents by each requested metadata
+    field — (facet, value, doc_count, sum_score) for the ``top_n`` buckets
+    per facet, ordered by doc_count (ties by value) like an ES ``terms``
+    aggregation with a ``sum`` sub-aggregation.
+
+    ``meta`` plays the role of ES doc-values: a columnar side table keyed by
+    ``id_col`` holding the facetable fields (in this engine that is simply
+    the source table or any projection of it).
+
+    Scale shape: the candidate set from :func:`~.textsearch.bool_query` is
+    O(Σ df of the query terms), never the corpus; the metadata join is
+    candidate-keyed; all facet fields stack through ONE explode of a
+    per-row (facet, value) array (a UNION of per-facet selects would
+    re-run the scorer per facet); the final top-n window partitions by
+    facet over at most Σ facet-cardinality aggregated rows.  ``sum_score``
+    sums per-doc scores pre-rounded to 4dp and rounds the total to 2dp so
+    any engine reproduces it bit-exactly."""
+    from .textsearch import bool_query
+
+    if not facet_cols:
+        raise ValueError("facet_search needs at least one facet column")
+    scored = bool_query(spark, reader, must=must, should=should,
+                        must_not=must_not, min_should=min_should,
+                        round_to=4)
+    j = scored.join(meta.withColumnRenamed(id_col, "doc_id"), "doc_id")
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("facet"),
+                 F.col(c).cast("string").alias("value"))
+        for c in facet_cols])
+    stacked = (j.select(F.explode(pairs).alias("fv"), "score")
+               .select("fv.facet", "fv.value", "score"))
+    agg = (stacked.groupBy("facet", "value")
+           .agg(F.count(F.lit(1)).alias("doc_count"),
+                F.round(F.sum("score"), 2).alias("sum_score")))
+    w = Window.partitionBy("facet").orderBy(F.desc("doc_count"), F.asc("value"))
+    return (agg.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= top_n)
+            .select("facet", "value",
+                    F.col("doc_count").cast("long").alias("doc_count"),
+                    "sum_score"))
+
+
+def more_like_this(spark, reader, seed_text: str, seed_doc_id: int | None = None,
+                   k: int = 10, max_query_terms: int = 25,
+                   min_term_freq: int = 1, min_doc_freq: int = 2,
+                   round_to: int | None = 4,
+                   candidates: bool = False) -> DataFrame:
+    """ES more_like_this analog: select the seed document's most
+    interesting terms by tf·idf, then BM25-rank the rest of the index
+    against them — (doc_id, score, rank) top-k, seed excluded.
+
+    Term selection follows the ES MLT builder: per seed term, interest =
+    tf(term, seed) × idf(term); terms below ``min_term_freq`` /
+    ``min_doc_freq`` are dropped and the ``max_query_terms`` highest
+    survive (interest rounded to 6dp before ordering, ties by term, so
+    every engine picks the identical set).  Scoring reuses the gated
+    TAAT :func:`~.textsearch.bool_query` path with the selected terms as
+    ``should`` clauses (min_should 1) — cost O(Σ df of selected terms).
+
+    The seed's term vector is computed from ``seed_text`` with the index's
+    analyzer (ES reads it from stored term vectors; one document's tokens
+    are driver-bounded either way); df/idf resolve against the DISTRIBUTED
+    lexicon, and only the ≤ ``max_query_terms`` winners are collected."""
+    from ..functions.textanalysis import py_tokenize
+    from .textsearch import bool_query
+
+    an = reader.state.analyzer or None
+    toks = py_tokenize(seed_text, an)
+    if not toks:
+        raise ValueError("seed document has no tokens under the analyzer")
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    cand = [(t, n) for t, n in tf.items() if n >= min_term_freq]
+    if not cand:
+        raise ValueError("no seed terms survive min_term_freq")
+    seed_tf = F.broadcast(spark.createDataFrame(cand, "term string, tf long"))
+    sel = (reader.lexicon().join(seed_tf, "term")
+           .filter(F.col("df") >= min_doc_freq)
+           .withColumn("interest", F.round(F.col("tf") * F.col("idf"), 6))
+           .orderBy(F.desc("interest"), F.asc("term"))
+           .limit(max_query_terms))
+    terms = sorted(r["term"] for r in sel.select("term").collect())
+    if not terms:
+        raise ValueError("no seed terms survive min_doc_freq")
+    scored = bool_query(spark, reader, should=terms, min_should=1)
+    if seed_doc_id is not None:
+        scored = scored.filter(F.col("doc_id") != seed_doc_id)
+    if candidates:
+        # unranked (doc_id, score): callers that remap doc-id spaces rank
+        # under their own tie order (mirrors bm25_topk_wand's gate path)
+        return scored.select("doc_id", "score")
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    out = top.withColumn("rank", F.row_number().over(w).cast("long"))
+    score = (F.round("score", round_to) if round_to is not None
+             else F.col("score"))
+    return out.select("doc_id", score.alias("score"), "rank")
+
+
 def _levenshtein(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):

@@ -102,3 +102,55 @@ def test_query_string_end_to_end(qs_index):
 
     with pytest.raises(ValueError):
         query_string_search(spark, reader, "-onlyexcluded")
+
+
+def test_facet_search_buckets(qs_index):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        facet_search)
+
+    spark, reader, _ = qs_index
+    # doc-values analog: metadata keyed by INDEX doc_id (lang by url)
+    meta = reader.doc_stats().select(
+        "doc_id",
+        F.when(F.col("url").isin("u1", "u2"), "en").otherwise("de")
+        .alias("lang"),
+        F.substring("url", 1, 1).alias("kind"))
+    out = facet_search(spark, reader, meta, ["lang", "kind"], must=["spark"])
+    rows = {(r["facet"], r["value"]): r for r in out.collect()}
+    # matches: u1, u2, u4 (docs containing 'spark')
+    assert rows[("lang", "en")]["doc_count"] == 2
+    assert rows[("lang", "de")]["doc_count"] == 1
+    assert rows[("kind", "u")]["doc_count"] == 3
+    assert all(r["sum_score"] > 0 for r in rows.values())
+    # top_n=1 keeps only the biggest bucket per facet
+    top1 = facet_search(spark, reader, meta, ["lang"], must=["spark"],
+                        top_n=1).collect()
+    assert len(top1) == 1 and top1[0]["value"] == "en"
+    import pytest
+    with pytest.raises(ValueError):
+        facet_search(spark, reader, meta, [], must=["spark"])
+
+
+def test_more_like_this_ranks_similar_docs(qs_index):
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        more_like_this)
+
+    spark, reader, _ = qs_index
+    ds = {r["url"]: r["doc_id"] for r in reader.doc_stats().collect()}
+    seed_text = "spark engine handles big data pipelines"   # u1
+    rows = more_like_this(spark, reader, seed_text, seed_doc_id=ds["u1"],
+                          min_doc_freq=2).collect()
+    urls = {u for u, d in ds.items()
+            if d in {r["doc_id"] for r in rows}}
+    assert ds["u1"] not in {r["doc_id"] for r in rows}       # seed excluded
+    # every other doc shares ≥1 selected term (spark/big/data/engine/the)
+    assert urls == {"u2", "u3", "u4", "u5"}
+    ranked = sorted(rows, key=lambda r: r["rank"])
+    assert [r["rank"] for r in ranked] == list(range(1, len(ranked) + 1))
+    assert all(a["score"] >= b["score"] for a, b in zip(ranked, ranked[1:]))
+    # candidates=True returns the same scored set, unranked
+    cand = more_like_this(spark, reader, seed_text, seed_doc_id=ds["u1"],
+                          min_doc_freq=2, candidates=True).collect()
+    assert {r["doc_id"] for r in cand} == {r["doc_id"] for r in rows}
