@@ -660,6 +660,43 @@ def q_semi_anti_join(spark, sf_dir):
     return with_o.unionByName(without_o)
 
 
+def q_semi_anti_exists(spark, sf_dir):
+    """Semi-join family in one tagged row: left-semi + left-anti customer
+    splits and the correlated-EXISTS order counts (each branch is the
+    previously-gated query verbatim)."""
+    sa = q_semi_anti_join(spark, sf_dir).select(
+        F.col("c_mktsegment").alias("grp"), "n",
+        F.when(F.col("has_orders") == 1, "semi").otherwise("anti").alias("op"))
+    ex = q_exists_subquery(spark, sf_dir).select(
+        F.col("o_orderpriority").alias("grp"), "n", F.lit("exists").alias("op"))
+    return sa.unionByName(ex)
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval, ES RRF-retriever shape: a BM25 leg over the
+    persisted index (TAAT bool query, native-id ranked top-100) fused with
+    a vector leg (brute-force cosine top-100 for query vec 0 — embeddings
+    align 1:1 with documents) by reciprocal-rank fusion."""
+    from pyspark.sql import Window
+
+    from elasticsearch_data_import_handler_spark.operators.search import rrf_fuse
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        bool_query)
+
+    reader = _gate_index(spark, sf_dir)
+    scored = bool_query(spark, reader, should=["spark", "index", "merge"],
+                        min_should=1)
+    native = _native_doc_ids(reader, scored, ["score"])
+    top = native.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    leg_bm25 = (top.withColumn("rank", F.row_number().over(w).cast("long"))
+                .select("doc_id", "rank"))
+    leg_vec = (SIM.cosine_topk(_read(spark, sf_dir, "embeddings"),
+                               n_queries=1, k=100)
+               .select(F.col("vec_id").alias("doc_id"), "rank"))
+    return rrf_fuse([leg_bm25, leg_vec], k=10, rrf_k=60)
+
+
 def q_intersect_all(spark, sf_dir):
     cu = _read(spark, sf_dir, "customer")
     od = _read(spark, sf_dir, "orders")
@@ -968,9 +1005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_funcs": q_scalar_funcs,
         "range_join": q_range_join,
         "window_frames": q_window_frames,
-        "exists_subquery": q_exists_subquery,
+        "semi_anti_exists": q_semi_anti_exists,
         "quantiles": q_quantiles,
-        "semi_anti_join": q_semi_anti_join,
+        "hybrid_rrf": q_hybrid_rrf,
         "tpch_pricing": q_tpch_pricing,
         "join_topn": q_join_topn,
         "rollup_agg": q_rollup_agg,
@@ -1458,10 +1495,48 @@ def oracle_sql() -> dict[str, str]:
             "RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS total_30d "
             "FROM d"
         ),
-        "exists_subquery": (
-            "SELECT o_orderpriority, count(*)::BIGINT AS n FROM orders "
+        "semi_anti_exists": (
+            "SELECT c_mktsegment AS grp, count(*)::BIGINT AS n, "
+            "'semi' AS op FROM customer WHERE EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey) GROUP BY c_mktsegment "
+            "UNION ALL "
+            "SELECT c_mktsegment AS grp, count(*)::BIGINT AS n, 'anti' AS op "
+            "FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey) GROUP BY c_mktsegment "
+            "UNION ALL "
+            "SELECT o_orderpriority AS grp, count(*)::BIGINT AS n, "
+            "'exists' AS op FROM orders "
             "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
             "AND l_discount >= 0.09) GROUP BY o_orderpriority"
+        ),
+        "hybrid_rrf": (
+            # BM25 leg (bool should over spark/index/merge, top-100 by
+            # score then native doc id) + cosine leg (query = vec 0,
+            # candidates vec_id >= 1, top-100) fused by 1/(60+rank)
+            f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
+            "scored AS (SELECT tf.doc_id, "
+            f"sum({bm25_contrib}) AS score "
+            "FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "CROSS JOIN stats s "
+            "WHERE tf.term IN ('spark', 'index', 'merge') "
+            "GROUP BY tf.doc_id), "
+            "b1 AS (SELECT doc_id, r FROM (SELECT doc_id, row_number() OVER ("
+            "ORDER BY score DESC, doc_id ASC) AS r FROM scored) b0 "
+            "WHERE r <= 100), "
+            "qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings "
+            "WHERE vec_id = 0), "
+            "cs AS (SELECT e.vec_id AS doc_id, list_cosine_similarity("
+            "qv.q, e.embedding::DOUBLE[]) AS cos FROM embeddings e "
+            "CROSS JOIN qv WHERE e.vec_id >= 1), "
+            "v1 AS (SELECT doc_id, r FROM (SELECT doc_id, row_number() OVER ("
+            "ORDER BY cos DESC, doc_id ASC) AS r FROM cs) v0 WHERE r <= 100), "
+            "u AS (SELECT doc_id, 1.0 / (60 + r) AS c FROM b1 "
+            "UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM v1), "
+            "f AS (SELECT doc_id, sum(c) AS rrf FROM u GROUP BY doc_id), "
+            "rr AS (SELECT doc_id, rrf, row_number() OVER ("
+            "ORDER BY rrf DESC, doc_id ASC) AS rank FROM f) "
+            "SELECT doc_id, round(rrf, 6) AS rrf_score, rank FROM rr "
+            "WHERE rank <= 10"
         ),
         "quantiles": (
             "SELECT l_returnflag, "
@@ -1469,15 +1544,6 @@ def oracle_sql() -> dict[str, str]:
             "round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) AS p90, "
             "round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) "
             "AS price_p99 FROM lineitem GROUP BY l_returnflag"
-        ),
-        "semi_anti_join": (
-            "SELECT c_mktsegment, count(*)::BIGINT AS n, 1 AS has_orders "
-            "FROM customer WHERE EXISTS (SELECT 1 FROM orders "
-            "WHERE o_custkey = c_custkey) GROUP BY c_mktsegment "
-            "UNION ALL "
-            "SELECT c_mktsegment, count(*)::BIGINT AS n, 0 AS has_orders "
-            "FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders "
-            "WHERE o_custkey = c_custkey) GROUP BY c_mktsegment"
         ),
         "scalar_funcs": (
             "SELECT event_id, ((props::JSON)->>'k')::BIGINT AS k, "

@@ -210,6 +210,35 @@ def more_like_this(spark, reader, seed_text: str, seed_doc_id: int | None = None
     return out.select("doc_id", score.alias("score"), "rank")
 
 
+def rrf_fuse(legs: list[DataFrame], k: int = 10, rrf_k: int = 60,
+             id_col: str = "doc_id", rank_col: str = "rank",
+             round_to: int | None = 6) -> DataFrame:
+    """ES RRF retriever: fuse N ranked retrieval legs by reciprocal-rank
+    fusion — (doc_id, rrf_score, rank) where rrf_score = Σ_legs
+    1/(rrf_k + rank_in_leg), the standard hybrid BM25+vector combiner.
+
+    Rank-based fusion needs no score normalization across legs, which is
+    what makes it reproducible on any engine: each contribution is an exact
+    integer reciprocal.  Ties break by doc_id.  Scale shape: legs union
+    (no recompute — each leg is already a top-n frame), one groupBy(doc_id)
+    over ≤ Σ leg sizes rows, distributed top-k THEN a rank window over ≤ k
+    rows."""
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one ranked leg")
+    u = None
+    for leg in legs:
+        c = leg.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            (F.lit(1.0) / (F.lit(rrf_k) + F.col(rank_col))).alias("c"))
+        u = c if u is None else u.unionByName(c)
+    fused = u.groupBy("doc_id").agg(F.sum("c").alias("rrf"))
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    out = top.withColumn("rank", F.row_number().over(w).cast("long"))
+    score = F.round("rrf", round_to) if round_to is not None else F.col("rrf")
+    return out.select("doc_id", score.alias("rrf_score"), "rank")
+
+
 def _levenshtein(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
