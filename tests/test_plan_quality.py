@@ -153,3 +153,50 @@ def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
     m = pp.merge(vv, on="user_id", suffixes=("", "_r"))
     exp = m[(m["t_r"] >= m["t"]) & (m["t_r"] <= m["t"] + 3600)]
     assert out.count() == len(exp)
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The packing prefix sum must stay distributed: every Window node in
+    the plan partitions by a key (the range bucket) — a Window with an
+    empty partition spec is the single-partition global scan we designed
+    around."""
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        chunk_documents, pack_sequences)
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(200)],
+        "doc_id long, text string")
+    out = pack_sequences(chunk_documents(df, chunk_size=4, overlap=0),
+                         seq_len=16, n_buckets=8)
+    plan = _plan(out)
+    assert "Window" in plan
+    for frag in plan.split("Window [")[1:]:
+        spec = frag.split("windowspecdefinition(")[1]
+        # spec args: partition cols..., order cols..., frame; an empty
+        # partition spec starts directly with the sort order column
+        assert spec.split(",")[0].strip().startswith("bucket"), frag[:200]
+
+
+def test_facet_search_single_postings_decode(spark, tmp_path):
+    """All facets stack through one explode over ONE scored-candidate plan:
+    the varbyte postings decode kernel (FlatMapGroupsInPandas/MapInPandas)
+    appears exactly once — a per-facet UNION would re-run the scorer."""
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        facet_search)
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        IndexReader, build_index)
+    from elasticsearch_data_import_handler_spark.sources.corpus import synth_pages
+
+    d = str(tmp_path / "idx")
+    build_index(spark, synth_pages(spark, 120, seed=42), d, tau=100,
+                n_buckets=4)
+    reader = IndexReader(spark, d)
+    from pyspark.sql import functions as F
+    meta = reader.doc_stats().select(
+        "doc_id", F.substring("url", 1, 6).alias("site"),
+        (F.col("doc_len") % 3).cast("string").alias("len_band"))
+    out = facet_search(spark, reader, meta, ["site", "len_band"],
+                       must=["spark"])
+    plan = _plan(out)
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Generate explode") == 1, plan
