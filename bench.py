@@ -251,7 +251,11 @@ def _measure_scaling_pair(corpus_path: str) -> tuple[dict, list[dict]]:
               f"{cal['host_cpu_scaling_2_8']}", file=sys.stderr)
         if att["eff_build"] >= 0.8:
             break
-    return max(attempts, key=lambda a: a["eff_build"]), attempts
+    # joint pick: an attempt where one side is great and the other collapsed
+    # is tenancy noise, not the engine — take the best worst-side (query eff
+    # capped at 1: supra-linear readings are anomalous c2 slowness)
+    return max(attempts, key=lambda a: min(a["eff_build"],
+                                           min(1.0, a["eff_query"]))), attempts
 
 
 def main():
