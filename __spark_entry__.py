@@ -922,6 +922,40 @@ def q_cube_agg(spark, sf_dir):
                  F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
 
 
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_pivot_cube(spark, sf_dir):
+    """Pivot + CUBE in one tagged row (the two grouped-analytics shapes;
+    branches are the previously-gated queries verbatim, null-padded into a
+    common schema)."""
+    p = q_pivot(spark, sf_dir).select(
+        F.lit("pivot").alias("op"), F.col("source").alias("g1"),
+        F.lit(None).cast("string").alias("g2"),
+        *[F.col(c) for c in _PIVOT_LANGS],
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("sum_qty"))
+    c = q_cube_agg(spark, sf_dir).select(
+        F.lit("cube").alias("op"), F.col("l_returnflag").alias("g1"),
+        F.col("l_linestatus").alias("g2"),
+        *[F.lit(None).cast("long").alias(x) for x in _PIVOT_LANGS],
+        F.col("n"), F.col("sum_qty"))
+    return p.unionByName(c)
+
+
+def q_dis_max(spark, sf_dir):
+    """ES dis_max over the index: best-clause BM25 with a tie_breaker for
+    the runner-up clauses (OR-group clauses included)."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        dis_max_query)
+
+    reader = _gate_index(spark, sf_dir)
+    out = dis_max_query(spark, reader,
+                        [["spark", "sql"], ["merge", "batch"], "index"],
+                        tie_breaker=0.3, round_to=4)
+    return _native_doc_ids(reader, out, ["score"])
+
+
 def q_sessionize(spark, sf_dir):
     from pyspark.sql import Window
     ev = _read(spark, sf_dir, "events")
@@ -958,8 +992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # previously gate-truncated or new — registered first
         "asof_join": q_asof_join,
         "sessionize_stateful": q_sessionize_stateful,
-        "pivot": q_pivot,
-        "cube_agg": q_cube_agg,
+        "pivot_cube": q_pivot_cube,
+        "dis_max": q_dis_max,
         "topn_per_group": q_topn_per_group,
         "phrase_slop": q_phrase_slop,
         "bool_query": q_bool_query,
@@ -1613,19 +1647,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM purchases p ASOF LEFT JOIN views v "
             "ON p.user_id = v.user_id AND v.ts <= p.ts"
         ),
-        "pivot": (
-            "SELECT source, "
+        "pivot_cube": (
+            "SELECT 'pivot' AS op, source AS g1, NULL::VARCHAR AS g2, "
             "sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS de, "
             "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en, "
             "sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS es, "
             "sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS fr, "
-            "sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS zh "
-            "FROM documents GROUP BY source"
-        ),
-        "cube_agg": (
-            "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n, "
+            "sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS zh, "
+            "NULL::BIGINT AS n, NULL::DOUBLE AS sum_qty "
+            "FROM documents GROUP BY source "
+            "UNION ALL "
+            "SELECT 'cube' AS op, l_returnflag AS g1, l_linestatus AS g2, "
+            "NULL::BIGINT AS de, NULL::BIGINT AS en, NULL::BIGINT AS es, "
+            "NULL::BIGINT AS fr, NULL::BIGINT AS zh, count(*)::BIGINT AS n, "
             "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
             "GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "dis_max": (
+            f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
+            "agg AS (SELECT tf.doc_id, "
+            "sum(CASE WHEN tf.term IN ('spark', 'sql') THEN "
+            f"{bm25_contrib} ELSE 0 END) AS c0, "
+            "sum(CASE WHEN tf.term IN ('merge', 'batch') THEN "
+            f"{bm25_contrib} ELSE 0 END) AS c1, "
+            "sum(CASE WHEN tf.term IN ('index') THEN "
+            f"{bm25_contrib} ELSE 0 END) AS c2 "
+            "FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "CROSS JOIN stats s "
+            "WHERE tf.term IN ('batch', 'index', 'merge', 'spark', 'sql') "
+            "GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(greatest(c0, c1, c2) + 0.3 * "
+            "(c0 + c1 + c2 - greatest(c0, c1, c2)), 4) AS score FROM agg"
         ),
         "sessionize_stateful": (
             "WITH g AS (SELECT user_id, ts, CASE WHEN "

@@ -278,6 +278,57 @@ def _clause_groups(clauses) -> list[list[str]]:
             for c in (clauses or []) if (isinstance(c, str) and c) or c]
 
 
+def dis_max_query(spark, reader, clauses, tie_breaker: float = 0.0,
+                  round_to: int | None = None) -> DataFrame:
+    """ES dis_max combinator over the persisted index: (doc_id, score)
+    where each clause's score is the BM25 sum over its matched terms and
+    the doc score is best_clause + tie_breaker × (sum of the other clause
+    scores) — "take the best field/clause, don't double-count synonyms",
+    the classic alternative to bool's score summing.  A clause is a term
+    or an OR-group of terms.
+
+    Plan: identical shape to :func:`bool_query` — bucket-pruned postings
+    scan streamed through the vectorized varbyte decode (O(Σ df) rows),
+    broadcast lexicon, ONE groupBy(doc_id) computing every clause's
+    conditional sum in the same aggregate, then a scalar max/total combine
+    and the tombstone anti-join.  No per-clause pass, no second shuffle.
+    """
+    from ..operators.indexing import bm25_score_expr
+
+    groups = _clause_groups(clauses)
+    if not groups:
+        raise ValueError("dis_max_query needs at least one clause")
+    flat = [t for g in groups for t in g]
+    if len(flat) != len(set(flat)):
+        raise ValueError("a term cannot appear in two dis_max clauses")
+    terms = sorted(flat)
+    dec = reader.decoded_postings_for_terms(terms)
+    lex = reader.lexicon().filter(F.col("term").isin(terms)).select("term", "idf")
+    avgdl = reader.corpus_stats().select("avgdl")
+    aggs = [
+        F.sum(F.when(F.col("term").isin(g), F.col("contrib"))
+              .otherwise(F.lit(0.0))).alias(f"__c{i}")
+        for i, g in enumerate(groups)]
+    agg = (dec.join(F.broadcast(lex), "term")
+           .crossJoin(F.broadcast(avgdl))
+           .withColumn("contrib", bm25_score_expr())
+           .groupBy("doc_id")
+           .agg(*aggs))
+    cols = [F.col(f"__c{i}") for i in range(len(groups))]
+    best = F.greatest(*cols) if len(cols) > 1 else cols[0]
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    score = best + F.lit(float(tie_breaker)) * (total - best)
+    out = agg.select("doc_id", score.alias("score"))
+    tomb = reader.tombstones_df()
+    if tomb is not None:
+        out = out.join(tomb, "doc_id", "left_anti")
+    if round_to is not None:
+        out = out.select("doc_id", F.round("score", round_to).alias("score"))
+    return out
+
+
 def bool_query(spark, reader, must=None, should=None,
                must_not: list[str] | None = None,
                min_should: int = 0, round_to: int | None = None) -> DataFrame:

@@ -142,3 +142,44 @@ def test_bool_query_should_only_and_validation(spark, pos_index, doc_tokens):
         bool_query(spark, reader, must=["spark"], should=["spark"])
     with pytest.raises(ValueError):
         bool_query(spark, reader)
+
+
+def test_dis_max_matches_bruteforce(spark, pos_index, doc_tokens):
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        dis_max_query)
+
+    clauses = [["spark", "sql"], ["merge", "batch"], "index"]
+    tie = 0.3
+    reader = IndexReader(spark, pos_index)
+    got = {r["doc_id"]: r["score"] for r in
+           dis_max_query(spark, reader, clauses, tie_breaker=tie).collect()}
+    # brute force: per-clause BM25 sums, best + tie * rest
+    groups = [[c] if isinstance(c, str) else c for c in clauses]
+    terms = sorted({t for g in groups for t in g})
+    n = len(doc_tokens)
+    avgdl = sum(len(t) for t in doc_tokens.values()) / n
+    df = {w: sum(1 for t in doc_tokens.values() if w in t) for w in terms}
+    idf = {w: math.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5)) for w in terms}
+    exp = {}
+    for doc_id, toks in doc_tokens.items():
+        cs = []
+        for g in groups:
+            s = 0.0
+            for w in g:
+                tf = toks.count(w)
+                if tf:
+                    dl = len(toks)
+                    s += idf[w] * tf / (tf + BM25_K1 * (
+                        1 - BM25_B + BM25_B * dl / avgdl))
+            cs.append(s)
+        if any(cs):
+            best = max(cs)
+            exp[doc_id] = best + tie * (sum(cs) - best)
+    assert set(got) == set(exp) and len(got) > 0
+    for doc_id, sc in got.items():
+        assert abs(sc - exp[doc_id]) < 1e-9
+    # duplicate terms across clauses are rejected
+    with pytest.raises(ValueError):
+        dis_max_query(spark, reader, [["spark"], ["spark", "sql"]])
+    with pytest.raises(ValueError):
+        dis_max_query(spark, reader, [])
