@@ -175,14 +175,36 @@ def _gate_index(spark, sf_dir):
     return IndexReader(spark, d)
 
 
+def _native_map(reader):
+    """(doc_id, __nid): versioned index doc_id → the documents table's
+    native id (the synthetic corpus encodes it in the url tail).  Single
+    home for that encoding — every index-backed gate row remaps through
+    here so DuckDB oracles over the raw table can value-match."""
+    return reader.doc_stats().select(
+        "doc_id",
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("__nid"))
+
+
 def _native_doc_ids(reader, hits, cols):
-    """Map versioned index doc_ids back to the documents table's native ids
-    (the synthetic corpus encodes them in the url tail) so DuckDB oracles
-    over the raw table can value-match index-backed results."""
-    ds = reader.doc_stats().select("doc_id", "url")
-    return hits.join(ds, "doc_id").select(
-        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
-        *cols)
+    """Remap an index-keyed hits frame to native doc ids, keeping cols."""
+    return hits.join(_native_map(reader), "doc_id").select(
+        F.col("__nid").alias("doc_id"), *cols)
+
+
+def _rank_native(native, k, round_to=4):
+    """Top-k of a native-keyed (doc_id, score) frame ranked under the
+    NATIVE tie order (score desc, doc_id asc), score rounded AFTER ranking
+    — the shared tail of every index-backed ranked gate row.  Distributed
+    TakeOrdered cuts to k FIRST; the global rank window then only ever
+    sees ≤ k rows, never a single-partition sort of all candidates."""
+    from pyspark.sql import Window
+
+    top = native.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    out = top.withColumn("rank", F.row_number().over(w).cast("long"))
+    score = (F.round("score", round_to) if round_to is not None
+             else F.col("score"))
+    return out.select("doc_id", score.alias("score"), "rank")
 
 
 def q_bm25_topk_wand(spark, sf_dir):
@@ -425,8 +447,6 @@ def q_query_string(spark, sf_dir):
     the distributed lexicon, bool-score with BM25, gate on the positional
     phrase, top-k.  The oracle replays every stage — including the top-df
     expansion rewrite — from the raw corpus."""
-    from pyspark.sql import Window
-
     from elasticsearch_data_import_handler_spark.operators.search import (
         query_string_search)
 
@@ -436,15 +456,7 @@ def q_query_string(spark, sf_dir):
     cand = query_string_search(
         spark, reader, '+spark merg* quer? "fast table scan"~4 -vector',
         k=3000, round_to=None)
-    ds = reader.doc_stats().select(
-        "doc_id",
-        F.element_at(F.split("url", "/"), -1).cast("long").alias("__nid"))
-    native = cand.join(ds, "doc_id").select(
-        F.col("__nid").alias("doc_id"), "score")
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (native.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= 10)
-            .select("doc_id", F.round("score", 4).alias("score"), "rank"))
+    return _rank_native(_native_doc_ids(reader, cand, ["score"]), 10)
 
 
 def q_search_facets(spark, sf_dir):
@@ -457,10 +469,7 @@ def q_search_facets(spark, sf_dir):
     reader = _gate_index(spark, sf_dir)
     # metadata side table keyed by INDEX doc_id (the doc-values analog):
     # index doc_stats carries the url, whose tail is the native documents id
-    ds = reader.doc_stats().select(
-        "doc_id",
-        F.element_at(F.split("url", "/"), -1).cast("long").alias("__nid"))
-    meta = ds.join(
+    meta = _native_map(reader).join(
         _read(spark, sf_dir, "documents").select(
             F.col("doc_id").alias("__nid"), "lang", "source"),
         "__nid").select("doc_id", "lang", "source")
@@ -473,8 +482,6 @@ def q_more_like_this(spark, sf_dir):
     """ES more_like_this: the seed doc's top tf·idf terms become a should
     query; BM25 top-k over the index, seed excluded, ranked under the
     native doc-id tie order so the DuckDB oracle replays it exactly."""
-    from pyspark.sql import Window
-
     from elasticsearch_data_import_handler_spark.operators.search import (
         more_like_this)
 
@@ -483,18 +490,11 @@ def q_more_like_this(spark, sf_dir):
     seed_text = (_read(spark, sf_dir, "documents")
                  .filter(F.col("doc_id") == seed_native)
                  .select("text").first()[0])
-    ds = reader.doc_stats().select(
-        "doc_id",
-        F.element_at(F.split("url", "/"), -1).cast("long").alias("__nid"))
-    seed_idx = ds.filter(F.col("__nid") == seed_native).first()["doc_id"]
+    seed_idx = (_native_map(reader)
+                .filter(F.col("__nid") == seed_native).first()["doc_id"])
     cand = more_like_this(spark, reader, seed_text, seed_doc_id=seed_idx,
                           candidates=True)
-    native = cand.join(ds, "doc_id").select(
-        F.col("__nid").alias("doc_id"), "score")
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (native.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= 10)
-            .select("doc_id", F.round("score", 4).alias("score"), "rank"))
+    return _rank_native(_native_doc_ids(reader, cand, ["score"]), 10)
 
 
 def q_term_expansion(spark, sf_dir):
@@ -532,11 +532,10 @@ def q_pack_sequences(spark, sf_dir):
     the chunker feeds the packer, so its output is verified transitively;
     ``chunk_documents`` remains public API with its own pytest oracle)."""
     from elasticsearch_data_import_handler_spark.operators.trainprep import (
-        chunk_documents, pack_sequences)
+        pack_sequences)
 
-    ch = chunk_documents(_read(spark, sf_dir, "documents"),
-                         chunk_size=64, overlap=16)
-    return pack_sequences(ch, seq_len=128, n_buckets=32)
+    return pack_sequences(q_chunk_documents(spark, sf_dir),
+                          seq_len=128, n_buckets=32)
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -677,8 +676,6 @@ def q_hybrid_rrf(spark, sf_dir):
     persisted index (TAAT bool query, native-id ranked top-100) fused with
     a vector leg (brute-force cosine top-100 for query vec 0 — embeddings
     align 1:1 with documents) by reciprocal-rank fusion."""
-    from pyspark.sql import Window
-
     from elasticsearch_data_import_handler_spark.operators.search import rrf_fuse
     from elasticsearch_data_import_handler_spark.operators.textsearch import (
         bool_query)
@@ -686,11 +683,8 @@ def q_hybrid_rrf(spark, sf_dir):
     reader = _gate_index(spark, sf_dir)
     scored = bool_query(spark, reader, should=["spark", "index", "merge"],
                         min_should=1)
-    native = _native_doc_ids(reader, scored, ["score"])
-    top = native.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    leg_bm25 = (top.withColumn("rank", F.row_number().over(w).cast("long"))
-                .select("doc_id", "rank"))
+    leg_bm25 = _rank_native(_native_doc_ids(reader, scored, ["score"]), 100,
+                            round_to=None).select("doc_id", "rank")
     leg_vec = (SIM.cosine_topk(_read(spark, sf_dir, "embeddings"),
                                n_queries=1, k=100)
                .select(F.col("vec_id").alias("doc_id"), "rank"))
@@ -753,21 +747,10 @@ def q_set_ops(spark, sf_dir):
 def q_window_frames(spark, sf_dir):
     """ROWS + RANGE window frames in one result: per customer, the running
     order total (ROWS UNBOUNDED PRECEDING) and the value-based 30-day
-    trailing total (RANGE 30 PRECEDING on days) for every order."""
-    from pyspark.sql import Window
-
-    od = _read(spark, sf_dir, "orders").withColumn(
-        "day", (F.col("o_orderdate").cast("timestamp").cast("long")
-                / 86400).cast("long"))
-    w_rows = (Window.partitionBy("o_custkey")
-              .orderBy("o_orderdate", "o_orderkey")
-              .rowsBetween(Window.unboundedPreceding, 0))
-    w_range = (Window.partitionBy("o_custkey").orderBy("day")
-               .rangeBetween(-30, 0))
-    return od.select(
-        "o_custkey", "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w_rows), 4).alias("running_total"),
-        F.round(F.sum("o_totalprice").over(w_range), 4).alias("total_30d"))
+    trailing total (RANGE 30 PRECEDING on days) for every order — the two
+    previously-gated frame queries joined on the order key."""
+    return q_window_running(spark, sf_dir).join(
+        q_window_range_frame(spark, sf_dir), ["o_custkey", "o_orderkey"])
 
 
 def q_scalar_funcs(spark, sf_dir):

@@ -249,11 +249,12 @@ def _measure_scaling_pair(corpus_path: str) -> tuple[dict, list[dict]]:
         print(f"# attempt {i + 1}: eff_build={att['eff_build']:.3f} "
               f"eff_query={att['eff_query']:.3f} host_cpu="
               f"{cal['host_cpu_scaling_2_8']}", file=sys.stderr)
-        if att["eff_build"] >= 0.8:
+        # joint criterion for both the early break and the final pick: an
+        # attempt where one side is great and the other collapsed is
+        # tenancy noise, not the engine — judge the worst side (query eff
+        # capped at 1: supra-linear readings are anomalous c2 slowness)
+        if min(att["eff_build"], min(1.0, att["eff_query"])) >= 0.8:
             break
-    # joint pick: an attempt where one side is great and the other collapsed
-    # is tenancy noise, not the engine — take the best worst-side (query eff
-    # capped at 1: supra-linear readings are anomalous c2 slowness)
     return max(attempts, key=lambda a: min(a["eff_build"],
                                            min(1.0, a["eff_query"]))), attempts
 

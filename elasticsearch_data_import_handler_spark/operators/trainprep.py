@@ -69,6 +69,7 @@ def pack_sequences(chunks: DataFrame, seq_len: int = 128,
     inside the sequence, ``tok_off`` where it starts inside the chunk.
     Every sequence except the final one holds exactly ``seq_len`` tokens
     (test-enforced) — the standard GPT-style pretraining packing.
+    Zero-length chunks contribute no pieces (and no stream positions).
 
     Scale shape: the only global state is the prefix sum of token counts in
     chunk order.  It is computed as a two-level scan: (1) chunks map to
@@ -84,20 +85,29 @@ def pack_sequences(chunks: DataFrame, seq_len: int = 128,
 
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
-    hi = chunks.agg(F.max(F.col(id_col)).cast("long")).first()[0]
-    if hi is None:
-        return chunks.sparkSession.createDataFrame(
-            [], "doc_id long, chunk_id long, seq_id long, seq_off long, "
-                "tok_off long, piece_len long")
-    width = max(1, (int(hi) + n_buckets) // n_buckets)  # ceil((hi+1)/nb)
-    c = chunks.select(
+    # narrow projection, cached ONLY for the two driver probes (max doc_id,
+    # bucket sums) so an expensive upstream chunk plan isn't recomputed per
+    # probe; the cache is dropped before returning — the final action pays
+    # one more compute of this projection, never three
+    base = chunks.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(chunk_col).cast("long").alias("chunk_id"),
         F.col(len_col).cast("long").alias("n"),
-    ).withColumn("bucket", (F.col("doc_id") / width).cast("long"))
-    # level 1: per-bucket sums → driver cumsum (≤ n_buckets rows) → broadcast
-    sums = {r["bucket"]: r["s"]
-            for r in c.groupBy("bucket").agg(F.sum("n").alias("s")).collect()}
+    ).filter(F.col("n") > 0).persist()
+    try:
+        hi = base.agg(F.max("doc_id")).first()[0]
+        if hi is None:
+            return chunks.sparkSession.createDataFrame(
+                [], "doc_id long, chunk_id long, seq_id long, seq_off long, "
+                    "tok_off long, piece_len long")
+        width = max(1, (int(hi) + n_buckets) // n_buckets)  # ceil((hi+1)/nb)
+        c = base.withColumn("bucket", F.expr(f"doc_id div {width}"))
+        # level 1: per-bucket sums → driver cumsum (≤ n_buckets rows) →
+        # broadcast back
+        sums = {r["bucket"]: r["s"] for r in
+                c.groupBy("bucket").agg(F.sum("n").alias("s")).collect()}
+    finally:
+        base.unpersist(blocking=False)
     off, acc = {}, 0
     for b in sorted(sums):
         off[b] = acc
@@ -110,13 +120,15 @@ def pack_sequences(chunks: DataFrame, seq_len: int = 128,
          .rowsBetween(Window.unboundedPreceding, 0))
     g = (c.join(offs, "bucket")
          .withColumn("g", F.col("bucket_off") + F.sum("n").over(w) - F.col("n")))
-    # piece explosion: sequences floor(g/L) .. floor((g+n-1)/L)
+    # piece explosion: sequences g div L .. (g+n-1) div L — INTEGER division
+    # (a double-divide cast loses exactness past 2^53 cumulative tokens,
+    # which 10^12-doc corpora exceed)
     L = seq_len
     pieces = g.select(
         "doc_id", "chunk_id", "g", "n",
         F.explode(F.sequence(
-            (F.col("g") / L).cast("long"),
-            ((F.col("g") + F.col("n") - 1) / L).cast("long"))).alias("seq_id"))
+            F.expr(f"g div {L}"),
+            F.expr(f"(g + n - 1) div {L}"))).alias("seq_id"))
     start = F.greatest(F.col("g"), F.col("seq_id") * L)
     end = F.least(F.col("g") + F.col("n"), (F.col("seq_id") + 1) * L)
     return pieces.select(

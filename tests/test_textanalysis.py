@@ -236,3 +236,21 @@ def test_pack_sequences_invariants(spark):
     key = lambda r: (r["doc_id"], r["chunk_id"], r["seq_id"],
                      r["seq_off"], r["tok_off"], r["piece_len"])
     assert sorted(map(key, alt)) == sorted(map(key, rows))
+
+
+def test_pack_sequences_drops_zero_length_chunks(spark):
+    """n=0 chunks must contribute no pieces and no stream positions (a
+    descending F.sequence from a stop<start bound would otherwise emit
+    bogus rows)."""
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        pack_sequences)
+
+    ch = spark.createDataFrame(
+        [(1, 0, 16), (1, 1, 0), (2, 0, 0), (2, 1, 8), (3, 0, 0)],
+        "doc_id long, chunk_id long, n_tokens long")
+    rows = pack_sequences(ch, seq_len=16, n_buckets=4).collect()
+    keys = {(r["doc_id"], r["chunk_id"]) for r in rows}
+    assert keys == {(1, 0), (2, 1)}
+    assert all(r["piece_len"] > 0 for r in rows)
+    # stream is contiguous across the surviving chunks: 16 + 8 tokens
+    assert sum(r["piece_len"] for r in rows) == 24
