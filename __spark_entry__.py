@@ -13,6 +13,8 @@ ratios) *after* ranking, identically on both sides.
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -782,6 +784,39 @@ def q_grouping_sets(spark, sf_dir):
         "((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))")
 
 
+def q_grouped_analytics(spark, sf_dir):
+    """GROUPING SETS + ROLLUP in one tagged row (the explicit-sets and the
+    hierarchy shorthand; branches are the previously-gated queries, rollup
+    padded with grouping() flags)."""
+    gs = q_grouping_sets(spark, sf_dir).withColumn("op", F.lit("gsets"))
+    li = _read(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_ru")
+    ru = spark.sql(
+        "SELECT l_returnflag, l_linestatus, "
+        "cast(grouping(l_returnflag) AS int) AS g_rf, "
+        "cast(grouping(l_linestatus) AS int) AS g_ls, "
+        "count(*) AS n, round(sum(l_quantity), 2) AS sum_qty "
+        "FROM __li_ru GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ).withColumn("op", F.lit("rollup"))
+    return gs.unionByName(ru)
+
+
+def q_function_score(spark, sf_dir):
+    """ES function_score: BM25 bool query × exponential recency decay on
+    the index-stored warc_ts (doc-values role).  The synthetic corpus sets
+    warc_ts = 2026-01-01 + doc_id seconds, so the oracle reconstructs the
+    identical decay from doc_id."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        function_score_query)
+
+    reader = _gate_index(spark, sf_dir)
+    ref = 1767229200  # 2026-01-01 01:00:00 UTC
+    out = function_score_query(spark, reader, must=["spark"],
+                               should=["merge"], min_should=0,
+                               ref_epoch=ref, half_life_s=900, round_to=4)
+    return _native_doc_ids(reader, out, ["score"])
+
+
 # --------------------------------------- delegated Spark SQL surface (§2B)
 
 def q_tpch_pricing(spark, sf_dir):
@@ -1018,7 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # delegated Spark SQL surface (set_ops tags union/except/intersect
         # ALL in one row; window_frames carries the ROWS and RANGE frames)
         "set_ops": q_set_ops,
-        "grouping_sets": q_grouping_sets,
+        "grouped_analytics": q_grouped_analytics,
         "scalar_funcs": q_scalar_funcs,
         "range_join": q_range_join,
         "window_frames": q_window_frames,
@@ -1027,7 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "tpch_pricing": q_tpch_pricing,
         "join_topn": q_join_topn,
-        "rollup_agg": q_rollup_agg,
+        "function_score": q_function_score,
         "events_json": q_events_json,
     }
 
@@ -1570,12 +1605,34 @@ def oracle_sql() -> dict[str, str]:
             "dayofweek(ts)::INT AS dow "
             "FROM events"
         ),
-        "grouping_sets": (
+        "grouped_analytics": (
             "SELECT l_returnflag, l_linestatus, "
             "grouping(l_returnflag)::INT AS g_rf, grouping(l_linestatus)::INT AS g_ls, "
-            "count(*)::BIGINT AS n, round(sum(l_quantity), 2) AS sum_qty "
-            "FROM lineitem GROUP BY GROUPING SETS "
-            "((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))"
+            "count(*)::BIGINT AS n, round(sum(l_quantity), 2) AS sum_qty, "
+            "'gsets' AS op FROM lineitem GROUP BY GROUPING SETS "
+            "((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus)) "
+            "UNION ALL "
+            "SELECT l_returnflag, l_linestatus, "
+            "grouping(l_returnflag)::INT AS g_rf, grouping(l_linestatus)::INT AS g_ls, "
+            "count(*)::BIGINT AS n, round(sum(l_quantity), 2) AS sum_qty, "
+            "'rollup' AS op FROM lineitem "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "function_score": (
+            # decay replayed from doc_id: warc_ts = 2026-01-01 + doc_id s,
+            # ref = 2026-01-01 01:00 UTC → age = max(0, 3600 - doc_id);
+            # lambda embedded as the exact repr of ln(0.5)/900
+            f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
+            "scored AS (SELECT tf.doc_id, "
+            "count(DISTINCT CASE WHEN tf.term IN ('spark') THEN tf.term END) "
+            "AS must_hits, "
+            f"sum({bm25_contrib}) AS score "
+            "FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "CROSS JOIN stats s WHERE tf.term IN ('spark', 'merge') "
+            "GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score * exp("
+            f"{math.log(0.5) / 900!r} * greatest(0, 3600 - doc_id)), 4) "
+            "AS score FROM scored WHERE must_hits = 1"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5), "
@@ -1598,11 +1655,6 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey "
             "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"
-        ),
-        "rollup_agg": (
-            "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n, "
-            "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
-            "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
         "events_json": (
             "SELECT event_type, count(*)::BIGINT AS n, "

@@ -278,6 +278,35 @@ def _clause_groups(clauses) -> list[list[str]]:
             for c in (clauses or []) if (isinstance(c, str) and c) or c]
 
 
+def function_score_query(spark, reader, must=None, should=None,
+                         must_not=None, min_should: int = 0,
+                         ref_epoch: int = 0, half_life_s: int = 86_400,
+                         round_to: int | None = None) -> DataFrame:
+    """ES function_score with an exponential recency decay: (doc_id,
+    score) where score = bool-query BM25 × 2^(−age/half_life), age =
+    max(0, ref_epoch − doc timestamp) — "newer documents rank higher",
+    the most common function_score in log/web search.
+
+    The timestamp comes from the INDEX's doc_stats (``warc_ts`` is stored
+    per document at commit time — the doc-values role), so scoring never
+    touches the corpus: candidate set O(Σ df of query terms), one
+    doc-keyed join against doc metadata, a scalar decay combine."""
+    import math
+
+    scored = bool_query(spark, reader, must=must, should=should,
+                        must_not=must_not, min_should=min_should)
+    ds = reader.doc_stats().select(
+        "doc_id", F.col("warc_ts").cast("long").alias("__ts"))
+    age = F.greatest(F.lit(0.0),
+                     (F.lit(int(ref_epoch)) - F.col("__ts")).cast("double"))
+    lam = math.log(0.5) / float(half_life_s)
+    score = F.col("score") * F.exp(F.lit(lam) * age)
+    out = scored.join(ds, "doc_id").select("doc_id", score.alias("score"))
+    if round_to is not None:
+        out = out.select("doc_id", F.round("score", round_to).alias("score"))
+    return out
+
+
 def dis_max_query(spark, reader, clauses, tie_breaker: float = 0.0,
                   round_to: int | None = None) -> DataFrame:
     """ES dis_max combinator over the persisted index: (doc_id, score)

@@ -183,3 +183,31 @@ def test_dis_max_matches_bruteforce(spark, pos_index, doc_tokens):
         dis_max_query(spark, reader, [["spark"], ["spark", "sql"]])
     with pytest.raises(ValueError):
         dis_max_query(spark, reader, [])
+
+
+def test_function_score_recency_decay(spark, pos_index):
+    import math as _m
+
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        function_score_query)
+
+    reader = IndexReader(spark, pos_index)
+    base = {r["doc_id"]: r["score"] for r in
+            bool_query(spark, reader, must=["spark"]).collect()}
+    ts = {r["doc_id"]: r["warc_ts"].timestamp() for r in
+          reader.doc_stats().select("doc_id", "warc_ts").collect()}
+    # ref before every doc -> age clamps to 0 -> identical to bool_query
+    past = function_score_query(spark, reader, must=["spark"], ref_epoch=0)
+    for r in past.collect():
+        assert abs(r["score"] - base[r["doc_id"]]) < 1e-12
+    # ref after every doc -> exact 2^(-age/hl) multiplier per doc
+    ref = int(max(ts.values())) + 1000
+    hl = 700
+    got = {r["doc_id"]: r["score"] for r in
+           function_score_query(spark, reader, must=["spark"],
+                                ref_epoch=ref, half_life_s=hl).collect()}
+    assert set(got) == set(base) and len(got) > 0
+    for d, sc in got.items():
+        exp_mult = _m.exp(_m.log(0.5) / hl * (ref - ts[d]))
+        assert abs(sc - base[d] * exp_mult) < 1e-9
+        assert sc < base[d]
