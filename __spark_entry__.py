@@ -888,6 +888,68 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_json_scalar(spark, sf_dir):
+    """Scalar-function surface + JSON-grouped aggregation in one tagged row
+    (branches are the previously-gated queries, null-padded)."""
+    sf = q_scalar_funcs(spark, sf_dir).select(
+        F.lit("scalar").alias("op"), "event_id", "k", "sq_sum", "month",
+        "dow", F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("sum_k"),
+        F.lit(None).cast("double").alias("avg_value"))
+    ej = q_events_json(spark, sf_dir).select(
+        F.lit("grouped").alias("op"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("k"),
+        F.lit(None).cast("long").alias("sq_sum"),
+        F.lit(None).cast("string").alias("month"),
+        F.lit(None).cast("int").alias("dow"),
+        "event_type", "n", F.col("sum_k").cast("long").alias("sum_k"),
+        "avg_value")
+    return sf.unionByName(ej)
+
+
+def q_pii_redact(spark, sf_dir):
+    """Training prep: PII count + redact.  The synthetic corpus has no PII,
+    so both engines append the SAME deterministic contact block per doc and
+    the redaction is exercised on real matches."""
+    from elasticsearch_data_import_handler_spark.operators.textquality import (
+        pii_redact)
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com or +44-555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.lit("-123 at 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7")).alias("text"))
+    out = pii_redact(docs)
+    # hash only the tail of clean_text (the redacted zone) to keep the
+    # compare payload small; counts verify the full detection
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.substring(F.col("clean_text"), -60, 60).alias("clean_tail"))
+
+
+BENCHMARK_TEXTS = [
+    "fast table scan of the index",
+    "merge sort join order",
+    "spark sql query engine",
+    "the quick brown fox jumps",
+]
+
+
+def q_contamination(spark, sf_dir):
+    """Training prep: benchmark n-gram contamination screen (distinct
+    3-gram overlap per document against a broadcast eval set)."""
+    from elasticsearch_data_import_handler_spark.operators.textquality import (
+        contamination_check)
+
+    return contamination_check(_read(spark, sf_dir, "documents"),
+                               BENCHMARK_TEXTS, n=3)
+
+
 def q_topn_per_group(spark, sf_dir):
     from pyspark.sql import Window
     od = _read(spark, sf_dir, "orders")
@@ -1038,7 +1100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_latest": q_dedup_latest,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
         "minhash_verified": q_minhash_verified,
         "simhash_neardup": q_simhash_neardup,
         "ann_topk": q_ann_topk,
@@ -1054,7 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ALL in one row; window_frames carries the ROWS and RANGE frames)
         "set_ops": q_set_ops,
         "grouped_analytics": q_grouped_analytics,
-        "scalar_funcs": q_scalar_funcs,
+        "json_scalar": q_json_scalar,
+        "pii_redact": q_pii_redact,
         "range_join": q_range_join,
         "window_frames": q_window_frames,
         "semi_anti_exists": q_semi_anti_exists,
@@ -1063,7 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": q_tpch_pricing,
         "join_topn": q_join_topn,
         "function_score": q_function_score,
-        "events_json": q_events_json,
+        "contamination": q_contamination,
     }
 
 
@@ -1072,6 +1134,12 @@ def oracle_sql() -> dict[str, str]:
         "ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) * tf.tf / "
         "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len / s.avgdl))"
     )
+    from elasticsearch_data_import_handler_spark.operators.textquality import (
+        PII_PATTERNS)
+    bench_grams = sorted({
+        " ".join(t.lower().split()[i:i + 3])
+        for t in BENCHMARK_TEXTS for i in range(len(t.split()) - 2)})
+    bench_values = ", ".join(f"('{g}')" for g in bench_grams)
     shingle_cte = (
         "sh AS (SELECT source, lang, doc_id, unnest(list_distinct(list_transform("
         f"range(1, greatest(len(toks) - {JACCARD_N - 1}, 0) + 1), "
@@ -1456,13 +1524,6 @@ def oracle_sql() -> dict[str, str]:
             "md5(upper(substr(hx, 1, (2*n_bytes)::INT))||':'||frame_ms::VARCHAR) "
             "AS frame_fingerprint FROM f"
         ),
-        "minhash_lsh": (
-            f"WITH {mh_chain}, "
-            f"est AS (SELECT id_a, id_b, ({mh_eq}) AS eq FROM cand "
-            "JOIN sig sa ON sa.id = cand.id_a JOIN sig sb ON sb.id = cand.id_b) "
-            "SELECT id_a, id_b, round(eq/64.0, 6) AS est_jaccard FROM est "
-            "WHERE eq/64.0 >= 0.5"
-        ),
         "minhash_verified": (
             f"WITH {mh_chain}, "
             "sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM sh GROUP BY id), "
@@ -1597,13 +1658,38 @@ def oracle_sql() -> dict[str, str]:
             "round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) "
             "AS price_p99 FROM lineitem GROUP BY l_returnflag"
         ),
-        "scalar_funcs": (
-            "SELECT event_id, ((props::JSON)->>'k')::BIGINT AS k, "
+        "json_scalar": (
+            "SELECT 'scalar' AS op, event_id, "
+            "((props::JSON)->>'k')::BIGINT AS k, "
             "list_aggregate(list_transform(range(1, (event_id % 5) + 2), "
             "x -> x*x), 'sum')::BIGINT AS sq_sum, "
-            "strftime(ts, '%Y-%m') AS month, "
-            "dayofweek(ts)::INT AS dow "
-            "FROM events"
+            "strftime(ts, '%Y-%m') AS month, dayofweek(ts)::INT AS dow, "
+            "NULL::VARCHAR AS event_type, NULL::BIGINT AS n, "
+            "NULL::BIGINT AS sum_k, NULL::DOUBLE AS avg_value FROM events "
+            "UNION ALL "
+            "SELECT 'grouped' AS op, NULL::BIGINT, NULL::BIGINT, "
+            "NULL::BIGINT, NULL::VARCHAR, NULL::INT, event_type, "
+            "count(*)::BIGINT, sum((props::JSON ->> 'k')::BIGINT)::BIGINT, "
+            "round(avg(value), 6) FROM events GROUP BY event_type"
+        ),
+        "pii_redact": (
+            "WITH d AS (SELECT doc_id, text || ' contact user' || doc_id "
+            "|| '@example.com or +44-555-' || (1000 + doc_id % 9000) "
+            "|| '-123 at 10.0.' || (doc_id % 256) || '.7' AS t "
+            "FROM documents) "
+            "SELECT doc_id, "
+            f"len(regexp_extract_all(t, '{PII_PATTERNS['email']}'))::BIGINT "
+            "AS n_email, "
+            f"len(regexp_extract_all(t, '{PII_PATTERNS['ipv4']}'))::BIGINT "
+            "AS n_ipv4, "
+            f"len(regexp_extract_all(t, '{PII_PATTERNS['phone']}'))::BIGINT "
+            "AS n_phone, "
+            "CASE WHEN len(rt) <= 60 THEN rt ELSE substring(rt, -60) END "
+            "AS clean_tail FROM (SELECT doc_id, t, regexp_replace("
+            "regexp_replace(regexp_replace(t, "
+            f"'{PII_PATTERNS['email']}', '<EMAIL>', 'g'), "
+            f"'{PII_PATTERNS['ipv4']}', '<IPV4>', 'g'), "
+            f"'{PII_PATTERNS['phone']}', '<PHONE>', 'g') AS rt FROM d) x"
         ),
         "grouped_analytics": (
             "SELECT l_returnflag, l_linestatus, "
@@ -1656,10 +1742,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey "
             "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"
         ),
-        "events_json": (
-            "SELECT event_type, count(*)::BIGINT AS n, "
-            "sum((props::JSON ->> 'k')::BIGINT)::BIGINT AS sum_k, "
-            "round(avg(value), 6) AS avg_value FROM events GROUP BY event_type"
+        "contamination": (
+            f"WITH b(shingle) AS (VALUES {bench_values}), "
+            "tt AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_transform("
+            "range(1, greatest(len(toks) - 2, 0) + 1), "
+            "i -> array_to_string(toks[i:i+2], ' '))) AS shingle FROM tt) "
+            "SELECT doc_id, count(DISTINCT shingle)::BIGINT AS n_hits "
+            "FROM sh JOIN b USING (shingle) GROUP BY doc_id"
         ),
         "topn_per_group": (
             "SELECT o_orderpriority, rank, o_orderkey, round(o_totalprice, 2) AS o_totalprice "

@@ -175,3 +175,69 @@ def unigram_loglik(documents: DataFrame) -> DataFrame:
                  F.avg("loglik").alias("m"))
             .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
                     F.round("m", 6).alias("mean_loglik")))
+
+
+# PII patterns chosen for Java-regex / RE2 dialect parity (no lookarounds,
+# no backrefs) so the DuckDB oracle applies the IDENTICAL expressions.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}",
+}
+
+
+def pii_redact(documents: DataFrame, text_col: str = "text",
+               kinds: tuple[str, ...] = ("email", "ipv4", "phone")) -> DataFrame:
+    """(doc_id, n_email, n_ipv4, n_phone, clean_text): count and redact PII
+    spans — the scrub step every pretraining pipeline runs before packing.
+    Each kind is replaced by a typed placeholder (``<EMAIL>`` …), counts
+    come from the pre-redaction text.
+
+    All JVM regexp (codegen, no Python); patterns are dialect-portable by
+    construction (no lookaround/backref), which is what lets the driver's
+    DuckDB oracle re-run the exact same regexes.  Redaction order is the
+    fixed ``kinds`` order so overlapping matches resolve identically on
+    every engine."""
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    out = documents.select(
+        "doc_id", F.col(text_col).alias("__t"),
+        *[F.size(F.regexp_extract_all(F.col(text_col),
+                                      F.lit(PII_PATTERNS[k]), 0))
+          .cast("long").alias(f"n_{k}") for k in kinds])
+    clean = F.col("__t")
+    for k in kinds:
+        clean = F.regexp_replace(clean, PII_PATTERNS[k], f"<{k.upper()}>")
+    return out.select("doc_id", *[f"n_{k}" for k in kinds],
+                      clean.alias("clean_text"))
+
+
+def contamination_check(documents: DataFrame, benchmark_texts: list[str],
+                        n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_hits): how many DISTINCT benchmark ``n``-grams a document
+    contains — the train/test contamination screen (Brown et al.'s 13-gram
+    overlap, parameterized).  Documents with n_hits ≥ 1 overlap the
+    evaluation set and get dropped or flagged upstream.
+
+    Scale shape: the benchmark gram set is tiny (eval suites are KBs, the
+    corpus is the 100 TB side) — it broadcasts; document shingles stream
+    through the same codegen window kernel as the dedup family and
+    inner-join against the broadcast set, so cost is one pass over corpus
+    tokens with no shuffle of the corpus side."""
+    from .dedup import shingles_exploded
+
+    grams = set()
+    for t in benchmark_texts:
+        toks = t.lower().split()
+        grams.update(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+    if not grams:
+        raise ValueError(f"no benchmark {n}-grams (texts shorter than n?)")
+    spark = documents.sparkSession
+    bench = F.broadcast(spark.createDataFrame(
+        [(g,) for g in sorted(grams)], "shingle string"))
+    sh = shingles_exploded(documents, "doc_id", text_col, n=n)
+    return (sh.join(bench, "shingle")
+            .groupBy("id")
+            .agg(F.countDistinct("shingle").cast("long").alias("n_hits"))
+            .select(F.col("id").alias("doc_id"), "n_hits"))

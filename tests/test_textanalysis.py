@@ -254,3 +254,46 @@ def test_pack_sequences_drops_zero_length_chunks(spark):
     assert all(r["piece_len"] > 0 for r in rows)
     # stream is contiguous across the surviving chunks: 16 + 8 tokens
     assert sum(r["piece_len"] for r in rows) == 24
+
+
+def test_pii_redact_counts_and_placeholders(spark):
+    from elasticsearch_data_import_handler_spark.operators.textquality import (
+        pii_redact)
+
+    df = spark.createDataFrame([
+        (1, "mail a.b+c@x-y.org and d@e.io ip 10.0.0.1 call +44-207-7946-0958"),
+        (2, "no pii here just text"),
+        (3, "edge 999.999.1.1 and half@mail"),   # ipv4 digits match; bad email ignored
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) == (2, 1, 1)
+    assert "<EMAIL>" in rows[1]["clean_text"]
+    assert "<IPV4>" in rows[1]["clean_text"]
+    assert "<PHONE>" in rows[1]["clean_text"]
+    assert "@" not in rows[1]["clean_text"]
+    assert (rows[2]["n_email"], rows[2]["n_ipv4"], rows[2]["n_phone"]) == (0, 0, 0)
+    assert rows[2]["clean_text"] == "no pii here just text"
+    assert rows[3]["n_ipv4"] == 1 and rows[3]["n_email"] == 0
+    import pytest
+    with pytest.raises(ValueError):
+        pii_redact(df, kinds=("email", "ssn"))
+
+
+def test_contamination_check_distinct_gram_hits(spark):
+    from elasticsearch_data_import_handler_spark.operators.textquality import (
+        contamination_check)
+
+    bench = ["the quick brown fox", "alpha beta gamma"]
+    df = spark.createDataFrame([
+        (1, "saw the quick brown fox and the quick brown fox again"),
+        (2, "alpha beta gamma delta"),
+        (3, "quick brown cat"),
+        (4, "beta gamma alpha"),     # grams out of order: no 3-gram overlap
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_hits"]
+           for r in contamination_check(df, bench, n=3).collect()}
+    # doc 1: grams {the quick brown, quick brown fox} both hit, DISTINCT=2
+    assert got == {1: 2, 2: 1}
+    import pytest
+    with pytest.raises(ValueError):
+        contamination_check(df, ["too short"], n=3)
