@@ -184,7 +184,8 @@ def _bench_sf_queries(cpus: int, sf_dir: str) -> dict:
              "tpch_pricing", "join_topn", "window_running", "sessionize",
              "minhash_verified", "ann_ivf", "embedding_neardup_lsh",
              "range_join", "asof_join", "pack_sequences", "query_string",
-             "search_facets", "more_like_this", "hybrid_rrf"]
+             "search_facets", "more_like_this", "hybrid_rrf", "dis_max",
+             "function_score", "pii_redact", "contamination"]
     spark = get_spark(f"bench-sf-c{cpus}", cpus=cpus)
     # resolve by q_<name> function (not the gate registration) so bench keeps
     # timing the same operator set across rounds even as gate rows consolidate

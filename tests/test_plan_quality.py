@@ -200,3 +200,37 @@ def test_facet_search_single_postings_decode(spark, tmp_path):
     plan = _plan(out)
     assert plan.count("MapInPandas") == 1, plan
     assert plan.count("Generate explode") == 1, plan
+
+
+def test_dis_max_single_aggregation_exchange(spark, tmp_path):
+    """Every clause's conditional sum must compute in ONE groupBy(doc_id):
+    exactly one hash-partitioning exchange on doc_id downstream of the
+    postings decode, not one aggregation pass per clause."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        dis_max_query)
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        IndexReader, build_index)
+    from elasticsearch_data_import_handler_spark.sources.corpus import synth_pages
+
+    d = str(tmp_path / "idx")
+    build_index(spark, synth_pages(spark, 120, seed=42), d, tau=100,
+                n_buckets=4)
+    reader = IndexReader(spark, d)
+    plan = _plan(dis_max_query(spark, reader,
+                               [["spark", "sql"], ["merge"], "index"]))
+    assert plan.count("MapInPandas") == 1, plan      # one decode pass
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The eval-gram set must broadcast; the corpus side shuffles only for
+    the shingle window (by doc), never for the join."""
+    from elasticsearch_data_import_handler_spark.operators.textquality import (
+        contamination_check)
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over") for i in range(50)],
+        "doc_id long, text string")
+    plan = _plan(contamination_check(df, ["the quick brown fox"], n=3))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -63,3 +63,46 @@ def test_interval_join_vs_pandas(spark, left, right, lo, width):
         mm = m[(m["t_r"] >= m["t"] + lo) & (m["t_r"] <= m["t"] + hi)]
         exp = set(zip(mm["rid"], mm["rid_r"]))
     assert got == exp
+
+
+# pack_sequences: arbitrary chunk tables must pack losslessly — every
+# sequence but the last exactly L, pieces tile chunks, order = (doc, chunk)
+_chunks = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 5), st.integers(0, 37)),
+    min_size=0, max_size=40, unique_by=lambda x: (x[0], x[1]),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(chunks=_chunks, L=st.integers(1, 50), nb=st.integers(1, 9))
+def test_pack_sequences_property(spark, chunks, L, nb):
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        pack_sequences)
+
+    df = spark.createDataFrame(
+        [(d, c, n) for d, c, n in chunks],
+        "doc_id long, chunk_id long, n_tokens long")
+    rows = pack_sequences(df, seq_len=L, n_buckets=nb).collect()
+    live = sorted((d, c, n) for d, c, n in chunks if n > 0)
+    total = sum(n for _, _, n in live)
+    assert sum(r["piece_len"] for r in rows) == total
+    if not live:
+        assert rows == []
+        return
+    per_seq = {}
+    for r in rows:
+        assert 0 <= r["seq_off"] < L and r["piece_len"] >= 1
+        assert r["seq_off"] + r["piece_len"] <= L
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["piece_len"]
+    last = max(per_seq)
+    assert set(per_seq) == set(range(last + 1))
+    assert all(per_seq[s] == L for s in range(last))
+    assert 0 < per_seq[last] <= L
+    # global order: cumulative offsets follow (doc_id, chunk_id)
+    firsts = sorted((r for r in rows if r["tok_off"] == 0),
+                    key=lambda r: (r["doc_id"], r["chunk_id"]))
+    acc = 0
+    for r, (d, c, n) in zip(firsts, live):
+        assert (r["doc_id"], r["chunk_id"]) == (d, c)
+        assert r["seq_id"] * L + r["seq_off"] == acc
+        acc += n
