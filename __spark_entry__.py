@@ -24,6 +24,7 @@ from elasticsearch_data_import_handler_spark.operators import (
     indexing as I,
     scoring as S,
     similarity as SIM,
+    sketches as SK,
     textquality as TQ,
 )
 from elasticsearch_data_import_handler_spark.queryset import query_term_rows
@@ -645,6 +646,35 @@ def q_quantiles(spark, sf_dir):
                  .alias("price_p99")))
 
 
+def q_stats_sketch(spark, sf_dir):
+    """Grouped statistics + sketches in one tagged row: exact interpolated
+    percentiles (op='pctl', the previously-gated quantiles query verbatim)
+    plus the KMV distinct-cardinality sketch (operators/sketches.py) in both
+    regimes — op='kmv_li' estimates ~2000 distinct partkeys per returnflag
+    with k=64 (estimator path, rel-err ≈ 1/√k), op='kmv_ev' counts 150
+    distinct users per event_type with k=256 (exact path: sketch holds the
+    whole distinct set).  The DuckDB oracle replays the same md5-60-bit
+    hash family and double arithmetic, so the *estimates* hash-match."""
+    from elasticsearch_data_import_handler_spark.operators.sketches import kmv_distinct
+
+    nulld = F.lit(None).cast("double")
+    pctl = q_quantiles(spark, sf_dir).select(
+        F.lit("pctl").alias("op"), F.col("l_returnflag").alias("grp"),
+        "p50", "p90", "price_p99",
+        nulld.alias("est_distinct"), F.lit(None).cast("int").alias("exact_mode"))
+    li = _read(spark, sf_dir, "lineitem")
+    ev = _read(spark, sf_dir, "events")
+    kmv_li = kmv_distinct(li, "l_returnflag", "l_partkey", k=64).select(
+        F.lit("kmv_li").alias("op"), "grp", nulld.alias("p50"),
+        nulld.alias("p90"), nulld.alias("price_p99"),
+        "est_distinct", "exact_mode")
+    kmv_ev = kmv_distinct(ev, "event_type", "user_id", k=256).select(
+        F.lit("kmv_ev").alias("op"), "grp", nulld.alias("p50"),
+        nulld.alias("p90"), nulld.alias("price_p99"),
+        "est_distinct", "exact_mode")
+    return pctl.unionByName(kmv_li).unionByName(kmv_ev)
+
+
 def q_semi_anti_join(spark, sf_dir):
     """Left-semi + left-anti in one result: customers per segment split by
     whether they have any order."""
@@ -1120,7 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "window_frames": q_window_frames,
         "semi_anti_exists": q_semi_anti_exists,
-        "quantiles": q_quantiles,
+        "stats_sketch": q_stats_sketch,
         "hybrid_rrf": q_hybrid_rrf,
         "tpch_pricing": q_tpch_pricing,
         "join_topn": q_join_topn,
@@ -1651,12 +1681,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(rrf, 6) AS rrf_score, rank FROM rr "
             "WHERE rank <= 10"
         ),
-        "quantiles": (
-            "SELECT l_returnflag, "
+        "stats_sketch": (
+            "SELECT 'pctl' AS op, l_returnflag AS grp, "
             "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50, "
             "round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) AS p90, "
             "round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) "
-            "AS price_p99 FROM lineitem GROUP BY l_returnflag"
+            "AS price_p99, NULL::DOUBLE AS est_distinct, NULL::INT AS exact_mode "
+            "FROM lineitem GROUP BY l_returnflag "
+            "UNION ALL SELECT 'kmv_li', grp, NULL::DOUBLE, NULL::DOUBLE, "
+            "NULL::DOUBLE, est_distinct, exact_mode FROM ("
+            + SK.kmv_oracle_sql("lineitem", "l_returnflag", "l_partkey", k=64)
+            + ") kli "
+            "UNION ALL SELECT 'kmv_ev', grp, NULL::DOUBLE, NULL::DOUBLE, "
+            "NULL::DOUBLE, est_distinct, exact_mode FROM ("
+            + SK.kmv_oracle_sql("events", "event_type", "user_id", k=256)
+            + ") kev"
         ),
         "json_scalar": (
             "SELECT 'scalar' AS op, event_id, "
