@@ -476,9 +476,18 @@ def q_search_facets(spark, sf_dir):
         _read(spark, sf_dir, "documents").select(
             F.col("doc_id").alias("__nid"), "lang", "source"),
         "__nid").select("doc_id", "lang", "source")
-    return facet_search(spark, reader, meta, ["lang", "source"],
-                        must=["spark"], should=["merge", "batch"],
-                        min_should=0, top_n=8)
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        date_histogram_search)
+
+    terms = facet_search(spark, reader, meta, ["lang", "source"],
+                         must=["spark"], should=["merge", "batch"],
+                         min_should=0, top_n=8)
+    # same query, date_histogram agg on the index-stored warc_ts — ES
+    # responses carry both agg kinds in one 'aggs' dict, one frame here
+    dh = date_histogram_search(spark, reader, interval_s=60,
+                               must=["spark"], should=["merge", "batch"],
+                               min_should=0)
+    return terms.unionByName(dh)
 
 
 def q_more_like_this(spark, sf_dir):
@@ -1439,7 +1448,15 @@ def oracle_sql() -> dict[str, str]:
             "rr AS (SELECT facet, value, doc_count, sum_score, row_number() "
             "OVER (PARTITION BY facet ORDER BY doc_count DESC, value ASC) "
             "AS r FROM fa) "
-            "SELECT facet, value, doc_count, sum_score FROM rr WHERE r <= 8"
+            "SELECT facet, value, doc_count, sum_score FROM rr WHERE r <= 8 "
+            # date_histogram branch: warc_ts = 2026-01-01 UTC + doc_id s
+            # (same reconstruction as function_score), 60 s fixed_interval,
+            # bucket key = epoch-millis bucket start, no top-n (ES returns
+            # every non-empty bucket)
+            "UNION ALL SELECT 'dh:60s' AS facet, "
+            "(((1767225600 + doc_id) // 60) * 60000)::VARCHAR AS value, "
+            "count(*)::BIGINT AS doc_count, round(sum(score), 2) "
+            "AS sum_score FROM m GROUP BY 2"
         ),
         "more_like_this": (
             f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "

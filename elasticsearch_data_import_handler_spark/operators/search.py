@@ -152,6 +152,45 @@ def facet_search(spark, reader, meta: DataFrame, facet_cols: list[str],
                     "sum_score"))
 
 
+def date_histogram_search(spark, reader, interval_s: int = 60, must=None,
+                          should=None, must_not=None,
+                          min_should: int = 0) -> DataFrame:
+    """ES ``date_histogram`` aggregation (``fixed_interval`` form) over the
+    documents matching a bool query: one row per ``interval_s``-second
+    bucket of the index-stored ``warc_ts`` (doc-values role — scoring and
+    bucketing never touch the corpus), with ``doc_count`` and a ``sum``
+    sub-aggregation over the BM25 score.  The bucket key is the bucket
+    start in epoch **millis**, exactly ES's date_histogram ``key`` (and
+    timezone-proof: pure integer arithmetic on the epoch, no calendar).
+
+    Output schema matches :func:`facet_search` (facet, value, doc_count,
+    sum_score) so a search response mixing terms aggs and date histograms
+    stacks into ONE frame — the ES ``aggs`` dict analog.  Unlike terms
+    aggs there is no top-n: ES returns every non-empty bucket in range.
+
+    Scale shape: candidate set O(Σ df of query terms); the doc_stats join
+    is doc-keyed; the final groupBy has one row per bucket."""
+    from .textsearch import bool_query
+
+    scored = bool_query(spark, reader, must=must, should=should,
+                        must_not=must_not, min_should=min_should,
+                        round_to=4)
+    ds = reader.doc_stats().select(
+        "doc_id", F.col("warc_ts").cast("long").alias("__ts"))
+    key = (F.floor(F.col("__ts") / interval_s)
+           * (interval_s * 1000)).cast("long")
+    return (
+        scored.join(ds, "doc_id")
+        .groupBy(key.alias("__k"))
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             F.round(F.sum("score"), 2).alias("sum_score"))
+        .select(F.lit(f"dh:{interval_s}s").alias("facet"),
+                F.col("__k").cast("string").alias("value"),
+                F.col("doc_count").cast("long").alias("doc_count"),
+                "sum_score")
+    )
+
+
 def more_like_this(spark, reader, seed_text: str, seed_doc_id: int | None = None,
                    k: int = 10, max_query_terms: int = 25,
                    min_term_freq: int = 1, min_doc_freq: int = 2,
