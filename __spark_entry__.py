@@ -1075,6 +1075,46 @@ def q_dis_max(spark, sf_dir):
     return _native_doc_ids(reader, out, ["score"])
 
 
+def q_query_combinators(spark, sf_dir):
+    """ES query-DSL combinators in one tagged row: dis_max (the
+    previously-gated query verbatim, op='dis_max'), constant_score
+    (op='const' — filter context, fixed boost), boosting (op='boosting' —
+    negative matches demoted by negative_boost, not excluded), and
+    search_after pagination (op='page2' — the second 20-row page of the
+    dis_max ranking via a cursor threaded from page 1's last row, the ES
+    client loop; rank is the absolute position, so the oracle replays it
+    as rows 21–40 of the same total order)."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        boosting_query,
+        constant_score_query,
+        paginate_after,
+    )
+
+    nullr = F.lit(None).cast("long")
+    dm = q_dis_max(spark, sf_dir)
+    dm_b = dm.select(F.lit("dis_max").alias("op"), "doc_id", "score",
+                     nullr.alias("rank"))
+    reader = _gate_index(spark, sf_dir)
+    cs = _native_doc_ids(
+        reader, constant_score_query(spark, reader, [["spark", "sql"]],
+                                     boost=1.5), ["score"])
+    cs_b = cs.select(F.lit("const").alias("op"), "doc_id", "score",
+                     nullr.alias("rank"))
+    bq = _native_doc_ids(
+        reader, boosting_query(spark, reader, positive=[["spark", "sql"]],
+                               negative=["merge"], negative_boost=0.5,
+                               round_to=4), ["score"])
+    bq_b = bq.select(F.lit("boosting").alias("op"), "doc_id", "score",
+                     nullr.alias("rank"))
+    # search_after: cursor = last row of page 1 (client-side, as in ES)
+    page1 = _rank_native(dm, 20)
+    cur = page1.orderBy(F.desc("rank")).first()
+    pg = paginate_after(dm, (cur["score"], cur["doc_id"]), page_size=20)
+    pg_b = pg.select(F.lit("page2").alias("op"), "doc_id", "score",
+                     (F.col("page_rank") + 20).cast("long").alias("rank"))
+    return dm_b.unionByName(cs_b).unionByName(bq_b).unionByName(pg_b)
+
+
 def q_sessionize(spark, sf_dir):
     from pyspark.sql import Window
     ev = _read(spark, sf_dir, "events")
@@ -1112,7 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize_stateful": q_sessionize_stateful,
         "pivot_cube": q_pivot_cube,
-        "dis_max": q_dis_max,
+        "query_combinators": q_query_combinators,
         "topn_per_group": q_topn_per_group,
         "phrase_slop": q_phrase_slop,
         "bool_query": q_bool_query,
@@ -1846,7 +1886,7 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
             "GROUP BY CUBE (l_returnflag, l_linestatus)"
         ),
-        "dis_max": (
+        "query_combinators": (
             f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
             "agg AS (SELECT tf.doc_id, "
             "sum(CASE WHEN tf.term IN ('spark', 'sql') THEN "
@@ -1858,9 +1898,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
             "CROSS JOIN stats s "
             "WHERE tf.term IN ('batch', 'index', 'merge', 'spark', 'sql') "
-            "GROUP BY tf.doc_id) "
-            "SELECT doc_id, round(greatest(c0, c1, c2) + 0.3 * "
-            "(c0 + c1 + c2 - greatest(c0, c1, c2)), 4) AS score FROM agg"
+            "GROUP BY tf.doc_id), "
+            "dmx AS (SELECT doc_id, round(greatest(c0, c1, c2) + 0.3 * "
+            "(c0 + c1 + c2 - greatest(c0, c1, c2)), 4) AS score FROM agg), "
+            # boosting: positive = spark|sql BM25 sum; docs also containing
+            # 'merge' are demoted ×0.5 (never excluded); const = filter
+            # context, fixed boost 1.5; page2 = rows 21-40 of the dmx order
+            "bpos AS (SELECT tf.doc_id, "
+            f"sum({bm25_contrib}) AS score "
+            "FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "CROSS JOIN stats s WHERE tf.term IN ('spark', 'sql') "
+            "GROUP BY tf.doc_id), "
+            "bneg AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge') "
+            "SELECT 'dis_max' AS op, doc_id, score, NULL::BIGINT AS rank "
+            "FROM dmx "
+            "UNION ALL SELECT 'const', doc_id, 1.5, NULL::BIGINT "
+            "FROM (SELECT DISTINCT doc_id FROM tf "
+            "WHERE term IN ('spark', 'sql')) c "
+            "UNION ALL SELECT 'boosting', p.doc_id, "
+            "round(CASE WHEN n.doc_id IS NOT NULL THEN p.score * 0.5 "
+            "ELSE p.score END, 4), NULL::BIGINT "
+            "FROM bpos p LEFT JOIN bneg n ON p.doc_id = n.doc_id "
+            "UNION ALL SELECT 'page2', doc_id, score, rank FROM ("
+            "SELECT doc_id, score, row_number() OVER ("
+            "ORDER BY score DESC, doc_id ASC) AS rank FROM dmx) r "
+            "WHERE rank BETWEEN 21 AND 40"
         ),
         "sessionize_stateful": (
             "WITH g AS (SELECT user_id, ts, CASE WHEN "

@@ -358,6 +358,69 @@ def dis_max_query(spark, reader, clauses, tie_breaker: float = 0.0,
     return out
 
 
+def constant_score_query(spark, reader, filter_clauses,
+                         boost: float = 1.0) -> DataFrame:
+    """ES constant_score: every document matching the filter part gets
+    exactly ``boost`` — relevance opted out, the ES "filter context".
+    The filter is the bool ``must`` path (terms or OR-groups), so matching
+    semantics, bucket pruning, and tombstone handling are shared with
+    :func:`bool_query`; the BM25 aggregate it would compute is dropped by
+    Catalyst column pruning since nothing references the score."""
+    out = bool_query(spark, reader, must=filter_clauses)
+    return out.select("doc_id", F.lit(float(boost)).alias("score"))
+
+
+def boosting_query(spark, reader, positive, negative,
+                   negative_boost: float = 0.5,
+                   round_to: int | None = None) -> DataFrame:
+    """ES boosting query: documents matching ``positive`` are BM25-scored;
+    those ALSO matching ``negative`` keep their result slot but have the
+    score multiplied by ``negative_boost`` — demotion, not the exclusion
+    ``bool.must_not`` gives.
+
+    Plan: positive leg = the TAAT :func:`bool_query` (O(Σ df of positive
+    terms)); negative leg travels id-only (distinct doc_ids from the
+    negative terms' postings, itself bucket-pruned); one left join and a
+    conditional multiply — no second scoring pass."""
+    pos = bool_query(spark, reader, should=positive, min_should=1)
+    neg_terms = sorted({t for g in _clause_groups(negative) for t in g})
+    if not neg_terms:
+        raise ValueError("boosting_query needs at least one negative term")
+    neg = (reader.decoded_postings_for_terms(neg_terms)
+           .select("doc_id").distinct().withColumn("__neg", F.lit(1)))
+    score = F.when(F.col("__neg").isNotNull(),
+                   F.col("score") * F.lit(float(negative_boost))
+                   ).otherwise(F.col("score"))
+    out = pos.join(neg, "doc_id", "left").select("doc_id",
+                                                 score.alias("score"))
+    if round_to is not None:
+        out = out.select("doc_id", F.round("score", round_to).alias("score"))
+    return out
+
+
+def paginate_after(ranked: DataFrame, cursor: tuple[float, int],
+                   page_size: int = 20, score_col: str = "score",
+                   id_col: str = "doc_id") -> DataFrame:
+    """ES ``search_after``: the page strictly after ``cursor`` = (score,
+    doc_id) under the total order (score DESC, doc_id ASC), with a 1-based
+    ``page_rank``.  Stateless deep pagination — each page is one filtered
+    top-``page_size`` (TakeOrdered over the survivors), never the
+    offset+k sort that makes ``from``+``size`` collapse at depth; the
+    caller threads each page's last row in as the next cursor, exactly
+    the ES client loop.  Cursor equality is exact when the caller
+    paginates the same rounded-score frame the cursor came from."""
+    from pyspark.sql import Window
+
+    s, i = cursor
+    after = ranked.filter(
+        (F.col(score_col) < F.lit(float(s)))
+        | ((F.col(score_col) == F.lit(float(s)))
+           & (F.col(id_col) > F.lit(int(i)))))
+    top = after.orderBy(F.desc(score_col), F.asc(id_col)).limit(page_size)
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return top.withColumn("page_rank", F.row_number().over(w).cast("long"))
+
+
 def bool_query(spark, reader, must=None, should=None,
                must_not: list[str] | None = None,
                min_should: int = 0, round_to: int | None = None) -> DataFrame:

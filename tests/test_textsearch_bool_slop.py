@@ -10,6 +10,7 @@ import math
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from elasticsearch_data_import_handler_spark.operators.dedup import dedup_latest
 from elasticsearch_data_import_handler_spark.operators.indexing import BM25_B, BM25_K1
@@ -211,3 +212,63 @@ def test_function_score_recency_decay(spark, pos_index):
         exp_mult = _m.exp(_m.log(0.5) / hl * (ref - ts[d]))
         assert abs(sc - base[d] * exp_mult) < 1e-9
         assert sc < base[d]
+
+
+def test_constant_score_matches_filter(spark, pos_index):
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        constant_score_query)
+
+    reader = IndexReader(spark, pos_index)
+    rows = constant_score_query(spark, reader, [["spark", "sql"]],
+                                boost=2.5).collect()
+    assert len(rows) > 0
+    assert all(r["score"] == 2.5 for r in rows)
+    filt = {r["doc_id"] for r in
+            bool_query(spark, reader, must=[["spark", "sql"]]).collect()}
+    assert {r["doc_id"] for r in rows} == filt
+
+
+def test_boosting_demotes_not_excludes(spark, pos_index, doc_tokens):
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        boosting_query)
+
+    reader = IndexReader(spark, pos_index)
+    pos = {r["doc_id"]: r["score"] for r in
+           bool_query(spark, reader, should=[["spark", "sql"]],
+                      min_should=1).collect()}
+    got = {r["doc_id"]: r["score"] for r in
+           boosting_query(spark, reader, positive=[["spark", "sql"]],
+                          negative=["merge"], negative_boost=0.25).collect()}
+    assert set(got) == set(pos)  # demotion never drops a doc
+    demoted = 0
+    for doc_id, sc in got.items():
+        if "merge" in doc_tokens[doc_id]:
+            assert abs(sc - pos[doc_id] * 0.25) < 1e-9
+            demoted += 1
+        else:
+            assert abs(sc - pos[doc_id]) < 1e-9
+    assert demoted > 0
+
+
+def test_paginate_after_tiles_the_ranking(spark, pos_index):
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        dis_max_query, paginate_after)
+
+    reader = IndexReader(spark, pos_index)
+    ranked = dis_max_query(spark, reader, [["spark", "sql"], "merge"],
+                           tie_breaker=0.2, round_to=4)
+    want = [(r["doc_id"], r["score"]) for r in
+            ranked.orderBy(F.desc("score"), F.asc("doc_id")).collect()]
+    assert len(want) > 25
+    # ES client loop: page through with the last row as the next cursor
+    page_size = 10
+    got = want[:page_size]
+    while True:
+        cur = got[-1]
+        page = paginate_after(ranked, (cur[1], cur[0]),
+                              page_size=page_size).collect()
+        if not page:
+            break
+        assert [r["page_rank"] for r in page] == list(range(1, len(page) + 1))
+        got.extend((r["doc_id"], r["score"]) for r in page)
+    assert got == want  # pages tile the full ranking exactly, no dup/gap
