@@ -178,6 +178,34 @@ def _gate_index(spark, sf_dir):
     return IndexReader(spark, d)
 
 
+_GATE_TITLE_INDEX: dict[str, str] = {}
+
+
+def _gate_title_index(spark, sf_dir):
+    """Second per-field index for multi_match: same urls/warc_ts (hence the
+    SAME version doc_ids as the body index), text = the document's derived
+    title field (its first 8 analyzer tokens — deterministic, so the DuckDB
+    oracle re-derives it from the raw corpus)."""
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        IndexReader, build_index)
+    from elasticsearch_data_import_handler_spark.sources.corpus import (
+        pages_from_documents)
+
+    d = _GATE_TITLE_INDEX.get(sf_dir)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="eidh_gate_tidx_")
+        pages = pages_from_documents(spark, sf_dir)
+        title = F.array_join(
+            F.slice(F.regexp_extract_all(F.lower("text"),
+                                         F.lit("[a-z0-9]+"), 0), 1, 8), " ")
+        build_index(spark, pages.withColumn("text", title), d,
+                    tau=200, n_buckets=8)
+        _GATE_TITLE_INDEX[sf_dir] = d
+    return IndexReader(spark, d)
+
+
 def _native_map(reader):
     """(doc_id, __nid): versioned index doc_id → the documents table's
     native id (the synthetic corpus encodes it in the url tail).  Single
@@ -460,6 +488,51 @@ def q_query_string(spark, sf_dir):
         spark, reader, '+spark merg* quer? "fast table scan"~4 -vector',
         k=3000, round_to=None)
     return _rank_native(_native_doc_ids(reader, cand, ["score"]), 10)
+
+
+def q_query_string_tagged(spark, sf_dir):
+    """query_string e2e (op='search', the previously-gated query verbatim)
+    + the multi-term expansion surface (op='expand', the previously-gated
+    term_expansion row verbatim: fuzzy/prefix/wildcard vocab resolution)
+    in one tagged row — expansion is the rewrite stage query_string runs
+    internally, so the two verify the same family."""
+    nulll = F.lit(None).cast("long")
+    nulls = F.lit(None).cast("string")
+    qs = q_query_string(spark, sf_dir).select(
+        F.lit("search").alias("op"), "doc_id", "score", "rank",
+        nulls.alias("method"), nulls.alias("term"), nulll.alias("df"))
+    ex = q_term_expansion(spark, sf_dir).select(
+        F.lit("expand").alias("op"), nulll.alias("doc_id"),
+        F.lit(None).cast("double").alias("score"), nulll.alias("rank"),
+        "method", "term", "df")
+    return qs.unionByName(ex)
+
+
+def q_multi_match(spark, sf_dir):
+    """ES multi_match over two per-field indexes (derived title field,
+    boost 2.0 + body, boost 1.0) — both combine modes in one tagged row:
+    op='best' = best_fields with tie_breaker 0.3 (the dis_max-over-fields
+    ES default), op='most' = most_fields (field scores summed).  Field
+    indexes share version doc_ids by construction, so legs combine with
+    one groupBy; results remap to native ids through the body index."""
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        multi_match)
+
+    body = _gate_index(spark, sf_dir)
+    title = _gate_title_index(spark, sf_dir)
+    readers = {"title": title, "body": body}
+    boosts = {"title": 2.0, "body": 1.0}
+    terms = ["spark", "merge"]
+    best = multi_match(spark, readers, terms, boosts=boosts,
+                       match_type="best_fields", tie_breaker=0.3,
+                       round_to=4)
+    most = multi_match(spark, readers, terms, boosts=boosts,
+                       match_type="most_fields", round_to=4)
+    b = _native_doc_ids(body, best, ["score"]).select(
+        F.lit("best").alias("op"), "doc_id", "score")
+    m = _native_doc_ids(body, most, ["score"]).select(
+        F.lit("most").alias("op"), "doc_id", "score")
+    return b.unionByName(m)
 
 
 def q_search_facets(spark, sf_dir):
@@ -1165,11 +1238,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salt_plan": q_salt_plan,
         "bm25_topk_wand": q_bm25_topk_wand,
         "phrase_index": q_phrase_index,
-        "term_expansion": q_term_expansion,
+        "multi_match": q_multi_match,
         "snippets": q_snippets,
         "search_facets": q_search_facets,
         "more_like_this": q_more_like_this,
-        "query_string": q_query_string,
+        "query_string": q_query_string_tagged,
         # streaming / multimodal / extraction
         "windowed_events": q_windowed_events,
         "multimodal_features": q_multimodal_features,
@@ -1465,9 +1538,22 @@ def oracle_sql() -> dict[str, str]:
             "AND sc.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok "
             "WHERE term = 'vector')), "
             "rr AS (SELECT doc_id, score, row_number() OVER ("
-            "ORDER BY score DESC, doc_id ASC) AS rank FROM ok) "
-            "SELECT doc_id, round(score, 4) AS score, rank FROM rr "
-            "WHERE rank <= 10"
+            "ORDER BY score DESC, doc_id ASC) AS rank FROM ok), "
+            # op='expand' branch: the term_expansion row verbatim (fuzzy /
+            # prefix / wildcard vocabulary resolution)
+            "v AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
+            "FROM tok GROUP BY term) "
+            "SELECT 'search' AS op, doc_id, round(score, 4) AS score, rank, "
+            "NULL::VARCHAR AS method, NULL::VARCHAR AS term, "
+            "NULL::BIGINT AS df FROM rr WHERE rank <= 10 "
+            "UNION ALL SELECT 'expand', NULL::BIGINT, NULL::DOUBLE, "
+            "NULL::BIGINT, m.method, m.term, m.df FROM ("
+            "SELECT 'fuzzy' AS method, term, df FROM v "
+            "WHERE levenshtein(term, 'sort') <= 2 "
+            "UNION ALL SELECT 'prefix', term, df FROM v "
+            "WHERE term LIKE 'sor%' "
+            "UNION ALL SELECT 'wildcard', term, df FROM v "
+            "WHERE term LIKE 's_rt%') m"
         ),
         "search_facets": (
             f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
@@ -1526,18 +1612,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, count(*)::BIGINT AS n_occurrences FROM sh "
             "WHERE g = 'the spark' GROUP BY doc_id"
         ),
-        "term_expansion": (
-            "WITH t AS (SELECT doc_id, "
-            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+        "multi_match": (
+            # per-field BM25 (title = first 8 tokens, boost 2.0; body,
+            # boost 1.0) with per-field df/doc_len/avgdl — the title CTEs
+            # are aliased tf/dfreq/dl/s inside their leg so the shared
+            # bm25_contrib expression applies to each field's statistics
+            f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
+            "ttokl AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+')[1:8] AS toks "
             "FROM documents), "
-            "v AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM t "
-            "GROUP BY term) "
-            "SELECT 'fuzzy' AS method, term, df FROM v "
-            "WHERE levenshtein(term, 'sort') <= 2 "
-            "UNION ALL SELECT 'prefix', term, df FROM v "
-            "WHERE term LIKE 'sor%' "
-            "UNION ALL SELECT 'wildcard', term, df FROM v "
-            "WHERE term LIKE 's_rt%'"
+            "ttok AS (SELECT doc_id, unnest(toks) AS term FROM ttokl), "
+            "ttf AS (SELECT term, doc_id, count(*)::BIGINT AS tf "
+            "FROM ttok GROUP BY 1, 2), "
+            "tdl AS (SELECT doc_id, count(*)::BIGINT AS doc_len "
+            "FROM ttok GROUP BY 1), "
+            "tstats AS (SELECT count(*)::BIGINT AS n_docs, "
+            "avg(doc_len) AS avgdl FROM tdl), "
+            "tdfreq AS (SELECT term, count(*)::BIGINT AS df FROM ttf "
+            "GROUP BY 1), "
+            "tsc AS (SELECT tf.doc_id, "
+            f"2.0 * sum({bm25_contrib}) AS fs "
+            "FROM ttf tf JOIN tdfreq dfreq USING (term) "
+            "JOIN tdl dl ON tf.doc_id = dl.doc_id CROSS JOIN tstats s "
+            "WHERE tf.term IN ('spark', 'merge') GROUP BY tf.doc_id), "
+            "bsc AS (SELECT tf.doc_id, "
+            f"1.0 * sum({bm25_contrib}) AS fs "
+            "FROM tf JOIN dfreq USING (term) "
+            "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s "
+            "WHERE tf.term IN ('spark', 'merge') GROUP BY tf.doc_id), "
+            "u AS (SELECT * FROM tsc UNION ALL SELECT * FROM bsc), "
+            "g AS (SELECT doc_id, max(fs) AS best, sum(fs) AS total "
+            "FROM u GROUP BY doc_id) "
+            "SELECT 'best' AS op, doc_id, "
+            "round(best + 0.3 * (total - best), 4) AS score FROM g "
+            "UNION ALL SELECT 'most', doc_id, round(total, 4) FROM g"
         ),
         "snippets": (
             "SELECT doc_id, strpos(lower(text), 'the spark')::BIGINT AS pos, "

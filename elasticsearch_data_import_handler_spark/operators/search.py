@@ -191,6 +191,51 @@ def date_histogram_search(spark, reader, interval_s: int = 60, must=None,
     )
 
 
+def multi_match(spark, readers: dict, terms, boosts: dict | None = None,
+                match_type: str = "best_fields", tie_breaker: float = 0.0,
+                round_to: int | None = None) -> DataFrame:
+    """ES ``multi_match`` across document fields, each field backed by its
+    OWN index (per-field postings with per-field df/doc_len/avgdl — how ES
+    itself stores fields): per-field score = boost_f × BM25 over the
+    query terms matched in that field (bool ``should`` leg, min_should 1);
+    ``best_fields`` combines like dis_max (best + tie_breaker × rest),
+    ``most_fields`` sums the field scores.
+
+    doc_id is version-keyed by xxhash64(url | warc_ts) identically in every
+    field's index (build.py:111), so field frames combine with no remapping.
+
+    Plan: one bucket-pruned TAAT pass per field (O(Σ df_f of the terms in
+    that field)), a union of id-keyed legs, ONE groupBy(doc_id) combine —
+    no cross-field join chain."""
+    from functools import reduce
+
+    from .textsearch import bool_query
+
+    if not readers:
+        raise ValueError("multi_match needs at least one field reader")
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError(f"unknown multi_match type: {match_type}")
+    boosts = boosts or {}
+    legs = []
+    for field, rd in sorted(readers.items()):
+        leg = bool_query(spark, rd, should=terms, min_should=1)
+        b = float(boosts.get(field, 1.0))
+        legs.append(leg.select(
+            "doc_id", (F.col("score") * F.lit(b)).alias("fs")))
+    u = reduce(lambda a, b: a.unionByName(b), legs)
+    agg = u.groupBy("doc_id").agg(F.max("fs").alias("best"),
+                                  F.sum("fs").alias("total"))
+    if match_type == "best_fields":
+        score = (F.col("best")
+                 + F.lit(float(tie_breaker)) * (F.col("total") - F.col("best")))
+    else:
+        score = F.col("total")
+    out = agg.select("doc_id", score.alias("score"))
+    if round_to is not None:
+        out = out.select("doc_id", F.round("score", round_to).alias("score"))
+    return out
+
+
 def more_like_this(spark, reader, seed_text: str, seed_doc_id: int | None = None,
                    k: int = 10, max_query_terms: int = 25,
                    min_term_freq: int = 1, min_doc_freq: int = 2,
