@@ -185,7 +185,8 @@ def _bench_sf_queries(cpus: int, sf_dir: str) -> dict:
              "minhash_verified", "ann_ivf", "embedding_neardup_lsh",
              "range_join", "asof_join", "pack_sequences", "query_string",
              "search_facets", "more_like_this", "hybrid_rrf", "dis_max",
-             "function_score", "pii_redact", "contamination"]
+             "function_score", "pii_redact", "contamination",
+             "stats_sketch", "multi_match", "query_combinators"]
     spark = get_spark(f"bench-sf-c{cpus}", cpus=cpus)
     # resolve by q_<name> function (not the gate registration) so bench keeps
     # timing the same operator set across rounds even as gate rows consolidate
@@ -199,6 +200,7 @@ def _bench_sf_queries(cpus: int, sf_dir: str) -> dict:
         # build the shared gate index untimed: index-build cost is its own
         # benchmark; the index-backed queries here time QUERYING, not setup
         entrymod._gate_index(spark, sf_dir)
+        entrymod._gate_title_index(spark, sf_dir)
         for name in names:
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()
