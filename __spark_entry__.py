@@ -505,7 +505,17 @@ def q_query_string_tagged(spark, sf_dir):
         F.lit("expand").alias("op"), nulll.alias("doc_id"),
         F.lit(None).cast("double").alias("score"), nulll.alias("rank"),
         "method", "term", "df")
-    return qs.unionByName(ex)
+    # op='suggest': the ES term suggester for the typo 'dat' — candidates
+    # within 2 edits ranked (dist ASC, df DESC, term ASC), top 5
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        suggest_terms)
+
+    sg = suggest_terms(_read(spark, sf_dir, "documents"), "dat",
+                       max_dist=2, size=5).select(
+        F.lit("suggest").alias("op"), nulll.alias("doc_id"),
+        F.lit(None).cast("double").alias("score"), "rank",
+        nulls.alias("method"), "term", "df")
+    return qs.unionByName(ex).unionByName(sg)
 
 
 def q_multi_match(spark, sf_dir):
@@ -1553,7 +1563,13 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'prefix', term, df FROM v "
             "WHERE term LIKE 'sor%' "
             "UNION ALL SELECT 'wildcard', term, df FROM v "
-            "WHERE term LIKE 's_rt%') m"
+            "WHERE term LIKE 's_rt%') m "
+            "UNION ALL SELECT 'suggest', NULL::BIGINT, NULL::DOUBLE, "
+            "sg.rank, NULL::VARCHAR, sg.term, sg.df FROM ("
+            "SELECT term, df, row_number() OVER (ORDER BY "
+            "levenshtein(term, 'dat') ASC, df DESC, term ASC) AS rank "
+            "FROM v WHERE levenshtein(term, 'dat') <= 2 "
+            "AND term <> 'dat') sg WHERE sg.rank <= 5"
         ),
         "search_facets": (
             f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "

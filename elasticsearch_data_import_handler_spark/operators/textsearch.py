@@ -152,6 +152,46 @@ def expand_terms(documents: DataFrame, fuzzy: str | None = None,
                     F.col("df").cast("long").alias("df")))
 
 
+def suggest_terms(documents: DataFrame, query_term: str, max_dist: int = 2,
+                  size: int = 5, suggest_mode: str = "always",
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(term, df, dist, rank): the ES **term suggester** ("did you mean") —
+    vocabulary terms within ``max_dist`` Levenshtein edits of the (possibly
+    misspelled) input, the input itself excluded, ranked the ES way:
+    distance ASC (suggester score is monotone in edit distance), then
+    document frequency DESC, then term ASC, top ``size``.
+
+    ``suggest_mode='missing'`` returns no suggestions when the input term
+    exists in the vocabulary (the ES default); ``'always'`` suggests
+    regardless.  Same vocabulary-scale cost shape as :func:`expand_terms`
+    (one groupBy(term); the candidate filter scans term metadata, never
+    postings); at 10^9 terms pre-bucket by SymSpell deletion neighborhoods
+    (functions/symspell.py) as documented there."""
+    if suggest_mode not in ("always", "missing"):
+        raise ValueError(f"unknown suggest_mode: {suggest_mode}")
+    q = query_term.lower()
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    vocab = (documents.select(F.col(id_col).alias("id"),
+                              F.explode(toks).alias("term"))
+             .groupBy("term").agg(F.countDistinct("id").alias("df")))
+    if suggest_mode == "missing":
+        # one tiny cross-joined gate frame, no driver round-trip
+        present = (vocab.filter(F.col("term") == q)
+                   .select(F.lit(1).alias("__present")).limit(1))
+        # anti-join on TRUE: keeps the vocab only when `present` is empty
+        vocab = vocab.join(F.broadcast(present), F.lit(True), "left_anti")
+    cand = (vocab.withColumn("dist", F.levenshtein("term", F.lit(q)))
+            .filter((F.col("dist") <= max_dist) & (F.col("term") != q)))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= size)
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("dist").cast("int").alias("dist"), "rank"))
+
+
 def snippets(documents: DataFrame, query: str, before: int = 30,
              width: int = 80, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:

@@ -234,3 +234,23 @@ def test_contamination_broadcasts_benchmark_side(spark):
     plan = _plan(contamination_check(df, ["the quick brown fox"], n=3))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmv_prereduce_bounds_the_shuffle(spark):
+    """The KMV sketch must pre-reduce map-side: MapInPandas runs BELOW the
+    one exchange (so the shuffle carries <= k rows per group per partition,
+    never the distinct set), and there is exactly one exchange."""
+    from elasticsearch_data_import_handler_spark.operators.sketches import (
+        kmv_distinct)
+
+    df = (spark.range(10_000)
+          .select((F.col("id") % 3).alias("g"), F.col("id").alias("v"))
+          .repartition(8))
+    plan = _plan(kmv_distinct(df, "g", "v", k=64))
+    # one shuffle: the groupBy(grp) for the final merge
+    assert plan.count("Exchange hashpartitioning") == 1
+    pre, post = plan.split("Exchange hashpartitioning", 1)
+    # physical plans print top-down: the pre-reduce MapInPandas must appear
+    # AFTER the exchange line (= executes below it, on the map side)
+    assert "MapInPandas" in post, plan
+    assert "FlatMapGroupsInPandas" in pre, plan

@@ -272,3 +272,27 @@ def test_paginate_after_tiles_the_ranking(spark, pos_index):
         assert [r["page_rank"] for r in page] == list(range(1, len(page) + 1))
         got.extend((r["doc_id"], r["score"]) for r in page)
     assert got == want  # pages tile the full ranking exactly, no dup/gap
+
+
+def test_suggest_terms_ranking_and_modes(spark, sf_dir):
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        suggest_terms)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = suggest_terms(docs, "dat", max_dist=2, size=5).collect()
+    assert 0 < len(rows) <= 5
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # ES order: dist ASC, then df DESC, then term ASC
+    keys = [(r["dist"], -r["df"], r["term"]) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r["term"] != "dat" for r in rows)
+    # suggest_mode='missing': a term present in the vocabulary suggests
+    # nothing; an absent typo still suggests
+    present = suggest_terms(docs, "data", max_dist=2, size=5,
+                            suggest_mode="missing")
+    assert present.count() == 0
+    absent = suggest_terms(docs, "dta", max_dist=2, size=5,
+                           suggest_mode="missing")
+    assert absent.count() > 0
+    with pytest.raises(ValueError):
+        suggest_terms(docs, "dat", suggest_mode="popular")
