@@ -191,6 +191,28 @@ def date_histogram_search(spark, reader, interval_s: int = 60, must=None,
     )
 
 
+def facet_cardinality(spark, reader, meta: DataFrame, group_col: str,
+                      distinct_col: str, k: int = 64, must=None,
+                      should=None, must_not=None, min_should: int = 0,
+                      id_col: str = "doc_id") -> DataFrame:
+    """ES terms-agg + **cardinality sub-agg** ("unique X per bucket over
+    the matching docs"): bool-query candidates joined to doc-values
+    ``meta``, then the KMV distinct sketch per ``group_col`` bucket —
+    (grp, est_distinct, exact_mode).  ES backs this with HLL; here the KMV
+    sketch (operators/sketches.py) gives the same mergeable-bounded-state
+    scaling with an exactly-replayable estimate.  Candidate set is
+    O(Σ df of query terms); the sketch shuffle is O(k · buckets ·
+    partitions)."""
+    from .sketches import kmv_distinct
+    from .textsearch import bool_query
+
+    matched = bool_query(spark, reader, must=must, should=should,
+                         must_not=must_not, min_should=min_should)
+    j = matched.select("doc_id").join(
+        meta.withColumnRenamed(id_col, "doc_id"), "doc_id")
+    return kmv_distinct(j, group_col, distinct_col, k=k)
+
+
 def multi_match(spark, readers: dict, terms, boosts: dict | None = None,
                 match_type: str = "best_fields", tie_breaker: float = 0.0,
                 round_to: int | None = None) -> DataFrame:
