@@ -645,6 +645,27 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def q_sampling(spark, sf_dir):
+    """Training-prep sampling family in one tagged row: per-stratum rate
+    sampling (op='strat', the previously-gated stratified_sample verbatim),
+    target-mixture balancing (op='mixture': lang weights en:de:fr:es =
+    5:3:1:1, integer-exact thresholds — the binding stratum keeps all, the
+    rest downsample to the target proportions), and the C4-style per-key
+    cap (op='cap': ≤ 15 docs per source, md5-ranked unbiased selection)."""
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        cap_per_key, mixture_sample)
+
+    docs = _read(spark, sf_dir, "documents")
+    st = q_stratified_sample(spark, sf_dir).select(
+        F.lit("strat").alias("op"), "doc_id", "lang", "source")
+    mix = mixture_sample(docs, {"en": 5, "de": 3, "fr": 1, "es": 1},
+                         stratum_col="lang").select(
+        F.lit("mixture").alias("op"), "doc_id", "lang", "source")
+    cap = cap_per_key(docs, "source", 15).select(
+        F.lit("cap").alias("op"), "doc_id", "lang", "source")
+    return st.unionByName(mix).unionByName(cap)
+
+
 def q_repetition_metrics(spark, sf_dir):
     return TQ.repetition_metrics(_read(spark, sf_dir, "documents"), n=2)
 
@@ -1272,7 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "unigram_loglik": q_unigram_loglik,
         "pack_sequences": q_pack_sequences,
-        "stratified_sample": q_stratified_sample,
+        "sampling": q_sampling,
         # delegated Spark SQL surface (set_ops tags union/except/intersect
         # ALL in one row; window_frames carries the ROWS and RANGE frames)
         "set_ops": q_set_ops,
@@ -1697,14 +1718,33 @@ def oracle_sql() -> dict[str, str]:
             "(least(g + n, (seq_id + 1) * 128) "
             "- greatest(g, seq_id * 128))::BIGINT AS piece_len FROM p"
         ),
-        "stratified_sample": (
+        "sampling": (
             # thresholds in integer basis points — the operator resolves
             # round(rate*10000) driver-side, so both engines compare against
-            # the same exact integer (no float-product truncation skew)
-            "SELECT doc_id, lang, source FROM documents "
+            # the same exact integer (no float-product truncation skew);
+            # the mixture branch replays the ENTIRE integer derivation
+            # (binding stratum by (n·10^6)//w key, bps by floor division)
+            "WITH mcnt AS (SELECT lang AS s, count(*)::BIGINT AS n "
+            "FROM documents WHERE lang IN ('de', 'en', 'es', 'fr') "
+            "GROUP BY 1), "
+            "mw AS (SELECT s, n, CASE s WHEN 'en' THEN 5 WHEN 'de' THEN 3 "
+            "ELSE 1 END::BIGINT AS w FROM mcnt), "
+            "mb AS (SELECT s AS bs, n AS bn, w AS bw FROM mw "
+            "ORDER BY (n * 1000000) // w, s LIMIT 1), "
+            "mr AS (SELECT s, least(10000, (10000 * bn * w) // (bw * n)) "
+            "AS bps FROM mw CROSS JOIN mb) "
+            "SELECT 'strat' AS op, doc_id, lang, source FROM documents "
             "WHERE (('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000) < "
             "(CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000 "
-            "WHEN 'fr' THEN 2500 ELSE 1000 END)"
+            "WHEN 'fr' THEN 2500 ELSE 1000 END) "
+            "UNION ALL SELECT 'mixture', doc_id, lang, source "
+            "FROM documents d JOIN mr ON d.lang = mr.s "
+            "WHERE (('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000) "
+            "< mr.bps "
+            "UNION ALL SELECT 'cap', doc_id, lang, source FROM ("
+            "SELECT doc_id, lang, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) "
+            "AS rn FROM documents) c WHERE rn <= 15"
         ),
         "unigram_loglik": (
             f"WITH {_SQL_TOK}, "

@@ -169,3 +169,59 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     rate = rate.otherwise(F.lit(_bps(default_rate))) if rate is not None \
         else F.lit(_bps(default_rate))
     return df.filter(b < rate.cast("long"))
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, int],
+                   stratum_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Sample the corpus DOWN to a target mixture over strata (the
+    "data mixing" step of pretraining recipes: e.g. web:books:code =
+    6:3:1) with maximum retention: the binding stratum — the one whose
+    supply/weight ratio is smallest — keeps (almost) everything, every
+    other stratum down-samples to match the target proportions.
+
+    All arithmetic is INTEGER so any engine replays the exact subset:
+    per-stratum counts n_s are aggregated distributedly (only |strata|
+    rows reach the driver); the binding stratum b minimizes the key
+    ((n_s·10^6) // w_s, s); keep thresholds are basis points
+    bps_s = min(10000, (10000·n_b·w_s) // (w_b·n_s)) compared against the
+    same md5 bucket as :func:`stratified_sample`.  Strata missing from
+    ``weights`` are dropped (weight 0).  The realized mixture tracks the
+    target to within 1 bp per stratum."""
+    if not weights or any(w <= 0 or w != int(w) for w in weights.values()):
+        raise ValueError("weights must be positive integers per stratum")
+    counts = {r["s"]: r["n"] for r in
+              df.filter(F.col(stratum_col).isin(list(weights)))
+              .groupBy(F.col(stratum_col).alias("s"))
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    missing = sorted(set(weights) - set(counts))
+    if missing:
+        raise ValueError(f"strata with no rows cannot anchor a mixture: "
+                         f"{missing}")
+    b = min(counts, key=lambda s: ((counts[s] * 10**6) // weights[s], s))
+    bps = {s: min(10_000,
+                  (10_000 * counts[b] * weights[s]) // (weights[b] * counts[s]))
+           for s in counts}
+    return stratified_sample(
+        df, {s: v / 10_000 for s, v in bps.items()},
+        stratum_col=stratum_col, id_col=id_col, default_rate=0.0)
+
+
+def cap_per_key(df: DataFrame, key_col: str, cap: int,
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``cap`` rows per key — the per-domain/per-host cap
+    web-corpus recipes apply so no single site dominates (C4-style
+    host capping).  Selection is unbiased and reproducible: rows are
+    ranked inside each key by md5(id) (hex-string order — identical in
+    every engine), ties by id.  One shuffle on the key; with a skewed key
+    at 10^12 rows, pre-cap per partition first (any partition only needs
+    its ``cap`` smallest) — the same bounded-state shape as the KMV
+    pre-reduce."""
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap).drop("__rn"))

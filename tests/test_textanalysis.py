@@ -297,3 +297,58 @@ def test_contamination_check_distinct_gram_hits(spark):
     import pytest
     with pytest.raises(ValueError):
         contamination_check(df, ["too short"], n=3)
+
+
+def test_mixture_sample_hits_target_proportions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        mixture_sample)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"en": 5, "de": 3, "fr": 1, "es": 1}
+    out = mixture_sample(docs, weights, stratum_col="lang")
+    kept = {r["lang"]: r["n"] for r in
+            out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_in = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(kept) <= set(weights)          # unweighted strata dropped
+    # the binding stratum keeps everything
+    b = min(weights, key=lambda s: ((n_in[s] * 10**6) // weights[s], s))
+    assert kept[b] == n_in[b]
+    # realized mixture tracks the target ratios (hash granularity tolerance)
+    total_w = sum(weights[s] for s in kept)
+    total_n = sum(kept.values())
+    for s, n in kept.items():
+        assert abs(n / total_n - weights[s] / total_w) < 0.05, (s, kept)
+    # deterministic
+    again = mixture_sample(docs, weights, stratum_col="lang")
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mixture_sample(docs, {"en": 0})
+    with _pt.raises(ValueError):
+        mixture_sample(docs, {"klingon": 3}, stratum_col="lang")
+
+
+def test_cap_per_key_caps_and_is_unbiased_deterministic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        cap_per_key)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cap_per_key(docs, "source", 15)
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s, n in full.items():
+        assert per[s] == min(n, 15)
+    # below-cap keys pass through untouched
+    small = cap_per_key(docs, "source", 10_000)
+    assert small.count() == docs.count()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cap_per_key(docs, "source", 0)
