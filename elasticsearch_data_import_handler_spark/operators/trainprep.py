@@ -208,20 +208,53 @@ def mixture_sample(df: DataFrame, weights: dict[str, int],
 
 
 def cap_per_key(df: DataFrame, key_col: str, cap: int,
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id", precap: bool = True) -> DataFrame:
     """Keep at most ``cap`` rows per key — the per-domain/per-host cap
     web-corpus recipes apply so no single site dominates (C4-style
     host capping).  Selection is unbiased and reproducible: rows are
     ranked inside each key by md5(id) (hex-string order — identical in
-    every engine), ties by id.  One shuffle on the key; with a skewed key
-    at 10^12 rows, pre-cap per partition first (any partition only needs
-    its ``cap`` smallest) — the same bounded-state shape as the KMV
-    pre-reduce."""
+    every engine), ties by id.
+
+    Scale shape: a row can survive globally only if it is among its key's
+    ``cap`` first rows WITHIN its input partition, so ``precap`` first
+    runs a map-side window partitioned by (key, input partition) — no
+    data movement, AQE-visibly bounds the key shuffle to ≤ cap rows per
+    key per partition.  A host with 10^9 pages then ships cap rows per
+    partition into the final per-key window instead of all 10^9
+    (result-identical; test-enforced).  The final window is the single
+    shuffle either way."""
     if cap <= 0:
         raise ValueError("cap must be positive")
     from pyspark.sql import Window
 
-    w = (Window.partitionBy(key_col)
-         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= cap).drop("__rn"))
+    dfh = df.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+    if precap:
+        # sortWithinPartitions is a LOCAL Tungsten sort — no exchange (a
+        # window over (partition_id, key) would shuffle, defeating the
+        # point; plan-asserted in tests) — after which each key is
+        # contiguous per partition, so a streaming mapInPandas keeps the
+        # first `cap` per key with O(1) state per batch.
+        srt = dfh.sortWithinPartitions(key_col, "__h", id_col)
+        schema = srt.schema
+        kname = key_col
+
+        def emit(batches):
+            cur = object()
+            n = 0
+            for pdf in batches:
+                keep = []
+                for i, kv in enumerate(pdf[kname].tolist()):
+                    if not (kv == cur):  # handles NaN (never == anything)
+                        cur, n = kv, 0
+                    n += 1
+                    if n <= cap:
+                        keep.append(i)
+                if len(keep) == len(pdf):
+                    yield pdf
+                elif keep:
+                    yield pdf.iloc[keep]
+
+        dfh = srt.mapInPandas(emit, schema=schema)
+    w = Window.partitionBy(key_col).orderBy(F.col("__h"), F.col(id_col))
+    return (dfh.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap).drop("__rn", "__h"))

@@ -254,3 +254,22 @@ def test_kmv_prereduce_bounds_the_shuffle(spark):
     # AFTER the exchange line (= executes below it, on the map side)
     assert "MapInPandas" in post, plan
     assert "FlatMapGroupsInPandas" in pre, plan
+
+
+def test_cap_per_key_precap_is_local_and_single_shuffle(spark, sf_dir):
+    """The pre-cap stage must not add an exchange: local sort + streaming
+    MapInPandas below the single per-key window shuffle, and the result
+    must equal the no-precap window exactly."""
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        cap_per_key)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(8)
+    capped = cap_per_key(docs, "source", 3)
+    plan = _plan(capped)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the local sort + MapInPandas sit below (printed after) the exchange
+    below = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "MapInPandas" in below and "Sort" in below, plan
+    want = sorted(r["doc_id"] for r in
+                  cap_per_key(docs, "source", 3, precap=False).collect())
+    assert sorted(r["doc_id"] for r in capped.collect()) == want
