@@ -836,6 +836,33 @@ def q_hybrid_rrf(spark, sf_dir):
     return rrf_fuse([leg_bm25, leg_vec], k=10, rrf_k=60)
 
 
+def q_hybrid(spark, sf_dir):
+    """Hybrid/two-stage retrieval in one tagged row: reciprocal-rank
+    fusion of a BM25 and a vector leg (op='rrf', the previously-gated
+    hybrid_rrf verbatim) + ES rescore (op='rescore': top-50 window of the
+    bool-query base re-ranked by 1.0×base + 2.0×secondary bool score —
+    the expensive leg only ever scores the window)."""
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        rescore_topk)
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        bool_query)
+
+    rrf = q_hybrid_rrf(spark, sf_dir).select(
+        F.lit("rrf").alias("op"), "doc_id",
+        F.col("rrf_score").alias("score"), "rank")
+    reader = _gate_index(spark, sf_dir)
+    base = _native_doc_ids(
+        reader, bool_query(spark, reader, should=["spark", "index", "merge"],
+                           min_should=1), ["score"])
+    sec = _native_doc_ids(
+        reader, bool_query(spark, reader, should=["merge", "batch"],
+                           min_should=1), ["score"])
+    rs = rescore_topk(base, sec, window_size=50, query_weight=1.0,
+                      rescore_weight=2.0, k=10).select(
+        F.lit("rescore").alias("op"), "doc_id", "score", "rank")
+    return rrf.unionByName(rs)
+
+
 def q_intersect_all(spark, sf_dir):
     cu = _read(spark, sf_dir, "customer")
     od = _read(spark, sf_dir, "orders")
@@ -1304,7 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frames": q_window_frames,
         "semi_anti_exists": q_semi_anti_exists,
         "stats_sketch": q_stats_sketch,
-        "hybrid_rrf": q_hybrid_rrf,
+        "hybrid": q_hybrid,
         "tpch_pricing": q_tpch_pricing,
         "join_topn": q_join_topn,
         "function_score": q_function_score,
@@ -1873,7 +1900,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
             "AND l_discount >= 0.09) GROUP BY o_orderpriority"
         ),
-        "hybrid_rrf": (
+        "hybrid": (
             # BM25 leg (bool should over spark/index/merge, top-100 by
             # score then native doc id) + cosine leg (query = vec 0,
             # candidates vec_id >= 1, top-100) fused by 1/(60+rank)
@@ -1898,9 +1925,26 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM v1), "
             "f AS (SELECT doc_id, sum(c) AS rrf FROM u GROUP BY doc_id), "
             "rr AS (SELECT doc_id, rrf, row_number() OVER ("
-            "ORDER BY rrf DESC, doc_id ASC) AS rank FROM f) "
-            "SELECT doc_id, round(rrf, 6) AS rrf_score, rank FROM rr "
-            "WHERE rank <= 10"
+            "ORDER BY rrf DESC, doc_id ASC) AS rank FROM f), "
+            # op='rescore': top-50 of the same BM25 base, combined with
+            # 2.0 x a merge/batch secondary bool score, re-ranked in-window
+            "w50 AS (SELECT doc_id, score FROM (SELECT doc_id, score, "
+            "row_number() OVER (ORDER BY score DESC, doc_id ASC) AS br "
+            "FROM scored) wb WHERE br <= 50), "
+            "rsec AS (SELECT tf.doc_id, "
+            f"sum({bm25_contrib}) AS score "
+            "FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "CROSS JOIN stats s WHERE tf.term IN ('merge', 'batch') "
+            "GROUP BY tf.doc_id), "
+            "comb AS (SELECT w.doc_id, 1.0 * w.score + "
+            "2.0 * coalesce(r.score, 0.0) AS cs FROM w50 w "
+            "LEFT JOIN rsec r ON w.doc_id = r.doc_id), "
+            "rr2 AS (SELECT doc_id, cs, row_number() OVER ("
+            "ORDER BY cs DESC, doc_id ASC) AS rank FROM comb) "
+            "SELECT 'rrf' AS op, doc_id, round(rrf, 6) AS score, rank "
+            "FROM rr WHERE rank <= 10 "
+            "UNION ALL SELECT 'rescore', doc_id, round(cs, 4), rank "
+            "FROM rr2 WHERE rank <= 10"
         ),
         "stats_sketch": (
             "SELECT 'pctl' AS op, l_returnflag AS grp, "

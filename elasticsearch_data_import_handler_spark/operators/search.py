@@ -191,6 +191,40 @@ def date_histogram_search(spark, reader, interval_s: int = 60, must=None,
     )
 
 
+def rescore_topk(base_scored: DataFrame, rescore_scored: DataFrame,
+                 window_size: int = 50, query_weight: float = 1.0,
+                 rescore_weight: float = 1.0, k: int = 10,
+                 round_to: int | None = 4) -> DataFrame:
+    """ES **rescore**: re-rank only the top ``window_size`` hits of a cheap
+    base query with a more expensive secondary query — combined =
+    query_weight × base + rescore_weight × secondary (0 when the secondary
+    misses the doc), re-ranked inside the window, top ``k`` out.  The ES
+    pattern for "BM25 recall, proximity/semantic precision" without
+    running the expensive scorer over the whole candidate set.
+
+    Both inputs are (doc_id, score) frames — any gated scorer composes.
+    Plan: the window is a distributed TakeOrdered (``window_size`` rows);
+    the secondary join is window-keyed, so the expensive leg's cost is
+    bounded by the window no matter the corpus size."""
+    w50 = (base_scored.orderBy(F.desc("score"), F.asc("doc_id"))
+           .limit(window_size)
+           .select("doc_id", F.col("score").alias("__base")))
+    sec = rescore_scored.select("doc_id", F.col("score").alias("__sec"))
+    comb = (w50.join(sec, "doc_id", "left")
+            .select("doc_id",
+                    (F.lit(float(query_weight)) * F.col("__base")
+                     + F.lit(float(rescore_weight))
+                     * F.coalesce(F.col("__sec"), F.lit(0.0))).alias("score")))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (comb.withColumn("rank", F.row_number().over(w).cast("long"))
+           .filter(F.col("rank") <= k))
+    score = (F.round("score", round_to) if round_to is not None
+             else F.col("score"))
+    return out.select("doc_id", score.alias("score"), "rank")
+
+
 def facet_cardinality(spark, reader, meta: DataFrame, group_col: str,
                       distinct_col: str, k: int = 64, must=None,
                       should=None, must_not=None, min_should: int = 0,

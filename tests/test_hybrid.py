@@ -54,3 +54,30 @@ def test_hybrid_rrf_end_to_end(spark, sf_dir):
                for x, y in zip(ranked, ranked[1:]))
     # fused docs must come from at least one leg; scores bounded by 2/(k+1)
     assert all(0 < r["rrf_score"] <= 2 / 61 + 1e-9 for r in ranked)
+
+
+def test_rescore_topk_window_semantics(spark, sf_dir):
+    """Rescore re-ranks ONLY the window: every output doc comes from the
+    base top-window, combined = qw*base + rw*secondary (0 if missed),
+    verified against a driver-side brute force."""
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        rescore_topk)
+
+    base = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(60)], "doc_id long, score double")
+    # secondary boosts some docs inside and outside the window
+    sec = spark.createDataFrame(
+        [(5, 40.0), (49, 90.0), (55, 1000.0)], "doc_id long, score double")
+    got = [(r["doc_id"], r["score"], r["rank"]) for r in
+           rescore_topk(base, sec, window_size=50, query_weight=1.0,
+                        rescore_weight=2.0, k=10).collect()]
+    window = {i: 100.0 - i for i in range(50)}       # top-50 by base score
+    secd = {5: 40.0, 49: 90.0, 55: 1000.0}
+    comb = sorted(((1.0 * s + 2.0 * secd.get(d, 0.0), d)
+                   for d, s in window.items()),
+                  key=lambda t: (-t[0], t[1]))
+    want = [(d, round(c, 4), i + 1) for i, (c, d) in enumerate(comb[:10])]
+    assert got == want
+    # doc 55 (outside the window) must never appear despite its huge boost
+    assert all(d != 55 for d, _, _ in got)
+    assert got[0][0] == 49  # in-window doc with the big secondary boost wins
