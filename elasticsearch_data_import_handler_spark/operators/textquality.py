@@ -241,3 +241,53 @@ def contamination_check(documents: DataFrame, benchmark_texts: list[str],
             .groupBy("id")
             .agg(F.countDistinct("shingle").cast("long").alias("n_hits"))
             .select(F.col("id").alias("doc_id"), "n_hits"))
+
+
+DEFAULT_FILTER_THRESHOLDS: dict[str, float] = {
+    "min_tokens": 20,          # C4: drop very short pages
+    "min_quality": 0.5,        # heuristic quality floor
+    "max_repetition": 0.2,     # repeated-2-gram boilerplate ceiling
+    "min_mean_loglik": -9.0,   # gibberish / rare-token spam floor
+    "max_mean_loglik": -4.0,   # stopword-soup ceiling (band-pass)
+}
+
+
+def quality_filter(documents: DataFrame,
+                   thresholds: dict[str, float] | None = None,
+                   allowed_langs: tuple[str, ...] | None = None) -> DataFrame:
+    """The composite C4/RefinedWeb-style document filter: every per-doc
+    quality signal the engine computes — token count, heuristic quality,
+    repeated-2-gram ratio, CCNet unigram log-likelihood band, predicted
+    language — evaluated against thresholds in ONE pass, emitting
+    (doc_id, keep, reasons) where ``reasons`` is the sorted array of
+    every failed rule (pipelines keep drop-reason histograms, not just
+    the verdict).
+
+    Plan: text_metrics is a shuffle-free projection; repetition and
+    loglik each contribute their one/two aggregation shuffles exactly as
+    when run standalone (all three are separately driver-gated); the
+    combine is two doc-keyed joins, no new scan of the text."""
+    t = dict(DEFAULT_FILTER_THRESHOLDS, **(thresholds or {}))
+    tm = text_metrics(documents).select(
+        "doc_id", "n_tokens", "quality", "pred_lang")
+    rep = repetition_metrics(documents, n=2).select("doc_id", "repetition")
+    ll = unigram_loglik(documents).select("doc_id", "mean_loglik")
+    j = tm.join(rep, "doc_id", "left").join(ll, "doc_id", "left")
+    rules = [
+        ("short", F.col("n_tokens") < F.lit(int(t["min_tokens"]))),
+        ("low_quality", F.col("quality") < F.lit(float(t["min_quality"]))),
+        ("repetitive", F.coalesce(F.col("repetition"), F.lit(1.0))
+         > F.lit(float(t["max_repetition"]))),
+        ("gibberish", F.coalesce(F.col("mean_loglik"), F.lit(-1e9))
+         < F.lit(float(t["min_mean_loglik"]))),
+        ("stopword_soup", F.col("mean_loglik")
+         > F.lit(float(t["max_mean_loglik"]))),
+    ]
+    if allowed_langs is not None:
+        rules.append(("lang", ~F.col("pred_lang").isin(*allowed_langs)))
+    reasons = F.array_sort(F.array_compact(F.array(
+        *[F.when(cond, F.lit(name)) for name, cond in sorted(rules)])))
+    return j.select("doc_id", "n_tokens", "quality", "repetition",
+                    "mean_loglik", "pred_lang",
+                    (F.size(reasons) == 0).alias("keep"),
+                    reasons.alias("reasons"))

@@ -352,3 +352,44 @@ def test_cap_per_key_caps_and_is_unbiased_deterministic(spark, sf_dir):
     import pytest as _pt
     with _pt.raises(ValueError):
         cap_per_key(docs, "source", 0)
+
+
+def test_quality_filter_composite(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_data_import_handler_spark.operators.textquality import (
+        quality_filter, repetition_metrics, text_metrics, unigram_loglik)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # thresholds tuned to the fixture's ranges so every rule can fire
+    th = {"min_tokens": 20, "min_quality": 0.5, "max_repetition": 0.1,
+          "min_mean_loglik": -3.7, "max_mean_loglik": -3.4}
+    out = quality_filter(docs, thresholds=th,
+                         allowed_langs=("en", "und")).collect()
+    assert len(out) == docs.count()
+    # reasons must be exactly the rules each doc fails, recomputed from the
+    # separately-gated metric operators
+    tm = {r["doc_id"]: r for r in text_metrics(docs).collect()}
+    rep = {r["doc_id"]: r["repetition"]
+           for r in repetition_metrics(docs, n=2).collect()}
+    ll = {r["doc_id"]: r["mean_loglik"] for r in unigram_loglik(docs).collect()}
+    kept = 0
+    for r in out:
+        d = r["doc_id"]
+        want = set()
+        if tm[d]["n_tokens"] < 20:
+            want.add("short")
+        if tm[d]["quality"] < 0.5:
+            want.add("low_quality")
+        if rep.get(d, 1.0) > 0.1:
+            want.add("repetitive")
+        if ll.get(d, -1e9) < -3.7:
+            want.add("gibberish")
+        if ll.get(d) is not None and ll[d] > -3.4:
+            want.add("stopword_soup")
+        if tm[d]["pred_lang"] not in ("en", "und"):
+            want.add("lang")
+        assert set(r["reasons"]) == want, (d, r["reasons"], want)
+        assert r["keep"] == (not want)
+        kept += r["keep"]
+    assert 0 < kept < len(out)  # the chain must actually discriminate
