@@ -788,6 +788,92 @@ def build_incremental(spark: SparkSession, batches: list[DataFrame], index_dir: 
     return out
 
 
+def delete_by_query(spark: SparkSession, index_dir: str, must=None,
+                    should=None, must_not=None, min_should: int = 0) -> dict:
+    """ES ``_delete_by_query``: tombstone every ACTIVE document matching a
+    bool query — the LSM delete this index format is built around (build
+    docstring: "an upsert is append-new + tombstone-old, never in-place
+    posting edits").  No posting is rewritten; queries exclude the victims
+    immediately via the cogrouped tombstone path, :func:`compact_index`
+    reclaims the bytes later, exactly like ES's delete + forcemerge.
+
+    Commits as a regular batch so every invariant holds downstream:
+    tombstones land in ``doc_stats/batch=K/__t=t`` (one job, Observation
+    counts), exact per-term df decrements via the same salt-pruned
+    decode-explode as upsert tombstones, corpus-stats delta, a new lexicon
+    generation, lineage row, state flip last.  Crash-safe for the same
+    reason commits are: every artifact is overwrite-idempotent under the
+    batch id and readers are gated on committed state.
+
+    Cost: O(Σ df of the query terms) to find victims + O(victim-shards'
+    postings) for the df corrections — never a corpus scan."""
+    from pyspark.sql import Observation
+
+    from ..operators.textsearch import bool_query
+
+    t0 = time.time()
+    with BuildLock(index_dir):
+        st = read_state(index_dir)
+        if st is None or not st.committed_batches:
+            raise ValueError(f"no committed index at {index_dir}")
+        committed = list(st.committed_batches)
+        batch_id = st.last_indexed_batch + 1
+        reader = IndexReader(spark, index_dir)
+        victims = bool_query(spark, reader, must=must, should=should,
+                             must_not=must_not,
+                             min_should=min_should).select("doc_id")
+        ds = _read_doc_stats(spark, index_dir, committed) \
+            .select("doc_id", "doc_len")
+        tombs = victims.join(ds, "doc_id")
+
+        obs = Observation(f"delete_b{batch_id}")
+        (tombs.select("doc_id",
+                      F.lit(None).cast("string").alias("url"),
+                      F.lit(None).cast("timestamp").alias("warc_ts"),
+                      "doc_len", F.lit("t").alias("__t"))
+         .observe(obs,
+                  F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_tombs"),
+                  F.coalesce(F.sum("doc_len"), F.lit(0)).alias("tomb_dl"))
+         .write.mode("overwrite").partitionBy("__t")
+         .parquet(f"{index_dir}/doc_stats/batch={batch_id}"))
+        n_tombs = int(obs.get["n_tombs"])
+        tomb_dl = int(obs.get["tomb_dl"])
+        if n_tombs == 0:
+            import shutil
+
+            shutil.rmtree(f"{index_dir}/doc_stats/batch={batch_id}",
+                          ignore_errors=True)
+            return {"n_tombstones": 0, "batch_id": None,
+                    "wall_ms": int((time.time() - t0) * 1000)}
+
+        tombs_mat = spark.read.parquet(
+            f"{index_dir}/doc_stats/batch={batch_id}/__t=t") \
+            .select("doc_id", "doc_len")
+        corr = _df_corrections_df(spark, index_dir, committed, tombs_mat,
+                                  st.s_shards)
+        if corr is not None:
+            corr.write.mode("overwrite").parquet(
+                f"{index_dir}/df_corrections/batch={batch_id}")
+            corr = spark.read.parquet(
+                f"{index_dir}/df_corrections/batch={batch_id}")
+        _write_cstats_delta(index_dir, batch_id, -n_tombs, -tomb_dl)
+        _write_lexicon_gen(spark, index_dir, batch_id, committed, corr)
+
+        wall_ms = int((time.time() - t0) * 1000)
+        append_lineage(index_dir, [lineage_row(st.build_id, batch_id,
+                                               "delete", 0, 0, wall_ms, 1)])
+        committed_now = committed + [batch_id]
+        st.committed_batches = committed_now
+        st.last_indexed_batch = batch_id
+        write_state(index_dir, st)
+        _maybe_fold_cstats(index_dir, committed_now)
+        prev = _latest_lexicon_gen(index_dir, committed)
+        if prev is not None:
+            _cleanup_stale_gens(index_dir, prev)
+        return {"n_tombstones": n_tombs, "batch_id": batch_id,
+                "wall_ms": wall_ms}
+
+
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
     """Fold all segments + tombstones into a single new-generation segment
     (the Lucene merge analog).  Exact and fully distributed: decode-explode

@@ -1,0 +1,87 @@
+"""delete_by_query: tombstone-commit semantics — after a delete, every
+statistic (df, n_docs, avgdl) and every query result must equal an index
+built WITHOUT the victims, and compaction must physically reclaim them."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_data_import_handler_spark.operators.textsearch import bool_query
+from elasticsearch_data_import_handler_spark.operators.wand import bm25_topk_wand
+from elasticsearch_data_import_handler_spark.plans.build import (
+    IndexReader,
+    build_index,
+    compact_index,
+    delete_by_query,
+)
+from elasticsearch_data_import_handler_spark.plans.state import read_lineage, read_state
+from elasticsearch_data_import_handler_spark.sources.corpus import synth_pages
+
+
+@pytest.fixture(scope="module")
+def deleted_and_clean(spark, tmp_path_factory):
+    """One index deleted-by-query, one built from the surviving pages."""
+    del_dir = str(tmp_path_factory.mktemp("dbq"))
+    clean_dir = str(tmp_path_factory.mktemp("dbq_clean"))
+    pages = synth_pages(spark, 300, seed=42)
+    build_index(spark, pages, del_dir, tau=100, n_buckets=4)
+
+    reader = IndexReader(spark, del_dir)
+    victims = {r["doc_id"] for r in
+               bool_query(spark, reader, must=[["merge", "batch"]]).collect()}
+    assert victims
+    res = delete_by_query(spark, del_dir, must=[["merge", "batch"]])
+    assert res["n_tombstones"] == len(victims)
+
+    # the reference index: never contained the victims at all.  Keep the
+    # SAME shard/stats layout by building from the same pages minus victims
+    from elasticsearch_data_import_handler_spark.operators.dedup import (
+        dedup_latest)
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        docs_versioned)
+
+    keep_urls = (docs_versioned(dedup_latest(pages))
+                 .filter(~F.col("doc_id").isin(list(victims)))
+                 .select("url"))
+    build_index(spark, pages.join(keep_urls, "url"), clean_dir,
+                tau=100, n_buckets=4)
+    yield del_dir, clean_dir, victims
+    shutil.rmtree(del_dir, ignore_errors=True)
+    shutil.rmtree(clean_dir, ignore_errors=True)
+
+
+def _topk(spark, d):
+    return {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 6))
+            for r in bm25_topk_wand(spark, IndexReader(spark, d)).collect()}
+
+
+def test_delete_matches_clean_rebuild(spark, deleted_and_clean):
+    del_dir, clean_dir, victims = deleted_and_clean
+    got = _topk(spark, del_dir)
+    want = _topk(spark, clean_dir)
+    assert got == want  # ranks AND scores: df/n_docs/avgdl all corrected
+    assert not any(doc in victims for doc, _ in got.values())
+
+
+def test_delete_updates_stats_and_lineage(spark, deleted_and_clean):
+    del_dir, clean_dir, _ = deleted_and_clean
+    a = IndexReader(spark, del_dir).corpus_stats().first()
+    b = IndexReader(spark, clean_dir).corpus_stats().first()
+    assert (a["n_docs"], a["sum_dl"]) == (b["n_docs"], b["sum_dl"])
+    st = read_state(del_dir)
+    assert len(st.committed_batches) == 2  # build + delete batch
+    assert "delete" in set(read_lineage(del_dir)["status"])
+    # idempotent re-delete: nothing left to match, no new batch
+    res = delete_by_query(spark, del_dir, must=[["merge", "batch"]])
+    assert res["n_tombstones"] == 0 and res["batch_id"] is None
+    assert len(read_state(del_dir).committed_batches) == 2
+
+
+def test_compaction_reclaims_deleted(spark, deleted_and_clean):
+    del_dir, clean_dir, victims = deleted_and_clean
+    compact_index(spark, del_dir)
+    reader = IndexReader(spark, del_dir)
+    assert reader.tombstones_df() is None  # physically gone
+    got = _topk(spark, del_dir)
+    assert got == _topk(spark, clean_dir)
