@@ -562,6 +562,11 @@ def q_search_facets(spark, sf_dir):
     from elasticsearch_data_import_handler_spark.operators.search import (
         date_histogram_search)
 
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        top_hits_facets)
+
+    nulll = F.lit(None).cast("long")
+    nulld = F.lit(None).cast("double")
     terms = facet_search(spark, reader, meta, ["lang", "source"],
                          must=["spark"], should=["merge", "batch"],
                          min_should=0, top_n=8)
@@ -570,7 +575,19 @@ def q_search_facets(spark, sf_dir):
     dh = date_histogram_search(spark, reader, interval_s=60,
                                must=["spark"], should=["merge", "batch"],
                                min_should=0)
-    return terms.unionByName(dh)
+    counts = terms.unionByName(dh).select(
+        "facet", "value", "doc_count", "sum_score",
+        nulll.alias("doc_id"), nulld.alias("score"), nulll.alias("rank"))
+    # top_hits sub-agg: best 3 docs per lang bucket, native-id tie order
+    nm = _native_map(reader)
+    th = top_hits_facets(
+        spark, reader, _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang"), "lang", hits_per_bucket=3,
+        must=["spark"], should=["merge", "batch"], min_should=0,
+        id_map=nm).select(
+        "facet", "value", nulll.alias("doc_count"),
+        nulld.alias("sum_score"), "doc_id", "score", "rank")
+    return counts.unionByName(th)
 
 
 def q_more_like_this(spark, sf_dir):
@@ -1638,15 +1655,22 @@ def oracle_sql() -> dict[str, str]:
             "rr AS (SELECT facet, value, doc_count, sum_score, row_number() "
             "OVER (PARTITION BY facet ORDER BY doc_count DESC, value ASC) "
             "AS r FROM fa) "
-            "SELECT facet, value, doc_count, sum_score FROM rr WHERE r <= 8 "
+            "SELECT facet, value, doc_count, sum_score, NULL::BIGINT AS doc_id, "
+            "NULL::DOUBLE AS score, NULL::BIGINT AS rank "
+            "FROM rr WHERE r <= 8 "
             # date_histogram branch: warc_ts = 2026-01-01 UTC + doc_id s
             # (same reconstruction as function_score), 60 s fixed_interval,
             # bucket key = epoch-millis bucket start, no top-n (ES returns
             # every non-empty bucket)
-            "UNION ALL SELECT 'dh:60s' AS facet, "
-            "(((1767225600 + doc_id) // 60) * 60000)::VARCHAR AS value, "
-            "count(*)::BIGINT AS doc_count, round(sum(score), 2) "
-            "AS sum_score FROM m GROUP BY 2"
+            "UNION ALL SELECT 'dh:60s', "
+            "(((1767225600 + doc_id) // 60) * 60000)::VARCHAR, "
+            "count(*)::BIGINT, round(sum(score), 2), NULL::BIGINT, "
+            "NULL::DOUBLE, NULL::BIGINT FROM m GROUP BY 2 "
+            # top_hits sub-agg: best 3 matching docs per lang bucket
+            "UNION ALL SELECT 'th:lang', lang, NULL::BIGINT, NULL::DOUBLE, "
+            "doc_id, score, rnk FROM (SELECT lang, doc_id, score, "
+            "row_number() OVER (PARTITION BY lang ORDER BY score DESC, "
+            "doc_id ASC) AS rnk FROM m) t WHERE rnk <= 3"
         ),
         "more_like_this": (
             f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "

@@ -292,6 +292,43 @@ def multi_match(spark, readers: dict, terms, boosts: dict | None = None,
     return out
 
 
+def top_hits_facets(spark, reader, meta: DataFrame, facet_col: str,
+                    hits_per_bucket: int = 3, must=None, should=None,
+                    must_not=None, min_should: int = 0,
+                    id_col: str = "doc_id",
+                    id_map: DataFrame | None = None) -> DataFrame:
+    """ES terms agg + **top_hits sub-agg**: the ``hits_per_bucket``
+    best-scoring matching documents per ``facet_col`` bucket — (facet,
+    value, doc_id, score, rank).  The "show me the top examples in each
+    bucket" response shape next to :func:`facet_search`'s counts.
+
+    Scale shape: candidates O(Σ df of the query terms); the per-bucket
+    window ranks only the candidate rows, partitioned by bucket (never a
+    global sort); ``score`` is pre-rounded 4dp so ranking ties are
+    engine-stable.  ``id_map`` (optional, columns (doc_id, __nid)) remaps
+    index doc ids to the caller's identity before ranking."""
+    from pyspark.sql import Window
+
+    from .textsearch import bool_query
+
+    scored = bool_query(spark, reader, must=must, should=should,
+                        must_not=must_not, min_should=min_should,
+                        round_to=4).select("doc_id", "score")
+    if id_map is not None:
+        # remap to the caller's doc identity BEFORE ranking so rank ties
+        # break on the ids the consumer (and any oracle) actually sees
+        scored = (scored.join(id_map, "doc_id")
+                  .select(F.col("__nid").alias("doc_id"), "score"))
+    j = scored.join(meta.withColumnRenamed(id_col, "doc_id"), "doc_id")
+    w = (Window.partitionBy(facet_col)
+         .orderBy(F.desc("score"), F.asc("doc_id")))
+    return (j.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= hits_per_bucket)
+            .select(F.lit(f"th:{facet_col}").alias("facet"),
+                    F.col(facet_col).cast("string").alias("value"),
+                    "doc_id", "score", "rank"))
+
+
 def more_like_this(spark, reader, seed_text: str, seed_doc_id: int | None = None,
                    k: int = 10, max_query_terms: int = 25,
                    min_term_freq: int = 1, min_doc_freq: int = 2,

@@ -50,3 +50,30 @@ def test_date_histogram_matches_bruteforce(spark, dh_index):
     want = {k: (n, round(s, 2), "dh:60s") for k, (n, s) in buckets.items()}
     assert got == want
     assert len(got) >= 2  # the fixture really spans multiple buckets
+
+
+def test_top_hits_facets_per_bucket(spark, dh_index):
+    """Each bucket's hits are its own best-scoring matches, ranked 1..k."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        top_hits_facets)
+
+    reader = IndexReader(spark, dh_index)
+    meta = reader.doc_stats().select(
+        "doc_id", F.pmod(F.xxhash64("url"), F.lit(3)).cast("string").alias("b"))
+    got = {}
+    for r in top_hits_facets(spark, reader, meta, "b", hits_per_bucket=2,
+                             must=["spark"], should=["merge"]).collect():
+        got.setdefault(r["value"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+        assert r["facet"] == "th:b"
+    scored = bool_query(spark, reader, must=["spark"], should=["merge"],
+                        round_to=4).join(meta, "doc_id")
+    want = {}
+    for r in scored.collect():
+        want.setdefault(r["b"], []).append((r["doc_id"], r["score"]))
+    assert set(got) == set(want) and len(got) == 3
+    for b, hits in got.items():
+        best = sorted(want[b], key=lambda t: (-t[1], t[0]))[:2]
+        assert sorted(hits) == [(i + 1, d, s) for i, (d, s) in enumerate(best)]
