@@ -110,7 +110,8 @@ def _cal_membw(_):
     return int(c[-1] & 1)
 
 
-def _bench_index_and_query(cpus: int, corpus_path: str) -> dict:
+def _bench_index_and_query(cpus: int, corpus_path: str,
+                           measure_half: bool = False) -> dict:
     """Build the full index and run the query set; returns wall times."""
     from elasticsearch_data_import_handler_spark.operators.wand import bm25_topk_wand
     from elasticsearch_data_import_handler_spark.plans.build import IndexReader, build_index
@@ -141,6 +142,30 @@ def _bench_index_and_query(cpus: int, corpus_path: str) -> dict:
             build_secs.append(time.time() - t0)
             n_docs = metrics["n_docs"]
         build_sec = min(build_secs)
+        half = {}
+        if measure_half:
+            # Data-scaling evidence that tenancy can't fake: half vs full
+            # corpus at the SAME core count, measured back-to-back in the
+            # same window — the ratio cancels whatever the neighbors are
+            # doing.  Half = deterministic url-hash split (a filter keeps
+            # the scan fully parallel; limit() would funnel partitions).
+            from pyspark.sql import functions as F
+
+            hpages = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+            hdir = tempfile.mkdtemp(prefix=f"eidh_half_{cpus}_")
+            t0 = time.time()
+            hmetrics = build_index(spark, hpages, hdir, tau=50_000,
+                                   n_buckets=16)
+            t_half = time.time() - t0
+            shutil.rmtree(hdir, ignore_errors=True)
+            n_half = hmetrics["n_docs"]
+            half = {
+                "build_half_sec": round(t_half, 2),
+                "n_docs_half": n_half,
+                # ≈1.0 when time is linear in data; <1 ⇒ fixed per-commit
+                # overhead amortizing out, >1 ⇒ superlinear (spill/skew)
+                "data_scaling_ratio": round(build_sec / (2 * t_half), 3),
+            }
         reader = IndexReader(spark, idx)
         # throughput batch: QUERY_COPIES offset replicas of the 15-query set
         # (distinct query_ids) so per-job overhead amortizes and the scorer
@@ -167,6 +192,7 @@ def _bench_index_and_query(cpus: int, corpus_path: str) -> dict:
             "query_batch_p50_sec": best_batch,
             "query_qps": n_queries / best_batch,
             "query_p50_latency_ms": best_batch / n_queries * 1000,
+            **half,
         }
     finally:
         if idx:
@@ -240,7 +266,8 @@ def _measure_scaling_pair(corpus_path: str) -> tuple[dict, list[dict]]:
             waits += 1
         t_pair = time.time()
         lo = _bench_index_and_query(SCALE_LOW, corpus_path)
-        hi = _bench_index_and_query(SCALE_HIGH, corpus_path)
+        hi = _bench_index_and_query(SCALE_HIGH, corpus_path,
+                                    measure_half=True)
         att = {
             "lo": lo, "hi": hi, "cal": cal,
             "pair_sec": time.time() - t_pair,
@@ -308,6 +335,15 @@ def main():
             f"build_secs_c{SCALE_LOW}": lo["build_secs_all"],
             f"build_secs_c{SCALE_HIGH}": hi["build_secs_all"],
             "cores": [SCALE_LOW, SCALE_HIGH],
+            # tenancy-robust scaling evidence: half-vs-full corpus at c8 in
+            # the same window — neighbors cancel out of the ratio
+            f"build_half_sec_c{SCALE_HIGH}": hi.get("build_half_sec"),
+            f"data_scaling_ratio_c{SCALE_HIGH}": hi.get("data_scaling_ratio"),
+            f"marginal_docs_per_sec_c{SCALE_HIGH}": round(
+                (hi["n_docs"] - hi["n_docs_half"])
+                / (hi["build_sec"] - hi["build_half_sec"]), 1)
+            if hi.get("build_half_sec")
+            and hi["build_sec"] > hi["build_half_sec"] else None,
             "total_wall_sec_incl_waits": round(total_wall, 1),
             "pair_attempts": [
                 {"eff_build": round(a["eff_build"], 3),
