@@ -496,22 +496,29 @@ def q_query_string_tagged(spark, sf_dir):
     term_expansion row verbatim: fuzzy/prefix/wildcard vocab resolution)
     in one tagged row — expansion is the rewrite stage query_string runs
     internally, so the two verify the same family."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        corpus_vocab,
+        expand_terms,
+        suggest_terms,
+    )
+
     nulll = F.lit(None).cast("long")
     nulls = F.lit(None).cast("string")
     qs = q_query_string(spark, sf_dir).select(
         F.lit("search").alias("op"), "doc_id", "score", "rank",
         nulls.alias("method"), nulls.alias("term"), nulll.alias("df"))
-    ex = q_term_expansion(spark, sf_dir).select(
+    # one vocabulary aggregation feeds both the expansion and the suggester
+    # branch (mirrors the oracle's single shared v CTE)
+    docs = _read(spark, sf_dir, "documents")
+    vocab = corpus_vocab(docs)
+    ex = expand_terms(docs, fuzzy="sort", max_dist=2, prefix="sor",
+                      wildcard="s?rt*", vocab=vocab).select(
         F.lit("expand").alias("op"), nulll.alias("doc_id"),
         F.lit(None).cast("double").alias("score"), nulll.alias("rank"),
-        "method", "term", "df")
+        "method", "term", F.col("df").cast("long").alias("df"))
     # op='suggest': the ES term suggester for the typo 'dat' — candidates
     # within 2 edits ranked (dist ASC, df DESC, term ASC), top 5
-    from elasticsearch_data_import_handler_spark.operators.textsearch import (
-        suggest_terms)
-
-    sg = suggest_terms(_read(spark, sf_dir, "documents"), "dat",
-                       max_dist=2, size=5).select(
+    sg = suggest_terms(docs, "dat", max_dist=2, size=5, vocab=vocab).select(
         F.lit("suggest").alias("op"), nulll.alias("doc_id"),
         F.lit(None).cast("double").alias("score"), "rank",
         nulls.alias("method"), "term", "df")
@@ -565,16 +572,18 @@ def q_search_facets(spark, sf_dir):
     from elasticsearch_data_import_handler_spark.operators.search import (
         top_hits_facets)
 
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        bool_query)
+
     nulll = F.lit(None).cast("long")
     nulld = F.lit(None).cast("double")
+    # ONE bool-query pass feeds all three aggregation kinds — exactly how
+    # an ES request with a query + an aggs dict runs the query once
+    scored = bool_query(spark, reader, must=["spark"],
+                        should=["merge", "batch"], min_should=0, round_to=4)
     terms = facet_search(spark, reader, meta, ["lang", "source"],
-                         must=["spark"], should=["merge", "batch"],
-                         min_should=0, top_n=8)
-    # same query, date_histogram agg on the index-stored warc_ts — ES
-    # responses carry both agg kinds in one 'aggs' dict, one frame here
-    dh = date_histogram_search(spark, reader, interval_s=60,
-                               must=["spark"], should=["merge", "batch"],
-                               min_should=0)
+                         top_n=8, scored=scored)
+    dh = date_histogram_search(spark, reader, interval_s=60, scored=scored)
     counts = terms.unionByName(dh).select(
         "facet", "value", "doc_count", "sum_score",
         nulll.alias("doc_id"), nulld.alias("score"), nulll.alias("rank"))
@@ -583,8 +592,7 @@ def q_search_facets(spark, sf_dir):
     th = top_hits_facets(
         spark, reader, _read(spark, sf_dir, "documents").select(
             "doc_id", "lang"), "lang", hits_per_bucket=3,
-        must=["spark"], should=["merge", "batch"], min_should=0,
-        id_map=nm).select(
+        id_map=nm, scored=scored).select(
         "facet", "value", nulll.alias("doc_count"),
         nulld.alias("sum_score"), "doc_id", "score", "rank")
     return counts.unionByName(th)

@@ -108,7 +108,8 @@ def _resolve_expansions(reader, clauses: list[tuple],
 
 def facet_search(spark, reader, meta: DataFrame, facet_cols: list[str],
                  must=None, should=None, must_not=None, min_should: int = 0,
-                 top_n: int = 10, id_col: str = "doc_id") -> DataFrame:
+                 top_n: int = 10, id_col: str = "doc_id",
+                 scored: DataFrame | None = None) -> DataFrame:
     """ES search-with-aggregations analog: run a bool query against the
     index, then bucket the MATCHING documents by each requested metadata
     field — (facet, value, doc_count, sum_score) for the ``top_n`` buckets
@@ -131,9 +132,10 @@ def facet_search(spark, reader, meta: DataFrame, facet_cols: list[str],
 
     if not facet_cols:
         raise ValueError("facet_search needs at least one facet column")
-    scored = bool_query(spark, reader, must=must, should=should,
-                        must_not=must_not, min_should=min_should,
-                        round_to=4)
+    if scored is None:
+        scored = bool_query(spark, reader, must=must, should=should,
+                            must_not=must_not, min_should=min_should,
+                            round_to=4)
     j = scored.join(meta.withColumnRenamed(id_col, "doc_id"), "doc_id")
     pairs = F.array(*[
         F.struct(F.lit(c).alias("facet"),
@@ -153,8 +155,8 @@ def facet_search(spark, reader, meta: DataFrame, facet_cols: list[str],
 
 
 def date_histogram_search(spark, reader, interval_s: int = 60, must=None,
-                          should=None, must_not=None,
-                          min_should: int = 0) -> DataFrame:
+                          should=None, must_not=None, min_should: int = 0,
+                          scored: DataFrame | None = None) -> DataFrame:
     """ES ``date_histogram`` aggregation (``fixed_interval`` form) over the
     documents matching a bool query: one row per ``interval_s``-second
     bucket of the index-stored ``warc_ts`` (doc-values role — scoring and
@@ -172,9 +174,10 @@ def date_histogram_search(spark, reader, interval_s: int = 60, must=None,
     is doc-keyed; the final groupBy has one row per bucket."""
     from .textsearch import bool_query
 
-    scored = bool_query(spark, reader, must=must, should=should,
-                        must_not=must_not, min_should=min_should,
-                        round_to=4)
+    if scored is None:
+        scored = bool_query(spark, reader, must=must, should=should,
+                            must_not=must_not, min_should=min_should,
+                            round_to=4)
     ds = reader.doc_stats().select(
         "doc_id", F.col("warc_ts").cast("long").alias("__ts"))
     key = (F.floor(F.col("__ts") / interval_s)
@@ -296,7 +299,8 @@ def top_hits_facets(spark, reader, meta: DataFrame, facet_col: str,
                     hits_per_bucket: int = 3, must=None, should=None,
                     must_not=None, min_should: int = 0,
                     id_col: str = "doc_id",
-                    id_map: DataFrame | None = None) -> DataFrame:
+                    id_map: DataFrame | None = None,
+                    scored: DataFrame | None = None) -> DataFrame:
     """ES terms agg + **top_hits sub-agg**: the ``hits_per_bucket``
     best-scoring matching documents per ``facet_col`` bucket — (facet,
     value, doc_id, score, rank).  The "show me the top examples in each
@@ -311,9 +315,11 @@ def top_hits_facets(spark, reader, meta: DataFrame, facet_col: str,
 
     from .textsearch import bool_query
 
-    scored = bool_query(spark, reader, must=must, should=should,
-                        must_not=must_not, min_should=min_should,
-                        round_to=4).select("doc_id", "score")
+    if scored is None:
+        scored = bool_query(spark, reader, must=must, should=should,
+                            must_not=must_not, min_should=min_should,
+                            round_to=4)
+    scored = scored.select("doc_id", "score")
     if id_map is not None:
         # remap to the caller's doc identity BEFORE ranking so rank ties
         # break on the ids the consumer (and any oracle) actually sees

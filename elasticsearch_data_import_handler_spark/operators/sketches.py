@@ -41,8 +41,14 @@ TWO_POW_60 = float(1 << 60)
 def kmv_hashes(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """(grp, h) pairs: 60-bit md5 fraction of the value, group cast to
     string.  Distinct values ↔ distinct hashes (collision odds at 60 bits
-    are negligible below ~2^30 distinct; at 10^12 widen to two words)."""
-    return df.select(
+    are negligible below ~2^30 distinct; at 10^12 widen to two words).
+
+    NULL semantics, pinned on BOTH engines: rows with a NULL group or a
+    NULL value are excluded — COUNT(DISTINCT) ignores NULLs, and a NULL
+    group has no well-defined sketch key (the oracle replay filters
+    identically)."""
+    return df.filter(F.col(group_col).isNotNull()
+                     & F.col(value_col).isNotNull()).select(
         F.col(group_col).cast("string").alias("grp"),
         F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15),
                16, 10).cast("long").alias("h"),
@@ -99,7 +105,8 @@ def kmv_oracle_sql(table_expr: str, group_sql: str, value_sql: str,
     return (
         f"WITH kh AS (SELECT DISTINCT ({group_sql})::VARCHAR AS grp, "
         f"('0x'||substr(md5(({value_sql})::VARCHAR), 1, 15))::BIGINT AS h "
-        f"FROM {table_expr}), "
+        f"FROM {table_expr} WHERE ({group_sql}) IS NOT NULL "
+        f"AND ({value_sql}) IS NOT NULL), "
         "kr AS (SELECT grp, h, row_number() OVER (PARTITION BY grp "
         "ORDER BY h) AS r, count(*) OVER (PARTITION BY grp) AS c FROM kh) "
         f"SELECT grp, CASE WHEN max(c) >= {k} THEN "

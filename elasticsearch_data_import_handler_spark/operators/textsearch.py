@@ -34,16 +34,28 @@ def phrase_match(documents: DataFrame, phrase: str,
                     F.col("n_occurrences").cast("long").alias("n_occurrences")))
 
 
+def corpus_vocab(documents: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(term, df): the corpus vocabulary with document frequencies — ONE
+    explode + groupBy(term) shared by every multi-term operator below
+    (fuzzy, SymSpell, expansion, suggester).  Callers composing several of
+    them in one query pass the same frame in so the vocabulary aggregation
+    runs once."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    return (documents.select(F.col(id_col).alias("id"),
+                             F.explode(toks).alias("term"))
+            .groupBy("term").agg(F.countDistinct("id").alias("df")))
+
+
 def fuzzy_terms(documents: DataFrame, query_term: str, max_dist: int = 1,
-                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                id_col: str = "doc_id", text_col: str = "text",
+                vocab: DataFrame | None = None) -> DataFrame:
     """(term, df, dist): vocabulary terms within ``max_dist`` Levenshtein
     edits of the query term — ES fuzzy-query expansion.  The distance filter
     runs over the *vocabulary* (metadata-scale), never per posting; at
     10^9-term scale pre-bucket by SymSpell deletion neighborhoods."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-    vocab = (documents.select(F.col(id_col).alias("id"),
-                              F.explode(toks).alias("term"))
-             .groupBy("term").agg(F.countDistinct("id").alias("df")))
+    vocab = vocab if vocab is not None else corpus_vocab(documents, id_col,
+                                                         text_col)
     return (vocab.withColumn("dist", F.levenshtein("term",
                                                    F.lit(query_term.lower())))
             .filter(F.col("dist") <= max_dist)
@@ -80,7 +92,8 @@ def _py_deletion_variants(term: str, max_dist: int) -> set[str]:
 
 
 def symspell_terms(documents: DataFrame, query_term: str, max_dist: int = 1,
-                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                   id_col: str = "doc_id", text_col: str = "text",
+                   vocab: DataFrame | None = None) -> DataFrame:
     """(term, df, dist): the same result as ``fuzzy_terms`` via SymSpell
     deletion neighborhoods — candidate terms are those sharing a ≤max_dist
     deletion variant with the query (an equi-match on precomputed keys),
@@ -96,10 +109,8 @@ def symspell_terms(documents: DataFrame, query_term: str, max_dist: int = 1,
         raise ValueError("symspell_terms supports max_dist ≤ 2")
     q = query_term.lower()
     qvars = sorted(_py_deletion_variants(q, max_dist))
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-    vocab = (documents.select(F.col(id_col).alias("id"),
-                              F.explode(toks).alias("term"))
-             .groupBy("term").agg(F.countDistinct("id").alias("df")))
+    vocab = vocab if vocab is not None else corpus_vocab(documents, id_col,
+                                                         text_col)
     cand = (vocab
             .withColumn("__v", _deletion_variants_expr("term", max_dist))
             .filter(F.arrays_overlap(
@@ -113,7 +124,8 @@ def symspell_terms(documents: DataFrame, query_term: str, max_dist: int = 1,
 def expand_terms(documents: DataFrame, fuzzy: str | None = None,
                  max_dist: int = 1, prefix: str | None = None,
                  wildcard: str | None = None, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 vocab: DataFrame | None = None) -> DataFrame:
     """(method, term, df): ES multi-term query expansion — fuzzy (Levenshtein
     ≤ max_dist), prefix, and wildcard (``*``/``?``, ES syntax) resolved
     against the corpus VOCABULARY in one pass: a single groupBy(term) shuffle
@@ -128,10 +140,8 @@ def expand_terms(documents: DataFrame, fuzzy: str | None = None,
     if fuzzy is None and prefix is None and wildcard is None:
         raise ValueError("expand_terms needs at least one of fuzzy / prefix "
                          "/ wildcard")
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-    vocab = (documents.select(F.col(id_col).alias("id"),
-                              F.explode(toks).alias("term"))
-             .groupBy("term").agg(F.countDistinct("id").alias("df")))
+    vocab = vocab if vocab is not None else corpus_vocab(documents, id_col,
+                                                         text_col)
     flags = []
     if fuzzy is not None:
         flags.append(F.when(
@@ -154,8 +164,8 @@ def expand_terms(documents: DataFrame, fuzzy: str | None = None,
 
 def suggest_terms(documents: DataFrame, query_term: str, max_dist: int = 2,
                   size: int = 5, suggest_mode: str = "always",
-                  id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  vocab: DataFrame | None = None) -> DataFrame:
     """(term, df, dist, rank): the ES **term suggester** ("did you mean") —
     vocabulary terms within ``max_dist`` Levenshtein edits of the (possibly
     misspelled) input, the input itself excluded, ranked the ES way:
@@ -171,10 +181,8 @@ def suggest_terms(documents: DataFrame, query_term: str, max_dist: int = 2,
     if suggest_mode not in ("always", "missing"):
         raise ValueError(f"unknown suggest_mode: {suggest_mode}")
     q = query_term.lower()
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-    vocab = (documents.select(F.col(id_col).alias("id"),
-                              F.explode(toks).alias("term"))
-             .groupBy("term").agg(F.countDistinct("id").alias("df")))
+    vocab = vocab if vocab is not None else corpus_vocab(documents, id_col,
+                                                         text_col)
     if suggest_mode == "missing":
         # one tiny cross-joined gate frame, no driver round-trip
         present = (vocab.filter(F.col("term") == q)
