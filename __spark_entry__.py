@@ -810,7 +810,21 @@ def q_stats_sketch(spark, sf_dir):
         F.lit("kmv_ev").alias("op"), "grp", nulld.alias("p50"),
         nulld.alias("p90"), nulld.alias("price_p99"),
         "est_distinct", "exact_mode")
-    return pctl.unionByName(kmv_li).unionByName(kmv_ev)
+    # op='pctl_sketch': the same three percentiles estimated on a 20%
+    # deterministic row sample (md5 of the (orderkey, linenumber) row
+    # identity) — the scale path when exact per-group percentile is too
+    # heavy; the oracle replays the identical sample
+    from elasticsearch_data_import_handler_spark.operators.sketches import (
+        sampled_quantiles)
+
+    psk = sampled_quantiles(
+        li, "l_returnflag",
+        {"p50": ("l_quantity", 0.5), "p90": ("l_quantity", 0.9),
+         "price_p99": ("l_extendedprice", 0.99)},
+        key_cols=["l_orderkey", "l_linenumber"], rate_bps=2000).select(
+        F.lit("pctl_sketch").alias("op"), "grp", "p50", "p90", "price_p99",
+        nulld.alias("est_distinct"), F.lit(None).cast("int").alias("exact_mode"))
+    return pctl.unionByName(kmv_li).unionByName(kmv_ev).unionByName(psk)
 
 
 def q_semi_anti_join(spark, sf_dir):
@@ -1992,7 +2006,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'kmv_ev', grp, NULL::DOUBLE, NULL::DOUBLE, "
             "NULL::DOUBLE, est_distinct, exact_mode FROM ("
             + SK.kmv_oracle_sql("events", "event_type", "user_id", k=256)
-            + ") kev"
+            + ") kev "
+            "UNION ALL SELECT 'pctl_sketch', l_returnflag, "
+            "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4), "
+            "round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4), "
+            "round(percentile_cont(0.99) WITHIN GROUP "
+            "(ORDER BY l_extendedprice), 4), NULL::DOUBLE, NULL::INT "
+            "FROM lineitem WHERE (('0x'||substr(md5("
+            "l_orderkey::VARCHAR||'|'||l_linenumber::VARCHAR), 1, 8))::BIGINT "
+            "% 10000) < 2000 GROUP BY l_returnflag"
         ),
         "json_scalar": (
             "SELECT 'scalar' AS op, event_id, "

@@ -115,3 +115,27 @@ def kmv_oracle_sql(table_expr: str, group_sql: str, value_sql: str,
         "ELSE max(c)::DOUBLE END AS est_distinct, "
         f"(max(c) < {k})::INT AS exact_mode FROM kr GROUP BY grp"
     )
+
+
+def sampled_quantiles(df: DataFrame, group_col: str, value_exprs: dict,
+                      key_cols: list[str], rate_bps: int = 1000) -> DataFrame:
+    """Quantiles on a deterministic row sample — the scale path for
+    percentiles when the exact per-group ``percentile`` (which buffers the
+    group's values) is too heavy: keep rate_bps/10⁴ of the rows selected by
+    an md5 ROW-identity hash (the same rows in any engine — same replay
+    policy as stratified sampling, trainprep.py), then run the exact
+    interpolated percentile on the sample.  Sampling keys on row identity
+    (``key_cols``), never the value, so duplicate values can't bias
+    inclusion.  Per-quantile error ~ O(1/√(n·rate)).
+
+    ``value_exprs``: output column → (source column, prob), e.g.
+    {"p50": ("qty", 0.5)}.  Returns (grp, *value_exprs, n_sample)."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    bucket = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+              % 10_000)
+    sampled = df.filter(bucket < F.lit(int(rate_bps)))
+    aggs = [
+        F.round(F.expr(f"percentile({src}, {prob!r})"), 4).alias(name)
+        for name, (src, prob) in value_exprs.items()]
+    aggs.append(F.count(F.lit(1)).cast("long").alias("n_sample"))
+    return (sampled.groupBy(F.col(group_col).alias("grp")).agg(*aggs))

@@ -85,3 +85,45 @@ def test_compaction_reclaims_deleted(spark, deleted_and_clean):
     assert reader.tombstones_df() is None  # physically gone
     got = _topk(spark, del_dir)
     assert got == _topk(spark, clean_dir)
+
+
+def test_delete_crash_before_state_flip_is_invisible_then_retryable(
+        spark, tmp_path_factory):
+    """Kill the delete after the tombstone write but before the state flip:
+    readers (gated on committed state) must see NOTHING changed; the retry
+    reuses the same batch id and lands the delete exactly once."""
+    import elasticsearch_data_import_handler_spark.plans.build as B
+
+    d = str(tmp_path_factory.mktemp("dbq_crash"))
+    build_index(spark, synth_pages(spark, 200, seed=42), d, tau=100,
+                n_buckets=4)
+    before = _topk(spark, d)
+    n_victims = bool_query(spark, IndexReader(spark, d),
+                           must=["merge"]).count()
+    assert n_victims > 0
+
+    real = B._df_corrections_df
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    B._df_corrections_df = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            delete_by_query(spark, d, must=["merge"])
+    finally:
+        B._df_corrections_df = real
+
+    # uncommitted tombstones are invisible: same state, same results
+    st = read_state(d)
+    assert st.committed_batches == [0]
+    assert _topk(spark, d) == before
+    assert IndexReader(spark, d).tombstones_df() is None
+
+    # retry: same batch id, overwrite-idempotent artifacts, lands once
+    res = delete_by_query(spark, d, must=["merge"])
+    assert res["n_tombstones"] == n_victims and res["batch_id"] == 1
+    assert read_state(d).committed_batches == [0, 1]
+    got = _topk(spark, d)
+    assert got != before
+    shutil.rmtree(d, ignore_errors=True)

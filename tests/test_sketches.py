@@ -97,3 +97,32 @@ def test_facet_cardinality_composition(spark, tmp_path_factory):
     for grp, (est, exact) in got.items():
         assert exact == 1 and est == float(truth[grp])
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sampled_quantiles_accuracy_and_determinism(spark, sf_dir):
+    from elasticsearch_data_import_handler_spark.operators.sketches import (
+        sampled_quantiles)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exprs = {"p50": ("l_quantity", 0.5), "p90": ("l_quantity", 0.9)}
+    est = {r.grp: (r.p50, r.p90, r.n_sample) for r in
+           sampled_quantiles(li, "l_returnflag", exprs,
+                             key_cols=["l_orderkey", "l_linenumber"],
+                             rate_bps=3000).collect()}
+    exact = {r.grp: (r.p50, r.p90) for r in
+             li.groupBy(F.col("l_returnflag").alias("grp"))
+             .agg(F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+                  F.expr("percentile(l_quantity, 0.9)").alias("p90"))
+             .collect()}
+    assert set(est) == set(exact)
+    for g, (p50, p90, n) in est.items():
+        assert 0 < n < li.filter(F.col("l_returnflag") == g).count()
+        # quantity is 1..50 uniform-ish; a 30% sample lands within a few
+        assert abs(p50 - exact[g][0]) <= 3
+        assert abs(p90 - exact[g][1]) <= 3
+    # deterministic: the identical sample on every run
+    again = {r.grp: (r.p50, r.p90, r.n_sample) for r in
+             sampled_quantiles(li, "l_returnflag", exprs,
+                               key_cols=["l_orderkey", "l_linenumber"],
+                               rate_bps=3000).collect()}
+    assert est == again
