@@ -1035,6 +1035,49 @@ class IndexReader:
         return _read_tombstones(self.spark, self.index_dir,
                                 self.state.committed_batches)
 
+    def stats(self) -> dict:
+        """The ES ``_stats`` / ``_segments`` analog: corpus totals, segment
+        (committed-batch) count, posting/position/tombstone row counts and
+        on-disk bytes per dataset.  Driver-side parquet-footer metadata
+        only — NO Spark job, so it's safe to poll from monitoring."""
+        import pyarrow.dataset as _ds
+
+        committed = self.state.committed_batches
+        n_docs, sum_dl = _read_cstats(self.index_dir, committed)
+
+        def _rows_bytes(kind: str) -> tuple[int, int]:
+            dirs = _batch_dirs(self.index_dir, kind, committed)
+            rows = bites = 0
+            for d in dirs:
+                ds = _ds.dataset(d, format="parquet", partitioning="hive")
+                rows += ds.count_rows()
+                bites += sum(os.path.getsize(f) for f in ds.files)
+            return rows, bites
+
+        post_rows, post_bytes = _rows_bytes("postings")
+        pos_rows, pos_bytes = (_rows_bytes("positions")
+                               if self.state.has_positions else (0, 0))
+        tomb_dirs = [d for b in committed
+                     for d in glob.glob(
+                         f"{self.index_dir}/doc_stats/batch={b}/__t=t")]
+        n_tombs = sum(_ds.dataset(d, format="parquet").count_rows()
+                      for d in tomb_dirs)
+        return {
+            "n_docs": n_docs,
+            "sum_doc_len": sum_dl,
+            "avg_doc_len": (sum_dl / n_docs) if n_docs else 0.0,
+            "n_segments": len(committed),
+            "committed_batches": list(committed),
+            "n_posting_rows": post_rows,
+            "postings_bytes": post_bytes,
+            "n_position_rows": pos_rows,
+            "positions_bytes": pos_bytes,
+            "n_tombstones": n_tombs,
+            "s_shards": self.state.s_shards,
+            "n_buckets": self.state.n_buckets,
+            "has_positions": self.state.has_positions,
+        }
+
     def positions_for_terms(self, terms: list[str]) -> DataFrame:
         """Bucket-pruned positional-postings scan for the given terms,
         decoded to (term_id, doc_id, positions array<int>).  The bucket +

@@ -78,6 +78,20 @@ def test_delete_updates_stats_and_lineage(spark, deleted_and_clean):
     assert len(read_state(del_dir).committed_batches) == 2
 
 
+def test_reader_stats_surface(spark, deleted_and_clean):
+    """ES _stats analog: totals reconcile with the gated readers, and the
+    delete batch shows up as a segment with its tombstones counted."""
+    del_dir, clean_dir, victims = deleted_and_clean
+    st = IndexReader(spark, del_dir).stats()
+    cs = IndexReader(spark, del_dir).corpus_stats().first()
+    assert st["n_docs"] == cs["n_docs"]
+    assert st["sum_doc_len"] == cs["sum_dl"]
+    assert st["n_segments"] == len(st["committed_batches"]) == 2
+    assert st["n_tombstones"] == len(victims)
+    assert st["n_posting_rows"] > 0 and st["postings_bytes"] > 0
+    assert st["n_position_rows"] == 0 and not st["has_positions"]
+
+
 def test_compaction_reclaims_deleted(spark, deleted_and_clean):
     del_dir, clean_dir, victims = deleted_and_clean
     compact_index(spark, del_dir)
