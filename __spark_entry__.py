@@ -510,7 +510,7 @@ def q_query_string_tagged(spark, sf_dir):
     # one vocabulary aggregation feeds both the expansion and the suggester
     # branch (mirrors the oracle's single shared v CTE)
     docs = _read(spark, sf_dir, "documents")
-    vocab = corpus_vocab(docs)
+    vocab = corpus_vocab(docs).persist()
     ex = expand_terms(docs, fuzzy="sort", max_dist=2, prefix="sor",
                       wildcard="s?rt*", vocab=vocab).select(
         F.lit("expand").alias("op"), nulll.alias("doc_id"),
@@ -579,8 +579,11 @@ def q_search_facets(spark, sf_dir):
     nulld = F.lit(None).cast("double")
     # ONE bool-query pass feeds all three aggregation kinds — exactly how
     # an ES request with a query + an aggs dict runs the query once
+    # persist: the three agg branches UNION over this subtree, and an
+    # unpersisted plan would re-execute the postings scan per branch
     scored = bool_query(spark, reader, must=["spark"],
-                        should=["merge", "batch"], min_should=0, round_to=4)
+                        should=["merge", "batch"], min_should=0,
+                        round_to=4).persist()
     terms = facet_search(spark, reader, meta, ["lang", "source"],
                          top_n=8, scored=scored)
     dh = date_histogram_search(spark, reader, interval_s=60, scored=scored)
@@ -1261,7 +1264,9 @@ def q_query_combinators(spark, sf_dir):
     )
 
     nullr = F.lit(None).cast("long")
-    dm = q_dis_max(spark, sf_dir)
+    # persist: dm feeds its own branch, the page-1 cursor fetch, and the
+    # page-2 filter — three evaluations of the dis_max pipeline otherwise
+    dm = q_dis_max(spark, sf_dir).persist()
     dm_b = dm.select(F.lit("dis_max").alias("op"), "doc_id", "score",
                      nullr.alias("rank"))
     reader = _gate_index(spark, sf_dir)
