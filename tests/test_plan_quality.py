@@ -273,3 +273,37 @@ def test_cap_per_key_precap_is_local_and_single_shuffle(spark, sf_dir):
     want = sorted(r["doc_id"] for r in
                   cap_per_key(docs, "source", 3, precap=False).collect())
     assert sorted(r["doc_id"] for r in capped.collect()) == want
+
+
+def test_multi_match_single_combine_no_extra_exchange(spark, tmp_path):
+    """multi_match must combine field legs with ONE groupBy(doc_id) — the
+    union of per-field TAAT legs, each with its broadcast lexicon, and no
+    remapping join between fields (shared version doc_ids)."""
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        multi_match)
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        IndexReader, build_index)
+    from elasticsearch_data_import_handler_spark.sources.corpus import (
+        synth_pages)
+
+    pages = synth_pages(spark, 150, seed=42)
+    title = F.array_join(
+        F.slice(F.regexp_extract_all(F.lower("text"),
+                                     F.lit("[a-z0-9]+"), 0), 1, 8), " ")
+    dirs = {}
+    for field, p in (("body", pages), ("title", pages.withColumn("text", title))):
+        d = str(tmp_path / field)
+        build_index(spark, p, d, tau=100, n_buckets=4)
+        dirs[field] = d
+    readers = {f: IndexReader(spark, d) for f, d in dirs.items()}
+    df = multi_match(spark, readers, ["spark", "merge"],
+                     match_type="best_fields", tie_breaker=0.3)
+    df.collect()  # AQE finalizes the plan
+    # AQE prints final + initial plans; read only the final section
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastExchange" in plan  # lexicon/avgdl sides stay broadcast
+    # exactly one exchange per field leg's groupBy(doc_id); the final
+    # best/total combine REUSES that partitioning (no third shuffle) and
+    # there is no join-chain between field frames
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
