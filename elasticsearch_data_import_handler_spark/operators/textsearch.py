@@ -534,3 +534,77 @@ def bool_query(spark, reader, must=None, should=None,
     return out.select("doc_id",
                       F.col("should_hits").cast("long").alias("should_hits"),
                       score.alias("score"))
+
+
+def phrase_prefix_search(spark, reader, phrase_prefix: str, slop: int = 0,
+                         max_expansions: int = 50,
+                         analyzer: dict | None = None) -> DataFrame:
+    """ES ``match_phrase_prefix`` (search-as-you-type) over the positional
+    index: the last token is a PREFIX, expanded against the lexicon in
+    term (dictionary) order capped at ``max_expansions`` — exactly ES's
+    expansion rule — and a document matches where the leading terms occur
+    in order followed by ANY expansion within the slop window.  Returns
+    (doc_id, n_matches): distinct start positions, as in
+    :func:`phrase_search_slop`, whose span machinery this reuses with a
+    final step over the union of the expansions' position lists.
+
+    Plan: one lexicon range scan for the expansion set (vocab-metadata
+    scale, collected ≤ max_expansions terms), ONE bucket-pruned positions
+    scan covering leading + expansion terms, the same doc-keyed span
+    joins.  A single-token prefix degenerates to counting the expansions'
+    occurrences per doc."""
+    from ..functions.hashing import xxhash64_str
+    from ..functions.textanalysis import py_tokenize
+
+    an = analyzer if analyzer is not None else (reader.state.analyzer or None)
+    words = py_tokenize(phrase_prefix, an)
+    if not words:
+        raise ValueError(f"{phrase_prefix!r} has no tokens under the analyzer")
+    lead, prefix = words[:-1], words[-1]
+    exp = [r["term"] for r in
+           (reader.lexicon().filter(F.col("term").startswith(prefix))
+            .orderBy(F.asc("term")).limit(max_expansions).collect())]
+    empty = spark.createDataFrame([], "doc_id long, n_matches long")
+    if not exp:
+        return empty
+    maxspan = len(words) - 1 + slop
+    pos = reader.positions_for_terms(sorted(set(lead) | set(exp)))
+    exp_ids = [xxhash64_str(t) for t in exp]
+    # union of the expansions' position lists per doc (a position hosts one
+    # term, so flatten never double-counts)
+    pe = (pos.filter(F.col("term_id").isin(exp_ids))
+          .groupBy("doc_id")
+          .agg(F.array_sort(F.flatten(F.collect_list("positions")))
+               .alias("nx")))
+    if not lead:
+        out = pe.select("doc_id", F.size("nx").cast("long").alias("n_matches"))
+    else:
+        parts = {w: pos.filter(F.col("term_id") == xxhash64_str(w))
+                 for w in set(lead)}
+        acc = parts[lead[0]].select(
+            "doc_id",
+            F.expr("transform(positions, p -> struct(p AS start, p AS last))")
+            .alias("acc"))
+        steps = [parts[w].select("doc_id", F.col("positions").alias("nx"))
+                 for w in lead[1:]] + [pe]
+        for nxt in steps:
+            step = (
+                f"flatten(transform(acc, a -> transform("
+                f"filter(nx, q -> q > a.last AND q - a.start <= {maxspan}), "
+                f"q -> struct(a.start AS start, q AS last))))"
+            )
+            dedup = (
+                "transform(array_distinct(transform(pairs, p -> p.start)), "
+                "s -> struct(s AS start, "
+                "array_min(transform(filter(pairs, p -> p.start = s), "
+                "p -> p.last)) AS last))"
+            )
+            acc = (acc.join(nxt, "doc_id")
+                   .select("doc_id", F.expr(step).alias("pairs"))
+                   .filter(F.size("pairs") > 0)
+                   .select("doc_id", F.expr(dedup).alias("acc")))
+        out = acc.select("doc_id", F.size("acc").cast("long").alias("n_matches"))
+    tomb = reader.tombstones_df()
+    if tomb is not None:
+        out = out.join(tomb, "doc_id", "left_anti")
+    return out

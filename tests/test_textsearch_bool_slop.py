@@ -296,3 +296,34 @@ def test_suggest_terms_ranking_and_modes(spark, sf_dir):
     assert absent.count() > 0
     with pytest.raises(ValueError):
         suggest_terms(docs, "dat", suggest_mode="popular")
+
+
+def test_phrase_prefix_matches_bruteforce(spark, pos_index, doc_tokens):
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        phrase_prefix_search)
+
+    reader = IndexReader(spark, pos_index)
+    # expansions of 'sca' in this vocab (e.g. scan, scatter, ...)
+    exp = sorted(r["term"] for r in
+                 reader.lexicon().filter(F.col("term").startswith("sca"))
+                 .collect())[:50]
+    assert exp
+    for phrase_prefix, lead in [("the sca", ["the"]), ("sca", [])]:
+        got = {r["doc_id"]: r["n_matches"] for r in
+               phrase_prefix_search(spark, reader, phrase_prefix,
+                                    slop=0).collect()}
+        want = {}
+        for doc_id, toks in doc_tokens.items():
+            if lead:
+                n = sum(1 for i, t in enumerate(toks[:-1])
+                        if t == lead[0] and toks[i + 1] in exp)
+            else:
+                n = sum(1 for t in toks if t in exp)
+            if n:
+                want[doc_id] = n
+        assert got == want, phrase_prefix
+        assert len(got) > 0
+    # unmatched prefix → empty frame, stable schema
+    none = phrase_prefix_search(spark, reader, "the zzzzqq")
+    assert none.count() == 0 and [f.name for f in none.schema.fields] == [
+        "doc_id", "n_matches"]
