@@ -335,6 +335,32 @@ def top_hits_facets(spark, reader, meta: DataFrame, facet_col: str,
                     "doc_id", "score", "rank"))
 
 
+def pipeline_aggs(buckets: DataFrame, key_col: str = "value",
+                  count_col: str = "doc_count",
+                  sum_col: str = "sum_score") -> DataFrame:
+    """ES **pipeline aggregations** over ordered histogram buckets:
+    ``derivative`` (bucket-over-previous-bucket delta of ``count_col``;
+    NULL for the first bucket, as in ES) and ``cumulative_sum`` of
+    ``sum_col``, ordered by the numeric bucket key.  Composes directly
+    with :func:`date_histogram_search` output.
+
+    The window is global-ordered on purpose: pipeline aggs run on the
+    REDUCED agg tree (one row per bucket — metadata-sized at any corpus
+    scale), exactly where ES computes them; the heavy work already
+    happened in the bucketing aggregation."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(key_col).cast("long"))
+    return buckets.select(
+        "*",
+        (F.col(count_col) - F.lag(count_col).over(w)).cast("long")
+        .alias("derivative"),
+        F.round(F.sum(sum_col).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+        .alias("cumulative_sum"),
+    )
+
+
 def more_like_this(spark, reader, seed_text: str, seed_doc_id: int | None = None,
                    k: int = 10, max_query_terms: int = 25,
                    min_term_freq: int = 1, min_doc_freq: int = 2,

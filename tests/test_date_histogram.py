@@ -77,3 +77,26 @@ def test_top_hits_facets_per_bucket(spark, dh_index):
     for b, hits in got.items():
         best = sorted(want[b], key=lambda t: (-t[1], t[0]))[:2]
         assert sorted(hits) == [(i + 1, d, s) for i, (d, s) in enumerate(best)]
+
+
+def test_pipeline_aggs_over_histogram(spark, dh_index):
+    """derivative + cumulative_sum composed on date_histogram buckets,
+    checked against a driver-side recompute in bucket-key order."""
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        date_histogram_search, pipeline_aggs)
+
+    reader = IndexReader(spark, dh_index)
+    buckets = date_histogram_search(spark, reader, interval_s=60,
+                                    must=["spark"], should=["merge"])
+    rows = sorted(pipeline_aggs(buckets).collect(),
+                  key=lambda r: int(r["value"]))
+    assert len(rows) >= 2
+    assert rows[0]["derivative"] is None  # ES: first bucket has none
+    run = 0.0
+    prev = None
+    for r in rows:
+        if prev is not None:
+            assert r["derivative"] == r["doc_count"] - prev
+        run = round(run + r["sum_score"], 2)
+        assert r["cumulative_sum"] == run
+        prev = r["doc_count"]
