@@ -531,3 +531,62 @@ def query_string_search(spark, reader, q: str, k: int = 10,
     score = (F.round("score", round_to) if round_to is not None
              else F.col("score"))
     return out.select("doc_id", score.alias("score"), "rank")
+
+
+def significant_terms(spark, reader, must=None, should=None, must_not=None,
+                      min_should: int = 0, size: int = 10,
+                      min_doc_count: int = 3,
+                      sample_mod: int | None = None) -> DataFrame:
+    """ES **significant_terms** aggregation: terms overrepresented in the
+    documents matching a bool query vs the index background — (term,
+    fg_count, bg_count, score, rank) scored with JLH as ES does:
+    (fg% − bg%) × (fg% / bg%), positive-lift terms only, ``fg_count ≥
+    min_doc_count``, top ``size`` by (score DESC, term ASC).
+
+    Plan: the foreground set travels id-only; foreground term counts come
+    from a full-postings streaming decode semi-joined to the matched ids
+    (the honest cost of this agg — ES warns about it and samples for
+    exactly this reason: ``sample_mod`` keeps 1/mod of matched docs by
+    doc-id hash); background df is the already-maintained lexicon (no
+    recount), n_docs the maintained corpus stats.  The shuffle after the
+    decode carries (term, count) — vocabulary-sized, never postings."""
+    from ..plans.build import _batch_dirs, _decoded_doc_ids
+    from .textsearch import bool_query
+
+    matched = bool_query(spark, reader, must=must, should=should,
+                         must_not=must_not,
+                         min_should=min_should).select("doc_id")
+    if sample_mod is not None and sample_mod > 1:
+        matched = matched.filter(
+            F.pmod(F.xxhash64("doc_id"), F.lit(int(sample_mod))) == 0)
+    matched = matched.persist()
+    n_fg = matched.count()
+    if n_fg == 0:
+        return spark.createDataFrame(
+            [], "term string, fg_count long, bg_count long, "
+                "score double, rank long")
+    dirs = _batch_dirs(reader.index_dir, "postings",
+                       reader.state.committed_batches)
+    post = spark.read.option(
+        "basePath", f"{reader.index_dir}/postings").parquet(*dirs)
+    fg = (_decoded_doc_ids(post.select("term", "doc_ids_vb"))
+          .join(matched, "doc_id", "left_semi")
+          .groupBy("term").agg(F.count(F.lit(1)).alias("fg_count")))
+    n_docs = reader.corpus_stats().first()["n_docs"]
+    bg = reader.lexicon().select("term", F.col("df").alias("bg_count"))
+    fg_pct = F.col("fg_count") / F.lit(float(n_fg))
+    bg_pct = F.col("bg_count") / F.lit(float(n_docs))
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    scored = (fg.join(bg, "term")
+              .filter((F.col("fg_count") >= min_doc_count)
+                      & (fg_pct > bg_pct))
+              .select("term", "fg_count", "bg_count",
+                      F.round(score, 6).alias("score")))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= size)
+            .select("term", F.col("fg_count").cast("long").alias("fg_count"),
+                    F.col("bg_count").cast("long").alias("bg_count"),
+                    "score", "rank"))

@@ -327,3 +327,31 @@ def test_phrase_prefix_matches_bruteforce(spark, pos_index, doc_tokens):
     none = phrase_prefix_search(spark, reader, "the zzzzqq")
     assert none.count() == 0 and [f.name for f in none.schema.fields] == [
         "doc_id", "n_matches"]
+
+
+def test_significant_terms_matches_bruteforce(spark, pos_index, doc_tokens):
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        significant_terms)
+
+    reader = IndexReader(spark, pos_index)
+    got = [(r["term"], r["fg_count"], r["bg_count"], r["score"], r["rank"])
+           for r in significant_terms(spark, reader, must=["spark"],
+                                      size=10, min_doc_count=3).collect()]
+    assert got
+    # brute force: JLH lift over the same foreground/background
+    fg_docs = {d for d, toks in doc_tokens.items() if "spark" in toks}
+    n_fg, n_bg = len(fg_docs), len(doc_tokens)
+    vocab = {t for toks in doc_tokens.values() for t in toks}
+    rows = []
+    for t in vocab:
+        fg = sum(1 for d in fg_docs if t in doc_tokens[d])
+        bg = sum(1 for toks in doc_tokens.values() if t in toks)
+        fg_pct, bg_pct = fg / n_fg, bg / n_bg
+        if fg >= 3 and fg_pct > bg_pct:
+            rows.append((t, fg, bg,
+                         round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    want = [(t, fg, bg, s, i + 1) for i, (t, fg, bg, s) in enumerate(rows[:10])]
+    assert got == want
+    # 'spark' itself is maximally significant (fg% = 1) — sanity anchor
+    assert got[0][0] == "spark"
