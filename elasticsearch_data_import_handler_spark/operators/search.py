@@ -33,6 +33,11 @@ from pyspark.sql import DataFrame, Window, functions as F
 _PHRASE_RE = re.compile(r'"([^"]*)"(?:~(\d+))?')
 _FUZZY_RE = re.compile(r"^(.+?)~(\d*)$")
 
+# significant_terms defaults to sampling its foreground-df pass (the full
+# postings decode) once the corpus is past this many docs — ES samples this
+# agg on large indices for the same reason.  Explicit sample_mod overrides.
+SIG_TERMS_SAMPLE_THRESHOLD = 10_000_000
+
 
 def parse_query_string(q: str) -> dict:
     """→ {must, should, must_not: [clause...], phrases: [(text, slop)...]}
@@ -536,7 +541,8 @@ def query_string_search(spark, reader, q: str, k: int = 10,
 def significant_terms(spark, reader, must=None, should=None, must_not=None,
                       min_should: int = 0, size: int = 10,
                       min_doc_count: int = 3,
-                      sample_mod: int | None = None) -> DataFrame:
+                      sample_mod: int | None = None,
+                      materialize: bool = True) -> DataFrame:
     """ES **significant_terms** aggregation: terms overrepresented in the
     documents matching a bool query vs the index background — (term,
     fg_count, bg_count, score, rank) scored with JLH as ES does:
@@ -556,12 +562,20 @@ def significant_terms(spark, reader, must=None, should=None, must_not=None,
     matched = bool_query(spark, reader, must=must, should=should,
                          must_not=must_not,
                          min_should=min_should).select("doc_id")
+    n_docs = reader.corpus_stats().first()["n_docs"]
+    if sample_mod is None and n_docs >= SIG_TERMS_SAMPLE_THRESHOLD:
+        # ES samples this agg by default on large indices for the same
+        # reason: the foreground df pass decodes full postings. 1/16 of
+        # matched docs by doc-id hash keeps ranks stable (JLH is a ratio
+        # of percentages; uniform sampling preserves both in expectation).
+        sample_mod = 16
     if sample_mod is not None and sample_mod > 1:
         matched = matched.filter(
             F.pmod(F.xxhash64("doc_id"), F.lit(int(sample_mod))) == 0)
     matched = matched.persist()
     n_fg = matched.count()
     if n_fg == 0:
+        matched.unpersist()
         return spark.createDataFrame(
             [], "term string, fg_count long, bg_count long, "
                 "score double, rank long")
@@ -572,7 +586,6 @@ def significant_terms(spark, reader, must=None, should=None, must_not=None,
     fg = (_decoded_doc_ids(post.select("term", "doc_ids_vb"))
           .join(matched, "doc_id", "left_semi")
           .groupBy("term").agg(F.count(F.lit(1)).alias("fg_count")))
-    n_docs = reader.corpus_stats().first()["n_docs"]
     bg = reader.lexicon().select("term", F.col("df").alias("bg_count"))
     fg_pct = F.col("fg_count") / F.lit(float(n_fg))
     bg_pct = F.col("bg_count") / F.lit(float(n_docs))
@@ -584,9 +597,27 @@ def significant_terms(spark, reader, must=None, should=None, must_not=None,
                       F.round(score, 6).alias("score")))
     from pyspark.sql import Window
 
+    # distributed TakeOrdered FIRST (same shape as every other ranked
+    # operator in the repo — __spark_entry__._rank_native): the global
+    # rank window then sees ≤ size rows, never the full vocabulary on
+    # one partition.
+    top = scored.orderBy(F.desc("score"), F.asc("term")).limit(size)
     w = Window.orderBy(F.desc("score"), F.asc("term"))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= size)
-            .select("term", F.col("fg_count").cast("long").alias("fg_count"),
-                    F.col("bg_count").cast("long").alias("bg_count"),
-                    "score", "rank"))
+    out = (top.withColumn("rank",
+                          F.row_number().over(w).cast("long"))
+           .select("term",
+                   F.col("fg_count").cast("long").alias("fg_count"),
+                   F.col("bg_count").cast("long").alias("bg_count"),
+                   "score", "rank"))
+    if not materialize:
+        # caller owns the `matched` persist lifecycle (plan inspection /
+        # composition); the cached frame is released at session end
+        return out
+    # materialize the ≤ size result rows, then release the cached matched
+    # frame — repeated calls in a long-lived session must not accumulate
+    # cached RDDs
+    rows = out.collect()
+    matched.unpersist()
+    return spark.createDataFrame(
+        rows, "term string, fg_count long, bg_count long, "
+              "score double, rank long")

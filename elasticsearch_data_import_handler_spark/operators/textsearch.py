@@ -165,7 +165,8 @@ def expand_terms(documents: DataFrame, fuzzy: str | None = None,
 def suggest_terms(documents: DataFrame, query_term: str, max_dist: int = 2,
                   size: int = 5, suggest_mode: str = "always",
                   id_col: str = "doc_id", text_col: str = "text",
-                  vocab: DataFrame | None = None) -> DataFrame:
+                  vocab: DataFrame | None = None,
+                  method: str = "auto") -> DataFrame:
     """(term, df, dist, rank): the ES **term suggester** ("did you mean") —
     vocabulary terms within ``max_dist`` Levenshtein edits of the (possibly
     misspelled) input, the input itself excluded, ranked the ES way:
@@ -174,12 +175,22 @@ def suggest_terms(documents: DataFrame, query_term: str, max_dist: int = 2,
 
     ``suggest_mode='missing'`` returns no suggestions when the input term
     exists in the vocabulary (the ES default); ``'always'`` suggests
-    regardless.  Same vocabulary-scale cost shape as :func:`expand_terms`
-    (one groupBy(term); the candidate filter scans term metadata, never
-    postings); at 10^9 terms pre-bucket by SymSpell deletion neighborhoods
-    (functions/symspell.py) as documented there."""
+    regardless.
+
+    Candidate generation (``method``): ``'auto'`` routes through the
+    SymSpell deletion-neighborhood path (:func:`symspell_terms` — an
+    equi-overlap on precomputed deletion keys, property-tested row-identical
+    to the scan at d ≤ 2) whenever ``max_dist ≤ 2``, so Levenshtein runs on
+    NEIGHBORHOOD CANDIDATES only, never the full vocabulary; at 10^9 terms
+    the (variant → term) table is precomputed once per lexicon generation
+    and the lookup is an equi-join.  ``'scan'`` forces the full-vocab
+    Levenshtein pass (the only option for max_dist > 2).  Ranking cuts with
+    a distributed TakeOrdered (orderBy+limit) BEFORE the global rank window,
+    so the single-partition window only ever sees ≤ size rows."""
     if suggest_mode not in ("always", "missing"):
         raise ValueError(f"unknown suggest_mode: {suggest_mode}")
+    if method not in ("auto", "scan", "symspell"):
+        raise ValueError(f"unknown method: {method}")
     q = query_term.lower()
     vocab = vocab if vocab is not None else corpus_vocab(documents, id_col,
                                                          text_col)
@@ -189,13 +200,20 @@ def suggest_terms(documents: DataFrame, query_term: str, max_dist: int = 2,
                    .select(F.lit(1).alias("__present")).limit(1))
         # anti-join on TRUE: keeps the vocab only when `present` is empty
         vocab = vocab.join(F.broadcast(present), F.lit(True), "left_anti")
-    cand = (vocab.withColumn("dist", F.levenshtein("term", F.lit(q)))
-            .filter((F.col("dist") <= max_dist) & (F.col("term") != q)))
+    use_symspell = (method == "symspell"
+                    or (method == "auto" and max_dist <= 2))
+    if use_symspell:
+        cand = symspell_terms(documents, q, max_dist=max_dist,
+                              id_col=id_col, text_col=text_col, vocab=vocab)
+        cand = cand.filter(F.col("term") != q)
+    else:
+        cand = (vocab.withColumn("dist", F.levenshtein("term", F.lit(q)))
+                .filter((F.col("dist") <= max_dist) & (F.col("term") != q)))
     from pyspark.sql import Window
 
+    top = cand.orderBy(F.asc("dist"), F.desc("df"), F.asc("term")).limit(size)
     w = Window.orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
-    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= size)
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
             .select("term", F.col("df").cast("long").alias("df"),
                     F.col("dist").cast("int").alias("dist"), "rank"))
 

@@ -239,20 +239,38 @@ def cap_per_key(df: DataFrame, key_col: str, cap: int,
         kname = key_col
 
         def emit(batches):
-            cur = object()
-            n = 0
+            import numpy as np
+            import pandas as pd
+
+            # carry the (key, run length) of the last row across batches —
+            # a key's run can span Arrow batch boundaries.  NULL keys are
+            # a run like any other (pd.isna-aware equality: consecutive
+            # NaN is the same run), so the ≤cap-per-key-per-partition
+            # shuffle bound holds for NULL-heavy key columns too.
+            have_carry, cur, cur_na, n = False, None, False, 0
             for pdf in batches:
-                keep = []
-                for i, kv in enumerate(pdf[kname].tolist()):
-                    if not (kv == cur):  # handles NaN (never == anything)
-                        cur, n = kv, 0
-                    n += 1
-                    if n <= cap:
-                        keep.append(i)
-                if len(keep) == len(pdf):
+                if not len(pdf):
+                    continue
+                k = pdf[kname]
+                prev = k.shift()
+                same = ((k == prev) | (k.isna() & prev.isna())).to_numpy()
+                same[0] = False
+                # position within run, vectorized: idx − run-start index
+                idx = np.arange(len(k), dtype=np.int64)
+                start = np.maximum.accumulate(np.where(~same, idx, 0))
+                pos = idx - start + 1
+                first_na = bool(pd.isna(k.iloc[0]))
+                if have_carry and ((first_na and cur_na)
+                                   or (not first_na and not cur_na
+                                       and k.iloc[0] == cur)):
+                    pos = pos + np.where(start == 0, n, 0)
+                keep = pos <= cap
+                have_carry, cur = True, k.iloc[-1]
+                cur_na, n = bool(pd.isna(cur)), int(pos[-1])
+                if keep.all():
                     yield pdf
-                elif keep:
-                    yield pdf.iloc[keep]
+                elif keep.any():
+                    yield pdf[keep]
 
         dfh = srt.mapInPandas(emit, schema=schema)
     w = Window.partitionBy(key_col).orderBy(F.col("__h"), F.col(id_col))

@@ -566,21 +566,61 @@ def build_positions(docs: DataFrame, n_buckets: int,
     ).select(F.xxhash64("term").alias("term_id"), "doc_id",
              F.col("pos").cast("int").alias("pos"))
     p = shuffle_partitions or ex.sparkSession.sparkContext.defaultParallelism
-    lists = (ex.repartition(p, "term_id", "doc_id")
-             .groupBy("term_id", "doc_id")
-             .agg(F.sort_array(F.collect_list("pos")).alias("positions")))
+    # same kernel shape as the BM25 postings encode (_encode_stream_factory):
+    # ONE shuffle on (term_id, doc_id), local Tungsten sort, then a streaming
+    # boundary-detected encode over the CONCATENATED position stream — the
+    # whole batch's deltas are varbyte'd in a single vectorized pass and
+    # sliced into per-row buffers by prefix-sum byte offsets.  Positions are
+    # Σ doc_len rows — the biggest table in the index — so no per-list
+    # Python encode is allowed here (BASELINE.json input_hint mandate).
+    srt = (ex.repartition(p, "term_id", "doc_id")
+           .sortWithinPartitions("term_id", "doc_id", "pos"))
 
-    def _enc(it):
-        from ..functions.varbyte import delta_encode, varbyte_encode
-        for pdf in it:
-            yield pd.DataFrame({
-                "term_id": pdf["term_id"], "doc_id": pdf["doc_id"],
-                "n_pos": [len(ps) for ps in pdf["positions"]],
-                "pos_vb": [varbyte_encode(delta_encode(
-                    np.asarray(ps, dtype=np.int64))) for ps in pdf["positions"]],
+    def _enc(batches):
+        from ..functions.varbyte import varbyte_encode, varbyte_nbytes
+
+        def emit(tid, did, pos, starts, end):
+            # encode groups [starts[i], starts[i+1]) within pos[:end]:
+            # gap-code each group (first value absolute) on the concatenated
+            # stream, varbyte ONCE, slice per row by byte offsets
+            seg = pos[:end].astype(np.uint64)
+            deltas = seg.copy()
+            deltas[1:] = seg[1:] - seg[:-1]
+            deltas[starts] = seg[starts]
+            buf = varbyte_encode(deltas)
+            cum = np.concatenate(([0], np.cumsum(varbyte_nbytes(deltas))))
+            ends = np.concatenate((starts[1:], [end]))
+            bo, be = cum[starts], cum[ends]
+            return pd.DataFrame({
+                "term_id": tid[starts], "doc_id": did[starts],
+                "n_pos": (ends - starts).astype(np.int32),
+                "pos_vb": [buf[bo[i]:be[i]] for i in range(starts.size)],
             })
 
-    return (lists.mapInPandas(
+        carry = None
+        for pdf in batches:
+            tid = pdf["term_id"].to_numpy(np.int64)
+            did = pdf["doc_id"].to_numpy(np.int64)
+            pos = pdf["pos"].to_numpy(np.int64)
+            if carry is not None:
+                tid = np.concatenate((carry[0], tid))
+                did = np.concatenate((carry[1], did))
+                pos = np.concatenate((carry[2], pos))
+            if tid.size == 0:
+                continue
+            change = np.nonzero((tid[1:] != tid[:-1])
+                                | (did[1:] != did[:-1]))[0] + 1
+            starts = np.concatenate(([0], change))
+            # the last group may continue into the next Arrow batch → carry
+            last = starts[-1]
+            if starts.size > 1:
+                yield emit(tid, did, pos, starts[:-1], last)
+            carry = (tid[last:], did[last:], pos[last:])
+        if carry is not None and carry[0].size:
+            yield emit(carry[0], carry[1], carry[2],
+                       np.array([0], dtype=np.int64), carry[0].size)
+
+    return (srt.mapInPandas(
         _enc, schema="term_id bigint, doc_id bigint, n_pos int, pos_vb binary")
         .withColumn("bucket",
                     F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int")))

@@ -275,6 +275,48 @@ def test_cap_per_key_precap_is_local_and_single_shuffle(spark, sf_dir):
     assert sorted(r["doc_id"] for r in capped.collect()) == want
 
 
+def test_significant_terms_window_is_limit_bounded(spark, tmp_path):
+    """The rank window must sit above a distributed TakeOrdered cut
+    (GlobalLimit/TakeOrderedAndProject before the Window), so the
+    single-partition window only ever sees ≤ size rows — never the full
+    foreground vocabulary."""
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        significant_terms)
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        IndexReader, build_index)
+    from elasticsearch_data_import_handler_spark.sources.corpus import synth_pages
+
+    d = str(tmp_path / "idx")
+    build_index(spark, synth_pages(spark, 120, seed=42), d, tau=100,
+                n_buckets=4)
+    reader = IndexReader(spark, d)
+    df = significant_terms(spark, reader, must=["spark"], size=5,
+                           min_doc_count=1, materialize=False)
+    plan = _plan(df)
+    assert "Window" in plan, plan
+    # plans print top-down: everything ABOVE (before) the Window node must
+    # include the limit cut that bounds its input
+    above = plan.split("Window", 1)[1]
+    assert ("TakeOrderedAndProject" in above or "GlobalLimit" in above), plan
+
+
+def test_suggest_terms_neighborhood_keyed_and_limit_bounded(spark, sf_dir):
+    """The suggester's candidate scan must be SymSpell-neighborhood-keyed
+    (arrays_overlap filter on deletion variants — Levenshtein runs on
+    candidates only), and the rank window must sit above a TakeOrdered
+    cut."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        suggest_terms)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = suggest_terms(docs, "dat", max_dist=2, size=5)
+    plan = _plan(df)
+    assert "arrays_overlap" in plan, plan
+    below_window = plan.split("Window", 1)[1]
+    assert ("TakeOrderedAndProject" in below_window
+            or "GlobalLimit" in below_window), plan
+
+
 def test_multi_match_single_combine_no_extra_exchange(spark, tmp_path):
     """multi_match must combine field legs with ONE groupBy(doc_id) — the
     union of per-field TAAT legs, each with its broadcast lexicon, and no

@@ -354,6 +354,30 @@ def test_cap_per_key_caps_and_is_unbiased_deterministic(spark, sf_dir):
         cap_per_key(docs, "source", 0)
 
 
+def test_cap_per_key_null_heavy_key(spark):
+    """NULL keys form a capped run like any other (NaN-aware precap carry);
+    precap and no-precap results are identical on a NULL-heavy column."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        cap_per_key)
+
+    df = (spark.range(500)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") % 5 < 3, None)
+                  .otherwise((F.col("id") % 7).cast("string"))
+                  .alias("key"))
+          .repartition(8))
+    out = cap_per_key(df, "key", 4)
+    per = {r["key"]: r["n"] for r in
+           out.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 4 for n in per.values()), per
+    assert per[None] == 4  # 300 NULL-key rows capped to 4
+    want = sorted(r["doc_id"] for r in
+                  cap_per_key(df, "key", 4, precap=False).collect())
+    assert sorted(r["doc_id"] for r in out.collect()) == want
+
+
 def test_quality_filter_composite(spark, sf_dir):
     from pyspark.sql import functions as F
 
