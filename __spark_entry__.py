@@ -449,15 +449,29 @@ def q_phrase_index(spark, sf_dir):
 
 
 def q_phrase_slop(spark, sf_dir):
-    """ES match_phrase with slop: in-order terms within a bounded window
-    over the positional postings table; the oracle recomputes matches from
-    raw token positions with ordered self-joins."""
+    """ES match_phrase with slop (op='slop', the previously-gated row
+    verbatim) + ES match_phrase_prefix (op='prefix': the last token is a
+    dictionary-ordered prefix expansion capped at max_expansions, matched
+    as "leading terms in order, then ANY expansion within the slop
+    window") in one tagged row — both ride the same positional-postings
+    span machinery.  The oracle recomputes each from raw token positions
+    with ordered self-joins; the prefix branch's expansion set is the
+    vocab LIKE-scan in term order, exactly the ES expansion rule."""
     from elasticsearch_data_import_handler_spark.operators.textsearch import (
-        phrase_search_slop)
+        phrase_prefix_search,
+        phrase_search_slop,
+    )
 
     reader = _gate_index(spark, sf_dir)
     hits = phrase_search_slop(spark, reader, "fast table scan", slop=3)
-    return _native_doc_ids(reader, hits, ["n_matches"])
+    sl = _native_doc_ids(reader, hits, ["n_matches"]).select(
+        F.lit("slop").alias("op"), "doc_id", "n_matches")
+    # 'fast s*' with slop 1: lead term + a multi-term expansion union
+    # ('s' expands to scan/sort/spark/... in dictionary order)
+    ph = phrase_prefix_search(spark, reader, "fast s", slop=1)
+    pf = _native_doc_ids(reader, ph, ["n_matches"]).select(
+        F.lit("prefix").alias("op"), "doc_id", "n_matches")
+    return sl.unionByName(pf)
 
 
 def q_bool_query(spark, sf_dir):
@@ -587,7 +601,18 @@ def q_search_facets(spark, sf_dir):
     terms = facet_search(spark, reader, meta, ["lang", "source"],
                          top_n=8, scored=scored)
     dh = date_histogram_search(spark, reader, interval_s=60, scored=scored)
-    counts = terms.unionByName(dh).select(
+    # op facet='pl:60s': ES pipeline aggregations (derivative of doc_count
+    # + cumulative_sum of sum_score) over the date_histogram buckets —
+    # mapped into the shared agg schema (derivative → doc_count, NULL for
+    # the first bucket as in ES; cumulative_sum → sum_score)
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        pipeline_aggs)
+
+    pl = pipeline_aggs(dh, key_col="value").select(
+        F.lit("pl:60s").alias("facet"), "value",
+        F.col("derivative").alias("doc_count"),
+        F.col("cumulative_sum").alias("sum_score"))
+    counts = terms.unionByName(dh).unionByName(pl).select(
         "facet", "value", "doc_count", "sum_score",
         nulll.alias("doc_id"), nulld.alias("score"), nulll.alias("rank"))
     # top_hits sub-agg: best 3 docs per lang bucket, native-id tie order
@@ -602,11 +627,18 @@ def q_search_facets(spark, sf_dir):
 
 
 def q_more_like_this(spark, sf_dir):
-    """ES more_like_this: the seed doc's top tf·idf terms become a should
-    query; BM25 top-k over the index, seed excluded, ranked under the
-    native doc-id tie order so the DuckDB oracle replays it exactly."""
+    """ES more_like_this (op='mlt', the previously-gated row verbatim) +
+    ES significant_terms (op='sig': JLH-scored terms overrepresented in
+    the docs matching must=['spark'] vs the index background) in one
+    tagged row — both derive "interesting terms" from the index, one per
+    seed document, one per query result set.  The sig branch is
+    term-keyed, so no native-id remap is needed; the oracle replays the
+    foreground/background counts and the JLH product from the raw corpus
+    with the same literal-float divisions."""
     from elasticsearch_data_import_handler_spark.operators.search import (
-        more_like_this)
+        more_like_this,
+        significant_terms,
+    )
 
     seed_native = 7
     reader = _gate_index(spark, sf_dir)
@@ -617,7 +649,16 @@ def q_more_like_this(spark, sf_dir):
                 .filter(F.col("__nid") == seed_native).first()["doc_id"])
     cand = more_like_this(spark, reader, seed_text, seed_doc_id=seed_idx,
                           candidates=True)
-    return _rank_native(_native_doc_ids(reader, cand, ["score"]), 10)
+    nulll = F.lit(None).cast("long")
+    nulls = F.lit(None).cast("string")
+    mlt = _rank_native(_native_doc_ids(reader, cand, ["score"]), 10).select(
+        F.lit("mlt").alias("op"), "doc_id", "score", "rank",
+        nulls.alias("term"), nulll.alias("fg_count"), nulll.alias("bg_count"))
+    sig = significant_terms(spark, reader, must=["spark"], size=10,
+                            min_doc_count=3).select(
+        F.lit("sig").alias("op"), nulll.alias("doc_id"), "score", "rank",
+        "term", "fg_count", "bg_count")
+    return mlt.unionByName(sig)
 
 
 def q_term_expansion(spark, sf_dir):
@@ -1582,8 +1623,22 @@ def oracle_sql() -> dict[str, str]:
             "JOIN p p3 ON p3.doc_id = p1.doc_id AND p3.term = 'scan' "
             "AND p3.pos > p2.pos AND p3.pos - p1.pos <= 5 "
             "WHERE p1.term = 'fast') "
-            "SELECT doc_id, count(DISTINCT start)::BIGINT AS n_matches "
-            "FROM m GROUP BY doc_id"
+            # op='prefix' branch: match_phrase_prefix 'fast s*' slop=1 —
+            # expansion set = vocab terms LIKE 's%' in dictionary order
+            # (limit 50 = max_expansions), span <= (n-1)+slop = 2
+            ", exp AS (SELECT term FROM (SELECT term, row_number() OVER ("
+            "ORDER BY term ASC) AS r FROM (SELECT DISTINCT term FROM p "
+            "WHERE term LIKE 's%')) WHERE r <= 50), "
+            "mp AS (SELECT p1.doc_id, p1.pos AS start FROM p p1 "
+            "JOIN p p2 ON p2.doc_id = p1.doc_id "
+            "AND p2.term IN (SELECT term FROM exp) "
+            "AND p2.pos > p1.pos AND p2.pos - p1.pos <= 2 "
+            "WHERE p1.term = 'fast') "
+            "SELECT 'slop' AS op, doc_id, "
+            "count(DISTINCT start)::BIGINT AS n_matches "
+            "FROM m GROUP BY doc_id "
+            "UNION ALL SELECT 'prefix', doc_id, "
+            "count(DISTINCT start)::BIGINT FROM mp GROUP BY doc_id"
         ),
         "bool_query": (
             f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
@@ -1681,18 +1736,26 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT, round(sum(score), 2) FROM m GROUP BY source), "
             "rr AS (SELECT facet, value, doc_count, sum_score, row_number() "
             "OVER (PARTITION BY facet ORDER BY doc_count DESC, value ASC) "
-            "AS r FROM fa) "
+            "AS r FROM fa), "
+            # shared date_histogram buckets (60 s fixed_interval, key =
+            # epoch-millis bucket start; warc_ts = 2026-01-01 UTC + doc_id s)
+            "dhb AS (SELECT ((1767225600 + doc_id) // 60) * 60000 AS k, "
+            "count(*)::BIGINT AS doc_count, round(sum(score), 2) AS "
+            "sum_score FROM m GROUP BY 1) "
             "SELECT facet, value, doc_count, sum_score, NULL::BIGINT AS doc_id, "
             "NULL::DOUBLE AS score, NULL::BIGINT AS rank "
             "FROM rr WHERE r <= 8 "
-            # date_histogram branch: warc_ts = 2026-01-01 UTC + doc_id s
-            # (same reconstruction as function_score), 60 s fixed_interval,
-            # bucket key = epoch-millis bucket start, no top-n (ES returns
-            # every non-empty bucket)
-            "UNION ALL SELECT 'dh:60s', "
-            "(((1767225600 + doc_id) // 60) * 60000)::VARCHAR, "
-            "count(*)::BIGINT, round(sum(score), 2), NULL::BIGINT, "
-            "NULL::DOUBLE, NULL::BIGINT FROM m GROUP BY 2 "
+            # date_histogram branch: no top-n (ES returns every non-empty
+            # bucket in range)
+            "UNION ALL SELECT 'dh:60s', k::VARCHAR, doc_count, sum_score, "
+            "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM dhb "
+            # pipeline aggs over the histogram: derivative of doc_count
+            # (NULL first bucket) + cumulative_sum of sum_score
+            "UNION ALL SELECT 'pl:60s', k::VARCHAR, "
+            "(doc_count - lag(doc_count) OVER (ORDER BY k))::BIGINT, "
+            "round(sum(sum_score) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW), 2), NULL::BIGINT, NULL::DOUBLE, "
+            "NULL::BIGINT FROM dhb "
             # top_hits sub-agg: best 3 matching docs per lang bucket
             "UNION ALL SELECT 'th:lang', lang, NULL::BIGINT, NULL::DOUBLE, "
             "doc_id, score, rnk FROM (SELECT lang, doc_id, score, "
@@ -1714,9 +1777,29 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN stats s WHERE tf.term IN (SELECT term FROM sel) "
             "AND tf.doc_id <> 7 GROUP BY tf.doc_id), "
             "rr AS (SELECT doc_id, score, row_number() OVER ("
-            "ORDER BY score DESC, doc_id ASC) AS rank FROM scored) "
-            "SELECT doc_id, round(score, 4) AS score, rank FROM rr "
-            "WHERE rank <= 10"
+            "ORDER BY score DESC, doc_id ASC) AS rank FROM scored), "
+            # op='sig' branch: significant_terms for must=['spark'] — JLH
+            # (fg% − bg%)·(fg%/bg%), fg = docs matching the bool query,
+            # bg = lexicon df; same double-division order as the engine
+            "fgd AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'), "
+            "nfg AS (SELECT count(*)::BIGINT AS n FROM fgd), "
+            "fgc AS (SELECT tf.term, count(*)::BIGINT AS fg_count FROM tf "
+            "JOIN fgd ON tf.doc_id = fgd.doc_id GROUP BY tf.term), "
+            "sigs AS (SELECT f.term, f.fg_count, d.df AS bg_count, "
+            "(f.fg_count::DOUBLE / nfg.n - d.df::DOUBLE / s.n_docs) * "
+            "((f.fg_count::DOUBLE / nfg.n) / (d.df::DOUBLE / s.n_docs)) "
+            "AS score FROM fgc f JOIN dfreq d USING (term) "
+            "CROSS JOIN nfg CROSS JOIN stats s "
+            "WHERE f.fg_count >= 3 "
+            "AND f.fg_count::DOUBLE / nfg.n > d.df::DOUBLE / s.n_docs), "
+            "sigr AS (SELECT term, fg_count, bg_count, round(score, 6) AS "
+            "score, row_number() OVER (ORDER BY round(score, 6) DESC, "
+            "term ASC) AS rank FROM sigs) "
+            "SELECT 'mlt' AS op, doc_id, round(score, 4) AS score, rank, "
+            "NULL::VARCHAR AS term, NULL::BIGINT AS fg_count, "
+            "NULL::BIGINT AS bg_count FROM rr WHERE rank <= 10 "
+            "UNION ALL SELECT 'sig', NULL::BIGINT, score, rank, term, "
+            "fg_count, bg_count FROM sigr WHERE rank <= 10"
         ),
         "phrase_index": (
             "WITH t AS (SELECT doc_id, "
@@ -2017,7 +2100,10 @@ def oracle_sql() -> dict[str, str]:
             "round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4), "
             "round(percentile_cont(0.99) WITHIN GROUP "
             "(ORDER BY l_extendedprice), 4), NULL::DOUBLE, NULL::INT "
-            "FROM lineitem WHERE (('0x'||substr(md5("
+            # NULL-key rows are excluded on both engines (sampled_quantiles
+            # pins this — concat_ws skips NULLs while || propagates them)
+            "FROM lineitem WHERE l_orderkey IS NOT NULL "
+            "AND l_linenumber IS NOT NULL AND (('0x'||substr(md5("
             "l_orderkey::VARCHAR||'|'||l_linenumber::VARCHAR), 1, 8))::BIGINT "
             "% 10000) < 2000 GROUP BY l_returnflag"
         ),

@@ -82,6 +82,8 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
     pre = hashes.mapInPandas(prereduce, schema="grp string, h long")
 
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         hs = pdf["h"].drop_duplicates().nsmallest(k)
         if len(hs) >= k:
             kth = float(hs.iloc[k - 1])
@@ -90,8 +92,13 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
         else:
             est = float(len(hs))
             exact = 1
+        # half-UP 4dp rounding, pinned identically on both engines (Python
+        # round() is half-to-EVEN while DuckDB rounds half away from zero —
+        # a tie at an exact .00005 boundary would diverge; est ≥ 0 here so
+        # floor(x·10⁴ + 0.5)/10⁴ is the shared rule, mirrored in
+        # kmv_oracle_sql)
         return pd.DataFrame({"grp": [pdf["grp"].iloc[0]],
-                             "est_distinct": [round(est, 4)],
+                             "est_distinct": [math.floor(est * 1e4 + 0.5) / 1e4],
                              "exact_mode": [exact]})
 
     return pre.groupBy("grp").applyInPandas(
@@ -110,8 +117,8 @@ def kmv_oracle_sql(table_expr: str, group_sql: str, value_sql: str,
         "kr AS (SELECT grp, h, row_number() OVER (PARTITION BY grp "
         "ORDER BY h) AS r, count(*) OVER (PARTITION BY grp) AS c FROM kh) "
         f"SELECT grp, CASE WHEN max(c) >= {k} THEN "
-        f"round({float(k - 1)} * {TWO_POW_60!r} / "
-        f"max(CASE WHEN r = {k} THEN h END), 4) "
+        f"floor({float(k - 1)} * {TWO_POW_60!r} / "
+        f"max(CASE WHEN r = {k} THEN h END) * 1e4 + 0.5) / 1e4 "
         "ELSE max(c)::DOUBLE END AS est_distinct, "
         f"(max(c) < {k})::INT AS exact_mode FROM kr GROUP BY grp"
     )
@@ -129,7 +136,16 @@ def sampled_quantiles(df: DataFrame, group_col: str, value_exprs: dict,
     inclusion.  Per-quantile error ~ O(1/√(n·rate)).
 
     ``value_exprs``: output column → (source column, prob), e.g.
-    {"p50": ("qty", 0.5)}.  Returns (grp, *value_exprs, n_sample)."""
+    {"p50": ("qty", 0.5)}.  Returns (grp, *value_exprs, n_sample).
+
+    NULL semantics, pinned on BOTH engines (same policy as
+    :func:`kmv_hashes`): rows where ANY ``key_cols`` entry is NULL are
+    excluded — a NULL-keyed row has no well-defined identity hash
+    (concat_ws SKIPS NULLs while SQL ``||`` PROPAGATES them, so leaving
+    such rows in would sample them on one engine and drop them on the
+    other)."""
+    for c in key_cols:
+        df = df.filter(F.col(c).isNotNull())
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
     bucket = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
               % 10_000)
