@@ -34,7 +34,12 @@ from .plans.state import BuildLock
 EPOCH = "1970-01-01 00:00:00"
 
 
-def register_sources(spark: SparkSession, cfg: PipelineConfig) -> None:
+def register_sources(spark: SparkSession, cfg: PipelineConfig) -> dict:
+    """Register every configured source as a temp view.  Returns the pending
+    snapshot advances for incremental Iceberg sources ({view: snapshot_id}),
+    committed by run_pipeline only after ALL statements succeed — the
+    source-side analog of A6's advance-on-success."""
+    pending: dict[str, int] = {}
     for s in cfg.filesystem_sources:
         paths = [os.path.join(s.directory, spec) for spec in s.filespecs]
         reader = spark.read.format(s.format)
@@ -63,6 +68,52 @@ def register_sources(spark: SparkSession, cfg: PipelineConfig) -> None:
                 "is the driver jar on the classpath (spark.jars)? "
                 f"underlying: {str(e)[:300]}"
             ) from e
+    for ib in cfg.iceberg_sources:
+        from .sources import iceberg as ice
+
+        if not ice.catalog_configured(spark, cfg.catalog):
+            raise RuntimeError(
+                f"iceberg source '{ib.spark_table}' needs catalog "
+                f"'{cfg.catalog}' configured on the session "
+                f"(spark.sql.catalog.{cfg.catalog}=org.apache.iceberg."
+                "spark.SparkCatalog + .type/.warehouse confs and the "
+                "iceberg-spark-runtime jar)")
+        start = None
+        if ib.incremental:
+            start = _get_src_snapshot(cfg, ib.spark_table)
+            # capture the end BEFORE reading: rows committed while the
+            # import runs fall into the NEXT window, never lost (A5's
+            # thisRun-before-query reasoning on snapshot ids)
+            end = ice.current_snapshot_id(spark, ib.table)
+            if end is not None:
+                pending[ib.spark_table] = end
+            df = ice.read_snapshot_range(spark, ib.table,
+                                         start_snapshot_id=start,
+                                         end_snapshot_id=end)
+        else:
+            df = ice.read_snapshot_range(spark, ib.table)
+        df.createOrReplaceTempView(ib.spark_table)
+    return pending
+
+
+def _src_snapshot_file(cfg: PipelineConfig, view: str) -> str:
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    return os.path.join(cfg.state_dir, f"src_{view}.json")
+
+
+def _get_src_snapshot(cfg: PipelineConfig, view: str) -> int | None:
+    p = _src_snapshot_file(cfg, view)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f).get("lastSnapshotId")
+    return None
+
+
+def _set_src_snapshot(cfg: PipelineConfig, view: str, snap: int) -> None:
+    tmp = _src_snapshot_file(cfg, view) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"lastSnapshotId": snap}, f)
+    os.replace(tmp, _src_snapshot_file(cfg, view))
 
 
 def _state_file(cfg: PipelineConfig, stmt_id: str) -> str:
@@ -235,6 +286,21 @@ def run_statement(spark: SparkSession, cfg: PipelineConfig, stmt: Statement) -> 
                 raise ValueError(f"statement {stmt.id}: targetTable needs idField")
             rows = upsert_table(df, stmt.target_table, stmt.id_field,
                                 stmt.order_field)
+        elif stmt.target_iceberg_table:
+            if not stmt.id_field:
+                raise ValueError(
+                    f"statement {stmt.id}: targetIcebergTable needs idField")
+            from .sources import iceberg as ice
+
+            if not ice.catalog_configured(spark, cfg.catalog):
+                raise RuntimeError(
+                    f"statement {stmt.id}: targetIcebergTable "
+                    f"'{stmt.target_iceberg_table}' needs catalog "
+                    f"'{cfg.catalog}' configured on the session (iceberg-"
+                    "spark-runtime jar + spark.sql.catalog confs)")
+            ice.merge_upsert(spark, df, stmt.target_iceberg_table,
+                             stmt.id_field, stmt.order_field)
+            rows = df.count()
         else:
             rows = df.count()  # dry statement: execute for effect/validation
         set_last_run(cfg, stmt.id, this_run)  # only on success (A6)
@@ -243,7 +309,7 @@ def run_statement(spark: SparkSession, cfg: PipelineConfig, stmt: Statement) -> 
 
 
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> list[dict]:
-    register_sources(spark, cfg)
+    pending_snapshots = register_sources(spark, cfg)
     for sql in cfg.prep_statements:
         spark.sql(sql)
     report = []
@@ -257,6 +323,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> list[dict]:
                 report.append({"id": stmt.id, "status": "error",
                                "error": str(e)[:500],
                                "trace": traceback.format_exc()[-2000:]})
+    if all(r["status"] == "ok" for r in report):
+        # advance incremental-source snapshot watermarks only when the whole
+        # run succeeded — a failed statement re-imports the same snapshot
+        # window next run (A6 semantics on the source side)
+        for view, snap in pending_snapshots.items():
+            _set_src_snapshot(cfg, view, snap)
     return report
 
 

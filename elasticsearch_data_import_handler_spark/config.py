@@ -61,6 +61,19 @@ class JdbcSource:
 
 
 @dataclass
+class IcebergSource:
+    """A lakehouse table registered as a view, optionally as an incremental
+    snapshot-range read ({lastSnapshot} watermark per statement state, the
+    Iceberg analog of A5's {lastRun}).  Catalog-gated: executable when the
+    session carries the Iceberg runtime + catalog conf (sources/iceberg.py
+    docstring), actionable error otherwise — the JDBC (A1) precedent."""
+
+    table: str                        # catalog.db.tbl
+    spark_table: str
+    incremental: bool = False
+
+
+@dataclass
 class Statement:
     id: str
     sql_query: str = ""
@@ -69,6 +82,7 @@ class Statement:
     order_field: str = ""              # latest-wins ordering col (A9 upsert)
     target_index: str = ""             # full-text index dir
     target_table: str = ""             # parquet table dir
+    target_iceberg_table: str = ""     # catalog.db.tbl — MERGE INTO upsert
     new_index_settings: dict = field(default_factory=dict)  # A8: tau/buckets
 
 
@@ -82,9 +96,11 @@ class PipelineConfig:
     filesystem_sources: list[FilesystemSource] = field(default_factory=list)
     table_sources: list[TableSource] = field(default_factory=list)
     jdbc_sources: list[JdbcSource] = field(default_factory=list)
+    iceberg_sources: list[IcebergSource] = field(default_factory=list)
     prep_statements: list[str] = field(default_factory=list)
     import_steps: list[ImportStep] = field(default_factory=list)
     state_dir: str = ""
+    catalog: str = ""                  # Iceberg catalog name ("" = JSON/parquet backend)
 
 
 def load_config(path: str) -> PipelineConfig:
@@ -121,6 +137,16 @@ def load_config(path: str) -> PipelineConfig:
                     format=s.get("format", "parquet"))
         for s in src.get("table", [])
     ]
+    ice = [
+        IcebergSource(table=s["table"],
+                      spark_table=s.get("sparkTable") or s.get("spark_table", ""),
+                      incremental=bool(s.get("incremental", False)))
+        for s in src.get("iceberg", [])
+    ]
+    catalog = raw.get("catalog", {})
+    catalog_name = catalog.get("name", "") if isinstance(catalog, dict) else str(catalog)
+    if ice and not catalog_name:
+        raise ValueError("sources.iceberg requires a top-level catalog.name")
     steps = []
     for step in raw.get("importSteps", []):
         stmts = [
@@ -132,16 +158,25 @@ def load_config(path: str) -> PipelineConfig:
                 order_field=s.get("orderField", ""),
                 target_index=s.get("targetIndex", ""),
                 target_table=s.get("targetTable", ""),
+                target_iceberg_table=s.get("targetIcebergTable", ""),
                 new_index_settings=s.get("newIndexSettings", {}),
             )
             for s in step.get("statements", [])
         ]
         steps.append(ImportStep(statements=stmts))
+    for step in steps:
+        for s in step.statements:
+            if s.target_iceberg_table and not catalog_name:
+                raise ValueError(
+                    f"statement {s.id}: targetIcebergTable requires a "
+                    "top-level catalog.name")
     return PipelineConfig(
         filesystem_sources=fs,
         table_sources=tbl,
         jdbc_sources=jdbc,
+        iceberg_sources=ice,
         prep_statements=raw.get("prepStatements", []),
         import_steps=steps,
         state_dir=raw.get("stateDir", os.path.join(os.getcwd(), "_dih_state")),
+        catalog=catalog_name,
     )

@@ -1,0 +1,135 @@
+"""Iceberg lakehouse integration: snapshot-range incremental reads and
+MERGE INTO upserts, catalog-gated.
+
+SURVEY.md §1.2's deployment story names Iceberg tables with snapshot-range
+incremental reads as the at-scale state/sink backend; rounds 1–3 shipped the
+JSON-state stand-in with "a real deployment swaps this for Iceberg" comments.
+This module makes the claim executable the way the JDBC source (A1) is:
+the code path is the real one — ``spark.read.format("iceberg")`` with
+``start-snapshot-id``/``end-snapshot-id`` options, ``MERGE INTO`` through the
+session catalog — and in a runtime without the Iceberg jar it raises ONE
+actionable error naming the jar and the catalog conf, instead of silently
+degrading.  The JSON-state/parquet backend stays the default (no catalog
+configured), so the sandbox gate and tests run unchanged.
+
+Deployment (public Iceberg quickstart surface):
+
+    spark-submit \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.lake.type=hadoop \
+      --conf spark.sql.catalog.lake.warehouse=s3://bucket/warehouse \
+      -m elasticsearch_data_import_handler_spark.app config.json
+
+with config ``{"catalog": {"name": "lake"}, "sources": {"iceberg": [...]}}``.
+
+Scale notes: snapshot-range reads scan only the data files appended between
+two snapshots (manifest pruning — the incremental import never rescans the
+table); MERGE INTO is Iceberg's copy-on-write/merge-on-read keyed upsert,
+the exact contract ``app.upsert_table`` implements over partitioned parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_JAR_HINT = (
+    "Iceberg runtime not available in this Spark session — add the "
+    "iceberg-spark-runtime jar (--packages org.apache.iceberg:"
+    "iceberg-spark-runtime-<spark_ver>_<scala_ver>:<ver>) and configure the "
+    "catalog (spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog, "
+    "spark.sql.catalog.<name>.type=hadoop|hive|rest, "
+    "spark.sql.catalog.<name>.warehouse=<path>)"
+)
+
+
+def catalog_configured(spark: SparkSession, name: str) -> bool:
+    """True when the session carries a catalog impl for ``name`` — the
+    config-dispatch gate: without it every iceberg source/sink raises the
+    actionable error below rather than a raw ClassNotFoundException."""
+    try:
+        return bool(spark.conf.get(f"spark.sql.catalog.{name}"))
+    except Exception:  # noqa: BLE001 — unset conf raises in Spark 4
+        return False
+
+
+def _actionable(table: str, e: Exception) -> RuntimeError:
+    return RuntimeError(
+        f"iceberg table '{table}' is unreachable: {_JAR_HINT}; "
+        f"underlying: {str(e)[:300]}"
+    )
+
+
+def read_snapshot_range(spark: SparkSession, table: str,
+                        start_snapshot_id: int | None = None,
+                        end_snapshot_id: int | None = None) -> DataFrame:
+    """Incremental scan: rows appended AFTER start_snapshot_id up to and
+    including end_snapshot_id (Iceberg's incremental-read contract — the
+    lakehouse analog of the {lastRun} window, A5).  No range → full scan."""
+    reader = spark.read.format("iceberg")
+    if start_snapshot_id is not None:
+        reader = reader.option("start-snapshot-id", str(start_snapshot_id))
+    if end_snapshot_id is not None:
+        reader = reader.option("end-snapshot-id", str(end_snapshot_id))
+    try:
+        return reader.load(table)
+    except Exception as e:  # noqa: BLE001
+        raise _actionable(table, e) from e
+
+
+def current_snapshot_id(spark: SparkSession, table: str) -> int | None:
+    """Latest committed snapshot id from the ``<table>.snapshots`` metadata
+    table — captured BEFORE the import query runs, so the next incremental
+    window starts exactly where this one ended (overlap-safe, same reasoning
+    as app.run_statement's thisRun-before-query)."""
+    try:
+        row = (spark.read.format("iceberg").load(f"{table}.snapshots")
+               .orderBy("committed_at", ascending=False)
+               .select("snapshot_id").head(1))
+    except Exception as e:  # noqa: BLE001
+        raise _actionable(table, e) from e
+    return int(row[0]["snapshot_id"]) if row else None
+
+
+def merge_upsert(spark: SparkSession, df: DataFrame, table: str,
+                 id_field: str, order_field: str = "") -> None:
+    """A9 keyed latest-wins upsert as an Iceberg MERGE INTO.
+
+    Incoming rows are first reduced to one-per-key (latest by order_field
+    when given — MERGE requires a unique source key), then merged through
+    the catalog; Iceberg turns this into a keyed copy-on-write/merge-on-read
+    rewrite of only the matched data files.  The WHEN MATCHED update is
+    conditional on the order column so a replayed older batch cannot regress
+    a newer committed row (idempotent, same contract as app.upsert_table)."""
+    from pyspark.sql import Window, functions as F
+
+    src = df
+    if order_field:
+        w = Window.partitionBy(id_field).orderBy(F.desc(order_field))
+        src = (df.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1).drop("__rn"))
+    else:
+        src = df.dropDuplicates([id_field])
+    view = f"__eidh_merge_src_{abs(hash(table)) % 10**8}"
+    src.createOrReplaceTempView(view)
+    cond = (f"t.{order_field} <= s.{order_field}" if order_field else "true")
+    try:
+        spark.sql(
+            f"MERGE INTO {table} t USING {view} s "
+            f"ON t.{id_field} = s.{id_field} "
+            f"WHEN MATCHED AND {cond} THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+    except Exception as e:  # noqa: BLE001
+        raise _actionable(table, e) from e
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+def append(spark: SparkSession, df: DataFrame, table: str) -> None:
+    """Append-only sink (lineage/commit-log tables): ``writeTo().append()``
+    — one atomic Iceberg snapshot per call."""
+    try:
+        df.writeTo(table).append()
+    except Exception as e:  # noqa: BLE001
+        raise _actionable(table, e) from e

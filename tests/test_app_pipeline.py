@@ -186,3 +186,83 @@ def test_upsert_migration_retry_after_crash(spark, tmp_path):
     assert out.count() == 100  # ghost row gone, legacy rows intact
     assert out.filter("k = 7").first()["v"] == 999
     assert not glob.glob(os.path.join(target, "*.parquet"))  # migrated
+
+
+def test_iceberg_source_catalog_gate(spark, tmp_path):
+    """Iceberg sources parse into the config model and are catalog-gated
+    (the JDBC/A1 precedent): without the runtime jar + catalog conf the
+    registration raises ONE actionable error naming both, not a raw
+    ClassNotFoundException, and never silently degrades to parquet."""
+    p = tmp_path / "ice.json"
+    p.write_text(json.dumps({
+        "stateDir": str(tmp_path / "state"),
+        "catalog": {"name": "lake"},
+        "sources": {"iceberg": [{
+            "table": "lake.crawl.pages", "sparkTable": "pages_ice",
+            "incremental": True,
+        }]},
+    }))
+    cfg = load_config(str(p))
+    assert cfg.catalog == "lake"
+    assert cfg.iceberg_sources[0].incremental
+    with pytest.raises(RuntimeError, match="catalog 'lake'"):
+        run_pipeline(spark, cfg)
+
+
+def test_iceberg_reader_actionable_without_runtime(spark):
+    """Even with the catalog conf set, a session without the Iceberg jar
+    must surface the runtime hint from the real read path (the format
+    lookup fails inside spark.read.format('iceberg').load)."""
+    from elasticsearch_data_import_handler_spark.sources import iceberg as ice
+
+    spark.conf.set("spark.sql.catalog.lake",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        assert ice.catalog_configured(spark, "lake")
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            ice.read_snapshot_range(spark, "lake.crawl.pages",
+                                    start_snapshot_id=1, end_snapshot_id=2)
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            ice.current_snapshot_id(spark, "lake.crawl.pages")
+    finally:
+        spark.conf.unset("spark.sql.catalog.lake")
+
+
+def test_iceberg_sink_requires_catalog_config(spark, tmp_path):
+    """targetIcebergTable without catalog.name is a config-layer error;
+    with catalog.name but no runtime the statement reports the actionable
+    error through the A10 report (run fails non-zero, not a crash)."""
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"importSteps": [{"statements": [{
+        "id": "s1", "sqlQuery": "SELECT 1 AS id",
+        "targetIcebergTable": "lake.out.t", "idField": "id"}]}]}))
+    with pytest.raises(ValueError, match="catalog.name"):
+        load_config(str(bad))
+
+    ok = tmp_path / "ok.json"
+    ok.write_text(json.dumps({
+        "stateDir": str(tmp_path / "state"),
+        "catalog": {"name": "lake"},
+        "importSteps": [{"statements": [{
+            "id": "s1", "sqlQuery": "SELECT 1 AS id, 'a' AS v",
+            "targetIcebergTable": "lake.out.t", "idField": "id"}]}],
+    }))
+    cfg = load_config(str(ok))
+    report = run_pipeline(spark, cfg)
+    assert report[0]["status"] == "error"
+    assert "catalog 'lake'" in report[0]["error"]
+
+
+def test_iceberg_merge_upsert_reaches_sql_layer(spark):
+    """merge_upsert builds the one-row-per-key source and issues a real
+    MERGE INTO through the session catalog; without the Iceberg catalog the
+    failure is wrapped actionably and the temp view is cleaned up."""
+    from elasticsearch_data_import_handler_spark.sources import iceberg as ice
+
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (1, 7, "b"), (2, 3, "c")], "id int, ver int, v string")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        ice.merge_upsert(spark, df, "lake.out.t", "id", order_field="ver")
+    leftover = [v.name for v in spark.catalog.listTables()
+                if v.name.startswith("__eidh_merge_src")]
+    assert leftover == []
