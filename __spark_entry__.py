@@ -46,12 +46,13 @@ _SQL_STATS = "stats AS (SELECT count(*)::BIGINT AS n_docs, sum(doc_len)::BIGINT 
 _SQL_DF = "dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)"
 
 
-def _ivf_kmeans_sql(n_queries: int = 5, k: int = 10, n_probe: int = 4,
-                    k_cells: int = 16, iters: int = 3, dim: int = 64) -> str:
-    """DuckDB replay of operators.similarity.ivf_topk INCLUDING its k-means
-    training loop: every step is integer-exact (quantized dots, index
-    tie-breaks, floor-of-mean updates), so the unrolled Lloyd iterations
-    land on bit-identical centroids and the final top-k hash-matches."""
+def _ivf_training_parts(n_queries: int, n_probe: int, k_cells: int,
+                        iters: int, dim: int) -> list[str]:
+    """Shared CTE prefix: the deterministic integer Lloyd loop unrolled,
+    ending at cc (candidate → nearest cell) and qq (query → n_probe probed
+    cells).  Every step is integer-exact (quantized dots, index tie-breaks,
+    floor-of-mean updates), so the iterations land on bit-identical
+    centroids in any engine."""
     dots = (f"list_sum(list_transform(range(1, {dim + 1}), "
             "i -> z.q[i]*c.c[i]))::DOUBLE")
     cnorm = "sqrt(greatest(list_sum(list_transform(c.c, x -> x*x)), 1)::DOUBLE)"
@@ -94,6 +95,17 @@ def _ivf_kmeans_sql(n_queries: int = 5, k: int = 10, n_probe: int = 4,
         "AND crank = 1)",
         f"qq AS (SELECT vec_id AS query_id, cell FROM rf "
         f"WHERE vec_id < {n_queries} AND crank <= {n_probe})",
+    ]
+    return parts
+
+
+def _ivf_kmeans_sql(n_queries: int = 5, k: int = 10, n_probe: int = 4,
+                    k_cells: int = 16, iters: int = 3, dim: int = 64) -> str:
+    """DuckDB replay of operators.similarity.ivf_topk INCLUDING its k-means
+    training loop (see _ivf_training_parts): exact cosine re-rank inside
+    the probed cells, so the final top-k hash-matches."""
+    parts = _ivf_training_parts(n_queries, n_probe, k_cells, iters, dim)
+    parts += [
         "sc AS (SELECT q.query_id, c.vec_id, list_cosine_similarity("
         "eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) AS cos "
         "FROM qq q JOIN cc c USING (cell) "
@@ -105,6 +117,82 @@ def _ivf_kmeans_sql(n_queries: int = 5, k: int = 10, n_probe: int = 4,
     return ("WITH " + ", ".join(parts)
             + f" SELECT query_id, rank, vec_id, round(cos, 4) AS cos "
               f"FROM r2 WHERE rank <= {k}")
+
+
+def _ivf_pq_sql(n_queries: int = 5, k: int = 10, n_probe: int = 4,
+                k_cells: int = 16, iters: int = 3, dim: int = 64,
+                M: int = 8, k_pq: int = 16, refine: int = 80) -> str:
+    """DuckDB replay of operators.similarity.ivf_pq_topk: the shared coarse
+    training prefix, then residual PQ — seed codebooks from the k_pq
+    smallest-md5 candidates' residual subvectors, ONE integer Lloyd
+    iteration (argmin of ||cb||² − 2·r·cb, low-code ties, floor-of-mean
+    update), final code assignment, integer ADC (q·c_cell + Σ_m q_m·cb_m),
+    top-refine by (ip DESC, vec_id) and exact cosine re-rank — every
+    intermediate integer-exact, so the final top-k hash-matches."""
+    dsub = dim // M
+    parts = _ivf_training_parts(n_queries, n_probe, k_cells, iters, dim)
+    obj = "sum(c.val*c.val - 2*r.r*c.val)"
+    parts += [
+        f"centv AS (SELECT cell, generate_subscripts(c, 1) - 1 AS pos, "
+        f"unnest(c) AS val FROM c{iters})",
+        f"rex AS (SELECT e.vec_id, e.pos, e.val - cv.val AS r, "
+        f"(e.pos // {dsub}) AS m, (e.pos % {dsub}) AS spos "
+        "FROM ex e JOIN cc k USING (vec_id) "
+        "JOIN centv cv ON cv.cell = k.cell AND cv.pos = e.pos)",
+        "pseeds AS (SELECT vec_id, row_number() OVER ("
+        "ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code FROM cand "
+        f"ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k_pq})",
+        "cb0 AS (SELECT s.code, r.m, r.spos, r.r AS val "
+        "FROM pseeds s JOIN rex r USING (vec_id))",
+        f"pd1 AS (SELECT r.vec_id, r.m, c.code, {obj} AS obj "
+        "FROM rex r JOIN cb0 c ON c.m = r.m AND c.spos = r.spos "
+        "GROUP BY r.vec_id, r.m, c.code)",
+        "pa1 AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, "
+        "row_number() OVER (PARTITION BY vec_id, m "
+        "ORDER BY obj ASC, code ASC) AS rn FROM pd1) WHERE rn = 1)",
+        "ps1 AS (SELECT a.m, a.code, r.spos, sum(r.r) AS s, count(*) AS n "
+        "FROM pa1 a JOIN rex r ON r.vec_id = a.vec_id AND r.m = a.m "
+        "GROUP BY a.m, a.code, r.spos)",
+        "cb1 AS (SELECT p.code, p.m, p.spos, CASE WHEN s.s IS NULL THEN "
+        "p.val ELSE floor(s.s * 1.0 / s.n)::BIGINT END AS val FROM cb0 p "
+        "LEFT JOIN ps1 s ON s.m = p.m AND s.code = p.code "
+        "AND s.spos = p.spos)",
+        f"pd2 AS (SELECT r.vec_id, r.m, c.code, {obj} AS obj "
+        "FROM rex r JOIN cb1 c ON c.m = r.m AND c.spos = r.spos "
+        "GROUP BY r.vec_id, r.m, c.code)",
+        "paf AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, "
+        "row_number() OVER (PARTITION BY vec_id, m "
+        "ORDER BY obj ASC, code ASC) AS rn FROM pd2) WHERE rn = 1)",
+        "qex AS (SELECT vec_id AS query_id, generate_subscripts(q, 1) - 1 "
+        f"AS pos, unnest(q) AS val FROM qz WHERE vec_id < {n_queries})",
+        "padc AS (SELECT q.query_id, c.vec_id, c.cell "
+        "FROM qq q JOIN cc c USING (cell))",
+        "ipc AS (SELECT p.query_id, p.vec_id, sum(qe.val * cv.val) AS ip "
+        "FROM padc p JOIN qex qe ON qe.query_id = p.query_id "
+        "JOIN centv cv ON cv.cell = p.cell AND cv.pos = qe.pos "
+        "GROUP BY p.query_id, p.vec_id)",
+        "ipq AS (SELECT p.query_id, p.vec_id, sum(qe.val * cb.val) AS ip "
+        "FROM padc p JOIN paf a ON a.vec_id = p.vec_id "
+        "JOIN cb1 cb ON cb.m = a.m AND cb.code = a.code "
+        f"JOIN qex qe ON qe.query_id = p.query_id "
+        f"AND qe.pos = a.m * {dsub} + cb.spos "
+        "GROUP BY p.query_id, p.vec_id)",
+        "adc AS (SELECT i.query_id, i.vec_id, i.ip + j.ip AS ip FROM ipc i "
+        "JOIN ipq j ON j.query_id = i.query_id AND j.vec_id = i.vec_id)",
+        "surv AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, "
+        "row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY ip DESC, vec_id ASC) AS rn FROM adc) WHERE rn <= {refine})",
+        "psc AS (SELECT s.query_id, s.vec_id, list_cosine_similarity("
+        "eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) AS cos "
+        "FROM surv s JOIN embeddings eq ON eq.vec_id = s.query_id "
+        "JOIN embeddings ec ON ec.vec_id = s.vec_id)",
+        "pr2 AS (SELECT query_id, vec_id, cos, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank "
+        "FROM psc)",
+    ]
+    return ("WITH " + ", ".join(parts)
+            + f" SELECT query_id, rank, vec_id, round(cos, 4) AS cos "
+              f"FROM pr2 WHERE rank <= {k}")
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -789,6 +877,27 @@ def q_ann_ivf(spark, sf_dir):
                         k=10, n_probe=4, k_cells=16, iters=3)
 
 
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ (Jégou et al. 2011): product-quantized residual codes (M=8
+    subspaces × 16 codes = 8 bytes/vector instead of 64 floats — the
+    10^10-vector memory path), integer ADC candidate scan in the probed
+    cells, exact cosine re-rank of the ADC top-80.  The DuckDB oracle
+    replays coarse training, PQ training, code assignment, and ADC
+    bit-identically."""
+    return SIM.ivf_pq_topk(_read(spark, sf_dir, "embeddings"), n_queries=5,
+                           k=10, n_probe=4, k_cells=16, iters=3, M=8,
+                           k_pq=16, pq_iters=1, refine=80)
+
+
+def q_ann_ivf_family(spark, sf_dir):
+    """Gate row: op='ivf' (the previously-gated raw-vector row verbatim) +
+    op='pq' (IVF-PQ) as a tagged union — both value-verified against the
+    unrolled DuckDB training replays."""
+    ivf = q_ann_ivf(spark, sf_dir).select(F.lit("ivf").alias("op"), "*")
+    pq = q_ann_ivf_pq(spark, sf_dir).select(F.lit("pq").alias("op"), "*")
+    return ivf.unionByName(pq)
+
+
 def q_range_join(spark, sf_dir):
     """Bucketed interval join (operator Spark SQL lacks): per purchase, the
     same user's view events within the following hour — equi-join on time
@@ -1399,7 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
+        "ann_ivf": q_ann_ivf_family,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         # text quality / training prep
         "repetition_metrics": q_repetition_metrics,
@@ -1970,7 +2079,8 @@ def oracle_sql() -> dict[str, str]:
             "JOIN embeddings eb ON eb.vec_id = id_b) "
             f"WHERE cos >= {NEARDUP_COS}"
         ),
-        "ann_ivf": _ivf_kmeans_sql(),
+        "ann_ivf": (f"SELECT 'ivf' AS op, * FROM ({_ivf_kmeans_sql()}) "
+                    f"UNION ALL SELECT 'pq' AS op, * FROM ({_ivf_pq_sql()})"),
         "ann_lsh": (
             f"WITH {srp_chain}, "
             "cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS vec_id "

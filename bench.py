@@ -215,7 +215,8 @@ def _bench_sf_queries(cpus: int, sf_dir: str) -> dict:
     names = ["bm25_topk", "term_freqs", "minhash_lsh", "simhash_neardup",
              "ngram_jaccard", "ann_topk", "dedup_exact", "quality_score",
              "tpch_pricing", "join_topn", "window_running", "sessionize",
-             "minhash_verified", "ann_ivf", "embedding_neardup_lsh",
+             "minhash_verified", "ann_ivf", "ann_ivf_pq",
+             "embedding_neardup_lsh",
              "range_join", "asof_join", "pack_sequences", "query_string",
              "search_facets", "more_like_this", "hybrid_rrf", "dis_max",
              "function_score", "pii_redact", "contamination",

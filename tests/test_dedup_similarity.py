@@ -163,3 +163,71 @@ def test_ivf_trained_recall_at_least_closed_form(spark, sf_dir):
     plan = trained_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_pq_recall_and_plan(spark, sf_dir):
+    """IVF-PQ (residual product quantization + integer ADC + exact re-rank
+    of the ADC top-80) must recall at least as much of the exact top-10 as
+    the raw-vector ivf_topk at the same (n_probe, k_cells) — the re-rank
+    window is what recall is bought with — return only candidate ids, and
+    plan without any cartesian product (assignment/ADC are Arrow kernels +
+    equi-joins)."""
+    from elasticsearch_data_import_handler_spark.operators.similarity import (
+        ivf_pq_topk, ivf_topk)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, n_queries=5, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def mean_recall(rows):
+        sets = {}
+        for r in rows:
+            sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(exact_sets[q] & sets.get(q, set())) / len(exact_sets[q])
+                   for q in exact_sets) / len(exact_sets)
+
+    pq_df = ivf_pq_topk(emb, n_queries=5, k=10, n_probe=4, k_cells=16,
+                        iters=3, M=8, k_pq=16, pq_iters=1, refine=80)
+    plan = pq_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    pq_rows = pq_df.collect()
+    for r in pq_rows:
+        assert r["vec_id"] >= 5
+    ivf_rows = ivf_topk(emb, n_queries=5, k=10, n_probe=4, k_cells=16,
+                        iters=3).collect()
+    # ADC is lossy: at refine=8k allow a whisker under raw-vector IVF
+    assert mean_recall(pq_rows) >= mean_recall(ivf_rows) - 0.05
+    # ...but with the re-rank window covering the whole candidate pool the
+    # two are the SAME algorithm (exact cosine over identical probed cells):
+    # result sets must be identical, proving ADC only reorders, never
+    # corrupts, the candidate set
+    pq_full = ivf_pq_topk(emb, n_queries=5, k=10, n_probe=4, k_cells=16,
+                          iters=3, M=8, k_pq=16, pq_iters=1,
+                          refine=10**6).collect()
+    assert ({(r["query_id"], r["vec_id"], r["cos"]) for r in pq_full}
+            == {(r["query_id"], r["vec_id"], r["cos"]) for r in ivf_rows})
+
+
+def test_ivf_pq_codes_shape(spark, sf_dir):
+    """The PQ code table (the persisted 100-TB artifact) must carry exactly
+    M codes per vector, each < k_pq — M bytes/vector is the memory story."""
+    from elasticsearch_data_import_handler_spark.operators.similarity import (
+        _assign_cells, _pq_assign_codes, _residuals, kmeans_centroids,
+        pq_codebooks)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    C = kmeans_centroids(emb, k=16, iters=1, n_queries=5)
+    cand = emb.filter(F.col("vec_id") >= 5)
+    cells = (_assign_cells(cand, C, n_probe=1, id_col="vec_id",
+                           vec_col="embedding")
+             .filter(F.col("crank") == 1).select("vec_id", "cell"))
+    res = _residuals(cand, cells, C, "vec_id", "embedding")
+    CB = pq_codebooks(res, M=8, k_pq=16, iters=1)
+    assert CB.shape == (8, 16, 8)
+    codes = _pq_assign_codes(res, CB)
+    agg = codes.groupBy("id").count().collect()
+    assert all(r["count"] == 8 for r in agg)
+    assert codes.filter((F.col("code") < 0) | (F.col("code") >= 16)).count() == 0
+    assert len(agg) == cand.count()
