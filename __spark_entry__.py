@@ -195,6 +195,80 @@ def _ivf_pq_sql(n_queries: int = 5, k: int = 10, n_probe: int = 4,
               f"FROM pr2 WHERE rank <= {k}")
 
 
+def _pack_cut_sql(src: str, tag: str) -> str:
+    """The concat-and-split cut over a (doc_id, chunk_id, n, g) CTE named
+    ``src`` — shared by both token modes of the pack_sequences row."""
+    return (
+        f"SELECT '{tag}' AS op, doc_id, chunk_id, seq_id::BIGINT AS seq_id, "
+        "(greatest(g, seq_id * 128) - seq_id * 128)::BIGINT AS seq_off, "
+        "(greatest(g, seq_id * 128) - g)::BIGINT AS tok_off, "
+        "(least(g + n, (seq_id + 1) * 128) "
+        "- greatest(g, seq_id * 128))::BIGINT AS piece_len "
+        f"FROM (SELECT doc_id, chunk_id, g, n, unnest(range("
+        "(g // 128)::BIGINT, ((g + n - 1) // 128 + 1)::BIGINT)) "
+        f"AS seq_id FROM {src})")
+
+
+def _pack_sequences_sql() -> str:
+    """DuckDB replay of the tagged pack_sequences row.  op='word': chunker
+    CTEs verbatim (the packed result transitively verifies chunk_documents),
+    then a global cumsum + per-piece unnest — the naive single-window cumsum
+    is fine HERE, the oracle is the spec; the Spark side scans it as a
+    two-level bucket prefix sum.  op='bpe': per-word BPE segmentation as a
+    RECURSIVE CTE — fuse the leftmost occurrence of the lowest-ranked
+    adjacent pair until none remains, the exact functions/bpe.py rule over
+    the exact checked-in merge list (rank = list_position in the embedded
+    literal) — then doc counts = Σ word-occurrence piece counts, and the
+    same cut."""
+    from elasticsearch_data_import_handler_spark.functions.bpe import (
+        load_merges)
+
+    pairs_lit = "[" + ", ".join(f"'{l} {r}'" for l, r in load_merges()) + "]"
+    rank_list = ("list_transform(range(1, len(pieces)), i -> "
+                 f"list_position({pairs_lit}, "
+                 "pieces[i] || ' ' || pieces[i + 1]))")
+    return (
+        "WITH RECURSIVE "
+        # -- word mode: analyzer chunker + cumsum
+        "d AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
+        "f AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 1), "
+        "st AS (SELECT doc_id, toks, range(1, len(toks) + 1, 48) AS rs FROM f), "
+        "ch AS (SELECT doc_id, unnest(rs) AS s, "
+        "generate_subscripts(rs, 1) - 1 AS chunk_id, toks FROM st), "
+        "cc AS (SELECT doc_id, chunk_id::BIGINT AS chunk_id, "
+        "toks[s:s+63] AS ctoks FROM ch), "
+        "ck AS (SELECT doc_id, chunk_id, len(ctoks)::BIGINT AS n FROM cc "
+        "WHERE len(ctoks) >= 1), "
+        "gg AS (SELECT doc_id, chunk_id, n, (sum(n) OVER ("
+        "ORDER BY doc_id, chunk_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)::BIGINT "
+        "AS g FROM ck), "
+        # -- bpe mode: recursive leftmost-best-pair segmentation
+        "w AS (SELECT DISTINCT unnest(toks) AS word FROM d), "
+        "seg(word, pieces, done) AS ("
+        "SELECT word, list_transform(range(1, len(word) + 1), "
+        "i -> word[i:i]), false FROM w "
+        "UNION ALL "
+        "SELECT word, CASE WHEN bi IS NULL THEN pieces "
+        "ELSE list_slice(pieces, 1, bi - 1) "
+        "|| [pieces[bi] || pieces[bi + 1]] "
+        "|| list_slice(pieces, bi + 2, len(pieces)) END, bi IS NULL "
+        f"FROM (SELECT word, pieces, list_position({rank_list}, "
+        f"list_min(list_filter({rank_list}, x -> x IS NOT NULL))) AS bi "
+        "FROM seg WHERE NOT done)), "
+        "segc AS (SELECT word, len(pieces)::BIGINT AS c FROM seg WHERE done), "
+        "tk AS (SELECT doc_id, unnest(toks) AS word FROM d), "
+        "dc AS (SELECT t.doc_id, sum(s.c)::BIGINT AS n FROM tk t "
+        "JOIN segc s USING (word) GROUP BY t.doc_id), "
+        "bgg AS (SELECT doc_id, 0::BIGINT AS chunk_id, n, "
+        "(sum(n) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)::BIGINT "
+        "AS g FROM dc WHERE n > 0) "
+        + _pack_cut_sql("gg", "word")
+        + " UNION ALL " + _pack_cut_sql("bgg", "bpe"))
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -788,6 +862,29 @@ def q_pack_sequences(spark, sf_dir):
 
     return pack_sequences(q_chunk_documents(spark, sf_dir),
                           seq_len=128, n_buckets=32)
+
+
+def q_pack_sequences_family(spark, sf_dir):
+    """Gate row, tagged: op='word' — the previously-gated analyzer-token
+    packing verbatim; op='bpe' — the same packer over SUBWORD counts from
+    the fixed BPE merge fixture (functions/bpe.py: leftmost-best-pair
+    segmentation, replayed in the oracle as a DuckDB recursive CTE over the
+    identical merge list — real pretraining packs subword tokens, and this
+    proves the whole chain is engine-agnostic)."""
+    from elasticsearch_data_import_handler_spark.functions.bpe import (
+        bpe_token_counts)
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        pack_sequences)
+
+    word = pack_sequences(q_chunk_documents(spark, sf_dir),
+                          seq_len=128, n_buckets=32) \
+        .select(F.lit("word").alias("op"), "*")
+    counts = (bpe_token_counts(_read(spark, sf_dir, "documents"))
+              .select("doc_id", F.lit(0).cast("long").alias("chunk_id"),
+                      "n_tokens"))
+    bpe = pack_sequences(counts, seq_len=128, n_buckets=32) \
+        .select(F.lit("bpe").alias("op"), "*")
+    return word.unionByName(bpe)
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -1513,7 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text quality / training prep
         "repetition_metrics": q_repetition_metrics,
         "unigram_loglik": q_unigram_loglik,
-        "pack_sequences": q_pack_sequences,
+        "pack_sequences": q_pack_sequences_family,
         "sampling": q_sampling,
         # delegated Spark SQL surface (set_ops tags union/except/intersect
         # ALL in one row; window_frames carries the ROWS and RANGE frames)
@@ -1960,34 +2057,7 @@ def oracle_sql() -> dict[str, str]:
             "AS snippet FROM documents "
             "WHERE strpos(lower(text), 'the spark') > 0"
         ),
-        "pack_sequences": (
-            # chunker CTEs verbatim (the packed result transitively verifies
-            # chunk_documents), then a global cumsum + per-piece unnest; the
-            # naive single-window cumsum is fine HERE — the oracle is the
-            # spec, the Spark side scans it as a two-level bucket prefix sum
-            "WITH d AS (SELECT doc_id, "
-            "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
-            "f AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 1), "
-            "st AS (SELECT doc_id, toks, range(1, len(toks) + 1, 48) AS rs FROM f), "
-            "ch AS (SELECT doc_id, unnest(rs) AS s, "
-            "generate_subscripts(rs, 1) - 1 AS chunk_id, toks FROM st), "
-            "cc AS (SELECT doc_id, chunk_id::BIGINT AS chunk_id, "
-            "toks[s:s+63] AS ctoks FROM ch), "
-            "ck AS (SELECT doc_id, chunk_id, len(ctoks)::BIGINT AS n FROM cc "
-            "WHERE len(ctoks) >= 1), "
-            "gg AS (SELECT doc_id, chunk_id, n, (sum(n) OVER ("
-            "ORDER BY doc_id, chunk_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)::BIGINT "
-            "AS g FROM ck), "
-            "p AS (SELECT doc_id, chunk_id, g, n, unnest(range("
-            "(g // 128)::BIGINT, ((g + n - 1) // 128 + 1)::BIGINT)) "
-            "AS seq_id FROM gg) "
-            "SELECT doc_id, chunk_id, seq_id::BIGINT AS seq_id, "
-            "(greatest(g, seq_id * 128) - seq_id * 128)::BIGINT AS seq_off, "
-            "(greatest(g, seq_id * 128) - g)::BIGINT AS tok_off, "
-            "(least(g + n, (seq_id + 1) * 128) "
-            "- greatest(g, seq_id * 128))::BIGINT AS piece_len FROM p"
-        ),
+        "pack_sequences": _pack_sequences_sql(),
         "sampling": (
             # thresholds in integer basis points — the operator resolves
             # round(rate*10000) driver-side, so both engines compare against

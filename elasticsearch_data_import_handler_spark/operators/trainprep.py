@@ -28,14 +28,22 @@ from pyspark.sql import DataFrame, functions as F
 
 def chunk_documents(documents: DataFrame, chunk_size: int = 64,
                     overlap: int = 16, id_col: str = "doc_id",
-                    text_col: str = "text", min_tokens: int = 1) -> DataFrame:
+                    text_col: str = "text", min_tokens: int = 1,
+                    tokens_col: str = "") -> DataFrame:
     """(doc_id, chunk_id, n_tokens, chunk_text): token windows of
     ``chunk_size`` starting every ``chunk_size - overlap`` tokens.  The last
-    window may be shorter (≥ min_tokens); empty docs yield no rows."""
+    window may be shorter (≥ min_tokens); empty docs yield no rows.
+
+    Tokens come from the analyzer regex over ``text_col`` by default; pass
+    ``tokens_col`` (an array<string> column, e.g. functions/bpe.py's
+    ``bpe_encode`` pieces) to window a SUBWORD stream instead — the
+    windowing stays pure JVM either way."""
     if not 0 <= overlap < chunk_size:
         raise ValueError("need 0 <= overlap < chunk_size")
     step = chunk_size - overlap
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    toks = (F.col(tokens_col) if tokens_col else
+            F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit("[a-z0-9]+"), 0))
     d = documents.select(F.col(id_col).alias("doc_id"), toks.alias("toks")) \
         .filter(F.size("toks") >= min_tokens)
     # chunk start positions (1-based): 1, 1+step, ... while start <= len

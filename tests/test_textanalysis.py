@@ -417,3 +417,91 @@ def test_quality_filter_composite(spark, sf_dir):
         assert r["keep"] == (not want)
         kept += r["keep"]
     assert 0 < kept < len(out)  # the chain must actually discriminate
+
+
+# ------------------------------------------------------------------- BPE
+
+def test_bpe_train_deterministic_and_matches_fixture(spark, sf_dir):
+    """Retraining on the same corpus reproduces the checked-in merge
+    fixture bit-for-bit (the determinism contract that lets the oracle
+    embed the merge list as a literal)."""
+    from elasticsearch_data_import_handler_spark.functions import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    trained = bpe.train_bpe(docs, n_merges=200, max_words=50_000)
+    if sf_dir.rstrip("/").endswith("sf0.01"):
+        assert trained == bpe.load_merges()
+    assert trained == bpe.train_bpe(docs, n_merges=200, max_words=50_000)
+
+
+def test_bpe_segment_properties():
+    """Segmentation invariants: concatenation round-trips to the word, a
+    word with no merges stays characters, merge priority is respected
+    (lower rank fuses first)."""
+    from elasticsearch_data_import_handler_spark.functions.bpe import (
+        bpe_segment)
+
+    ranks = {("a", "b"): 0, ("ab", "c"): 1, ("b", "c"): 2}
+    assert bpe_segment("abc", ranks) == ["abc"]      # ab (rank0) then abc
+    assert bpe_segment("bc", ranks) == ["bc"]        # rank2 alone
+    assert bpe_segment("xyz", ranks) == ["x", "y", "z"]
+    for w in ("abcabc", "aabbcc", "cab"):
+        assert "".join(bpe_segment(w, ranks)) == w
+
+
+def test_bpe_counts_and_pack_exactly_L(spark, sf_dir):
+    """BPE mode end-to-end: kernel counts equal the pure-Python reference,
+    and packing the BPE stream gives every sequence except the last exactly
+    seq_len tokens (the GPT-style packing invariant in subword mode)."""
+    import re
+
+    from elasticsearch_data_import_handler_spark.functions import bpe
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        pack_sequences)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe.load_merges()
+    ranks = {p: i for i, p in enumerate(merges)}
+    counts = bpe.bpe_token_counts(docs, merges)
+    got = {r["doc_id"]: r["n_tokens"] for r in counts.collect()}
+    rx = re.compile("[a-z0-9]+")
+    for row in docs.select("doc_id", "text").limit(50).collect():
+        want = sum(len(bpe.bpe_segment(w, ranks))
+                   for w in rx.findall(row["text"].lower()))
+        assert got[row["doc_id"]] == want
+    packed = pack_sequences(
+        counts.select("doc_id", F.lit(0).cast("long").alias("chunk_id"),
+                      "n_tokens"),
+        seq_len=128, n_buckets=32).collect()
+    per_seq = {}
+    for r in packed:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["piece_len"]
+    last = max(per_seq)
+    for sid, total in per_seq.items():
+        assert total == 128 or (sid == last and 0 < total <= 128), (sid, total)
+
+
+def test_bpe_chunking_windows_subword_stream(spark, sf_dir):
+    """chunk_documents(tokens_col=...) windows the encoded subword stream:
+    chunk token counts are full-size except the tail, and re-joining the
+    chunk pieces (accounting for overlap) reproduces the encoded stream."""
+    from elasticsearch_data_import_handler_spark.functions import bpe
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        chunk_documents)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    enc = bpe.bpe_encode(docs, bpe.load_merges())
+    ch = chunk_documents(enc, chunk_size=32, overlap=8,
+                         tokens_col="pieces").collect()
+    enc_rows = {r["doc_id"]: list(r["pieces"]) for r in enc.collect()}
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        stream = enc_rows[doc_id]
+        for i, r in enumerate(rows):
+            start = i * 24  # step = 32 - 8
+            want = stream[start:start + 32]
+            assert r["chunk_text"].split(" ") == want
+            assert r["n_tokens"] == len(want)
