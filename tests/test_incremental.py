@@ -56,6 +56,36 @@ def test_incremental_equals_full_rebuild(spark, full_and_incr):
         assert abs(fs - es) <= 1e-6, f"{key}: score {es} != {fs}"
 
 
+def test_lexicon_driver_path_matches_distributed(spark, tmp_path, monkeypatch):
+    """The per-commit lexicon generation has a data-sized dispatch: footer
+    row counts below _LEXICON_DRIVER_MAX_ROWS → driver-side pyarrow group-sum
+    (kills one Spark job of O(1) commit constant), above → distributed
+    groupBy.  Both paths must produce the identical (term, df) table,
+    including tombstone-driven df corrections."""
+    from elasticsearch_data_import_handler_spark.plans import build as B
+
+    def _lex(d):
+        gen = B._latest_lexicon_gen(d, read_state(d).committed_batches)
+        return {(r["term"], r["df"]) for r in
+                spark.read.parquet(B._lexicon_gen_dir(d, gen)).collect()}
+
+    b0 = synth_pages(spark, 200, seed=7, batches=2, batch=0)
+    b1 = synth_pages(spark, 200, seed=7, batches=2, batch=1)
+
+    drv_dir = str(tmp_path / "drv")
+    build_incremental(spark, [b0, b1], drv_dir, tau=TAU, n_buckets=4)
+    drv = _lex(drv_dir)
+
+    monkeypatch.setattr(B, "_LEXICON_DRIVER_MAX_ROWS", 0)
+    dist_dir = str(tmp_path / "dist")
+    build_incremental(spark, [b0, b1], dist_dir, tau=TAU, n_buckets=4)
+    dist = _lex(dist_dir)
+
+    assert drv == dist and len(drv) > 0
+    shutil.rmtree(drv_dir, ignore_errors=True)
+    shutil.rmtree(dist_dir, ignore_errors=True)
+
+
 def test_upserts_created_tombstones(spark, full_and_incr):
     """synth corpus re-emits 2% of urls with later warc_ts; when original and
     revision land in different batches the old version must be tombstoned."""
