@@ -599,15 +599,37 @@ def q_phrase_match(spark, sf_dir):
 
 
 def q_phrase_index(spark, sf_dir):
-    """Index-backed match_phrase: build the positional-postings index, run
-    the phrase through bucket-pruned position joins, map versioned doc_ids
-    back to native ids; the oracle recomputes phrase counts from raw text."""
+    """Positional-index query family in one tagged row: index-backed
+    match_phrase (op='phrase', the previously-gated row verbatim:
+    bucket-pruned position joins, versioned → native doc_ids), unordered
+    span_near (op='near': 'spark' and 'data' one-each inside a 3-position
+    window, counting distinct window minima — Lucene SpanNearQuery with
+    in_order=false), and span_first (op='first': 'data' among each doc's
+    first 10 tokens).  All three ride the same positional postings scan;
+    the oracle recomputes each from raw token positions (position deltas
+    are base-independent; span_first's boundary is stated as "first N
+    tokens" so the 1-based SQL replay uses pos <= N)."""
+    from elasticsearch_data_import_handler_spark.operators.spanquery import (
+        span_first,
+        span_near,
+    )
     from elasticsearch_data_import_handler_spark.operators.textsearch import (
         phrase_search_index)
 
     reader = _gate_index(spark, sf_dir)
     hits = phrase_search_index(spark, reader, "the spark")
-    return _native_doc_ids(reader, hits, ["n_occurrences"])
+    ph = _native_doc_ids(reader, hits, ["n_occurrences"]).select(
+        F.lit("phrase").alias("op"), "doc_id",
+        F.col("n_occurrences").cast("long").alias("n"))
+    near = span_near(spark, reader, ["spark", "data"], slop=2, in_order=False)
+    nr = _native_doc_ids(reader, near, ["n_matches"]).select(
+        F.lit("near").alias("op"), "doc_id",
+        F.col("n_matches").cast("long").alias("n"))
+    first = span_first(spark, reader, "data", 10)
+    fi = _native_doc_ids(reader, first, ["n_matches"]).select(
+        F.lit("first").alias("op"), "doc_id",
+        F.col("n_matches").cast("long").alias("n"))
+    return ph.unionByName(nr).unionByName(fi)
 
 
 def q_phrase_slop(spark, sf_dir):
@@ -931,7 +953,16 @@ def q_unigram_loglik(spark, sf_dir):
 # -------------------------------------------------------------- similarity
 
 def q_ann_topk(spark, sf_dir):
-    return SIM.cosine_topk(_read(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+    """ANN top-k in one tagged row: brute-force cosine (op='exact', the
+    correctness baseline) + SRP-LSH bucketed top-k (op='lsh', the scale
+    path; md5-Rademacher planes, bit-reproducible, so the oracle runs the
+    SAME pipeline) — previously two rows, merged to free a gate slot."""
+    emb = _read(spark, sf_dir, "embeddings")
+    ex = (SIM.cosine_topk(emb, n_queries=5, k=10)
+          .withColumn("op", F.lit("exact")))
+    ls = (SIM.lsh_bucketed_topk(emb, n_queries=5, k=10)
+          .withColumn("op", F.lit("lsh")))
+    return ex.unionByName(ls)
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -939,12 +970,50 @@ def q_embedding_neardup(spark, sf_dir):
                                        threshold=NEARDUP_COS)
 
 
-def q_ann_lsh(spark, sf_dir):
-    """LSH ANN top-k.  Approximate vs brute force by construction, but fully
-    deterministic: md5-Rademacher planes + quantized integer sign dots make
-    bucket assignment bit-reproducible, so the DuckDB oracle runs the SAME
-    LSH pipeline and the result hash-matches exactly."""
-    return SIM.lsh_bucketed_topk(_read(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+def q_geo(spark, sf_dir):
+    """ES geo query family (operators/geo.py) in one tagged row, over
+    md5-derived deterministic coordinates attached to customers (no table
+    carries lat/lon; the same conv(md5) arithmetic replays verbatim in the
+    oracle): op='dist' geo_distance within 600 km of (45, 20) counted per
+    market segment (bounding-box pre-filter is a pure prune — the oracle
+    applies only the haversine), op='box' geo_bounding_box counts,
+    op='tile' geotile_grid top-10 zoom-6 mercator cells, op='band'
+    geo_distance range bands.  Counts only — both engines evaluate the
+    identical IEEE-double trig formula, and md5 scatter makes a last-ulp
+    boundary flip a measure-zero event (documented in operators/geo.py)."""
+    from elasticsearch_data_import_handler_spark.operators.geo import (
+        geo_bounding_box,
+        geo_distance,
+        geo_distance_ranges,
+        geotile_grid,
+    )
+
+    h = F.md5(F.col("c_custkey").cast("string"))
+    pts = _read(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (F.lit(35.0) + (F.conv(F.substring(h, 1, 6), 16, 10).cast("long")
+                        % 20000) / 1000.0).alias("lat"),
+        (F.lit(0.0) + (F.conv(F.substring(h, 7, 6), 16, 10).cast("long")
+                       % 40000) / 1000.0).alias("lon"))
+    di = (geo_distance(pts, "lat", "lon", 45.0, 20.0, 600000.0)
+          .groupBy(F.col("c_mktsegment").alias("key"))
+          .agg(F.count(F.lit(1)).alias("n"))
+          .withColumn("op", F.lit("dist")))
+    bx = (geo_bounding_box(pts, "lat", "lon", top=50.0, left=10.0,
+                           bottom=40.0, right=30.0)
+          .groupBy(F.col("c_mktsegment").alias("key"))
+          .agg(F.count(F.lit(1)).alias("n"))
+          .withColumn("op", F.lit("box")))
+    ti = (geotile_grid(pts, "lat", "lon", zoom=6, size=10)
+          .select(F.col("tile").alias("key"),
+                  F.col("doc_count").cast("long").alias("n"),
+                  F.lit("tile").alias("op")))
+    ba = (geo_distance_ranges(pts, "lat", "lon", 45.0, 20.0,
+                              [400000.0, 800000.0])
+          .select(F.col("band").alias("key"),
+                  F.col("doc_count").cast("long").alias("n"),
+                  F.lit("band").alias("op")))
+    return di.unionByName(bx).unionByName(ti).unionByName(ba)
 
 
 def q_minhash_verified(spark, sf_dir):
@@ -1096,13 +1165,52 @@ def q_semi_anti_join(spark, sf_dir):
 def q_semi_anti_exists(spark, sf_dir):
     """Semi-join family in one tagged row: left-semi + left-anti customer
     splits and the correlated-EXISTS order counts (each branch is the
-    previously-gated query verbatim)."""
+    previously-gated query verbatim), plus the ES relational query surface
+    (operators/relational.py) the reference delegates to ES itself —
+    op='has_child' (customers with >= 2 orders over 100k, counted per
+    segment; child filtered + pre-aggregated before the parent join),
+    op='has_parent' (orders per priority whose parent customer is in
+    BUILDING; filtered-parent semi-join), and the nested-vs-object
+    distinction: op='nested' needs ONE order satisfying status='F' AND
+    totalprice > 150k simultaneously, op='object' lets each condition
+    match a DIFFERENT order of the same customer."""
+    from elasticsearch_data_import_handler_spark.operators.relational import (
+        has_child,
+        has_parent,
+        nested_match,
+        object_match,
+    )
+
     sa = q_semi_anti_join(spark, sf_dir).select(
         F.col("c_mktsegment").alias("grp"), "n",
         F.when(F.col("has_orders") == 1, "semi").otherwise("anti").alias("op"))
     ex = q_exists_subquery(spark, sf_dir).select(
         F.col("o_orderpriority").alias("grp"), "n", F.lit("exists").alias("op"))
-    return sa.unionByName(ex)
+    cu = _read(spark, sf_dir, "customer")
+    od = _read(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey")
+    hc = (has_child(cu, od, "c_custkey", "c_custkey",
+                    predicate=F.col("o_totalprice") > 100000.0,
+                    min_children=2)
+          .groupBy(F.col("c_mktsegment").alias("grp"))
+          .agg(F.count(F.lit(1)).alias("n"))
+          .withColumn("op", F.lit("has_child")))
+    hp = (has_parent(od, cu, "c_custkey", "c_custkey",
+                     predicate=F.col("c_mktsegment") == "BUILDING")
+          .groupBy(F.col("o_orderpriority").alias("grp"))
+          .agg(F.count(F.lit(1)).alias("n"))
+          .withColumn("op", F.lit("has_parent")))
+    conds = [F.col("o_orderstatus") == "F", F.col("o_totalprice") > 150000.0]
+    ne = (nested_match(cu, od, "c_custkey", "c_custkey", conds)
+          .groupBy(F.col("c_mktsegment").alias("grp"))
+          .agg(F.count(F.lit(1)).alias("n"))
+          .withColumn("op", F.lit("nested")))
+    ob = (object_match(cu, od, "c_custkey", "c_custkey", conds)
+          .groupBy(F.col("c_mktsegment").alias("grp"))
+          .agg(F.count(F.lit(1)).alias("n"))
+          .withColumn("op", F.lit("object")))
+    return sa.unionByName(ex).unionByName(hc).unionByName(hp) \
+             .unionByName(ne).unionByName(ob)
 
 
 def q_hybrid_rrf(spark, sf_dir):
@@ -1604,7 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified": q_minhash_verified,
         "simhash_neardup": q_simhash_neardup,
         "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
+        "geo": q_geo,
         "ann_ivf": q_ann_ivf_family,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         # text quality / training prep
@@ -2008,13 +2116,29 @@ def oracle_sql() -> dict[str, str]:
             "fg_count, bg_count FROM sigr WHERE rank <= 10"
         ),
         "phrase_index": (
+            # op='phrase' (the former single-op row verbatim) + span ops
+            # recomputed from raw token positions: op='near' unordered
+            # span_near('spark','data', slop=2) — distinct window minima
+            # over pairs with |Δpos| <= (n-1)+slop = 3 — and op='first'
+            # span_first('data', 10): stored 0-based pos < 10 == 1-based
+            # generate_subscripts pos <= 10.
             "WITH t AS (SELECT doc_id, "
             "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
             "sh AS (SELECT doc_id, unnest(list_transform("
             "range(1, greatest(len(toks) - 1, 0) + 1), "
-            "i -> array_to_string(toks[i:i+1], ' '))) AS g FROM t) "
-            "SELECT doc_id, count(*)::BIGINT AS n_occurrences FROM sh "
-            "WHERE g = 'the spark' GROUP BY doc_id"
+            "i -> array_to_string(toks[i:i+1], ' '))) AS g FROM t), "
+            "p AS (SELECT doc_id, unnest(toks) AS term, "
+            "generate_subscripts(toks, 1) AS pos FROM t), "
+            "nr AS (SELECT p1.doc_id, least(p1.pos, p2.pos) AS mn "
+            "FROM p p1 JOIN p p2 ON p2.doc_id = p1.doc_id "
+            "AND p2.term = 'data' AND abs(p1.pos - p2.pos) <= 3 "
+            "WHERE p1.term = 'spark') "
+            "SELECT 'phrase' AS op, doc_id, count(*)::BIGINT AS n FROM sh "
+            "WHERE g = 'the spark' GROUP BY doc_id "
+            "UNION ALL SELECT 'near', doc_id, count(DISTINCT mn)::BIGINT "
+            "FROM nr GROUP BY doc_id "
+            "UNION ALL SELECT 'first', doc_id, count(*)::BIGINT FROM p "
+            "WHERE term = 'data' AND pos <= 10 GROUP BY doc_id"
         ),
         "multi_match": (
             # per-field BM25 (title = first 8 tokens, boost 2.0; body,
@@ -2151,19 +2275,45 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf": (f"SELECT 'ivf' AS op, * FROM ({_ivf_kmeans_sql()}) "
                     f"UNION ALL SELECT 'pq' AS op, * FROM ({_ivf_pq_sql()})"),
-        "ann_lsh": (
-            f"WITH {srp_chain}, "
-            "cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS vec_id "
-            "FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig "
-            "WHERE a.vec_id < 5 AND b.vec_id >= 5), "
-            "scored AS (SELECT query_id, c.vec_id, "
-            "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cos "
-            "FROM cand c JOIN embeddings ea ON ea.vec_id = c.query_id "
-            "JOIN embeddings eb ON eb.vec_id = c.vec_id), "
-            "ranked AS (SELECT query_id, vec_id, cos, row_number() OVER ("
-            "PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) "
-            "SELECT query_id, rank, vec_id, round(cos, 4) AS cos FROM ranked "
-            "WHERE rank <= 10"
+        "geo": (
+            # md5-derived coordinates (conv of the same hex window, same
+            # modulus) + the engine's EXACT haversine spelling: left-assoc
+            # x * pi / 180 radians, 12742000.0 = 2*R folded by Python
+            # before the Column multiply, sin()*sin() not pow.  Counts
+            # only — see q_geo on libm last-ulp measure-zero reasoning.
+            # the 1000.0::DOUBLE cast makes DuckDB run the same IEEE ops
+            # as Spark (bigint / double, then double +) instead of exact
+            # DECIMAL arithmetic, which both overflows at pi-multiply and
+            # rounds differently at the last ulp
+            "WITH pts AS (SELECT c_mktsegment, "
+            "35.0 + (('0x'||substr(md5(c_custkey::VARCHAR),1,6))::BIGINT "
+            "% 20000) / 1000.0::DOUBLE AS lat, "
+            "0.0 + (('0x'||substr(md5(c_custkey::VARCHAR),7,6))::BIGINT "
+            "% 40000) / 1000.0::DOUBLE AS lon FROM customer), "
+            "d AS (SELECT c_mktsegment, lat, lon, 12742000.0 * asin(sqrt("
+            "sin(((45.0 - lat) * 3.141592653589793 / 180.0) / 2.0) * "
+            "sin(((45.0 - lat) * 3.141592653589793 / 180.0) / 2.0) + "
+            "cos(lat * 3.141592653589793 / 180.0) * "
+            "cos(45.0::DOUBLE * 3.141592653589793 / 180.0) * "
+            "sin(((20.0 - lon) * 3.141592653589793 / 180.0) / 2.0) * "
+            "sin(((20.0 - lon) * 3.141592653589793 / 180.0) / 2.0))) "
+            "AS dist FROM pts) "
+            "SELECT 'dist' AS op, c_mktsegment AS key, count(*)::BIGINT AS n "
+            "FROM d WHERE dist <= 600000.0 GROUP BY c_mktsegment "
+            "UNION ALL SELECT 'box', c_mktsegment, count(*)::BIGINT "
+            "FROM pts WHERE lat <= 50.0 AND lat >= 40.0 "
+            "AND lon >= 10.0 AND lon <= 30.0 GROUP BY c_mktsegment "
+            "UNION ALL SELECT 'tile', key, n FROM ("
+            "SELECT '6/' || floor((lon + 180.0) / 360.0 * 64.0)"
+            "::BIGINT::VARCHAR || '/' || floor((1.0 - ln("
+            "tan(lat * 3.141592653589793 / 180.0) + "
+            "1.0 / cos(lat * 3.141592653589793 / 180.0)) "
+            "/ 3.141592653589793) / 2.0 * 64.0)::BIGINT::VARCHAR AS key, "
+            "count(*)::BIGINT AS n FROM pts GROUP BY 1 "
+            "ORDER BY n DESC, key ASC LIMIT 10) "
+            "UNION ALL SELECT 'band', CASE WHEN dist < 400000.0 "
+            "THEN '*-400000' WHEN dist < 800000.0 THEN '400000-800000' "
+            "ELSE '800000-*' END, count(*)::BIGINT FROM d GROUP BY 2"
         ),
         "range_join": (
             "WITH p AS (SELECT user_id, event_id, epoch(ts)::BIGINT AS t "
@@ -2212,7 +2362,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority AS grp, count(*)::BIGINT AS n, "
             "'exists' AS op FROM orders "
             "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
-            "AND l_discount >= 0.09) GROUP BY o_orderpriority"
+            "AND l_discount >= 0.09) GROUP BY o_orderpriority "
+            # ES relational surface: has_child / has_parent / nested vs
+            # object (see q_semi_anti_exists docstring for semantics)
+            "UNION ALL "
+            "SELECT c_mktsegment AS grp, count(*)::BIGINT AS n, "
+            "'has_child' AS op FROM customer JOIN ("
+            "SELECT o_custkey, count(*)::BIGINT AS n_ch FROM orders "
+            "WHERE o_totalprice > 100000.0 GROUP BY o_custkey "
+            "HAVING count(*) >= 2) ch ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment "
+            "UNION ALL "
+            "SELECT o_orderpriority AS grp, count(*)::BIGINT AS n, "
+            "'has_parent' AS op FROM orders WHERE o_custkey IN ("
+            "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') "
+            "GROUP BY o_orderpriority "
+            "UNION ALL "
+            "SELECT c_mktsegment AS grp, count(*)::BIGINT AS n, "
+            "'nested' AS op FROM customer WHERE EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderstatus = 'F' AND o_totalprice > 150000.0) "
+            "GROUP BY c_mktsegment "
+            "UNION ALL "
+            "SELECT c_mktsegment AS grp, count(*)::BIGINT AS n, "
+            "'object' AS op FROM customer WHERE EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderstatus = 'F') AND EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_totalprice > 150000.0) GROUP BY c_mktsegment"
         ),
         "hybrid": (
             # BM25 leg (bool should over spark/index/merge, top-100 by
@@ -2350,12 +2527,28 @@ def oracle_sql() -> dict[str, str]:
             "AS score FROM scored WHERE must_hits = 1"
         ),
         "ann_topk": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5), "
+            # op='exact' brute force + op='lsh' SRP-bucketed (the former
+            # ann_lsh row verbatim, running the SAME quantized-sign LSH
+            # pipeline — bucket assignment is bit-reproducible)
+            f"WITH {srp_chain}, "
+            "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5), "
             "c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5), "
-            "scored AS (SELECT query_id, vec_id, list_cosine_similarity(qv, cv) AS cos FROM q CROSS JOIN c), "
-            "ranked AS (SELECT query_id, vec_id, cos, "
-            "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) "
-            "SELECT query_id, rank, vec_id, round(cos, 4) AS cos FROM ranked WHERE rank <= 10"
+            "escored AS (SELECT query_id, vec_id, list_cosine_similarity(qv, cv) AS cos FROM q CROSS JOIN c), "
+            "eranked AS (SELECT query_id, vec_id, cos, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM escored), "
+            "cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS vec_id "
+            "FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig "
+            "WHERE a.vec_id < 5 AND b.vec_id >= 5), "
+            "lscored AS (SELECT query_id, cn.vec_id, "
+            "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cos "
+            "FROM cand cn JOIN embeddings ea ON ea.vec_id = cn.query_id "
+            "JOIN embeddings eb ON eb.vec_id = cn.vec_id), "
+            "lranked AS (SELECT query_id, vec_id, cos, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM lscored) "
+            "SELECT 'exact' AS op, query_id, rank, vec_id, round(cos, 4) AS cos "
+            "FROM eranked WHERE rank <= 10 "
+            "UNION ALL SELECT 'lsh', query_id, rank, vec_id, round(cos, 4) "
+            "FROM lranked WHERE rank <= 10"
         ),
         "tpch_pricing": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

@@ -1,0 +1,137 @@
+"""ES geo queries and the geotile_grid aggregation, engine-native.
+
+The kohesive reference delegates geo search (geo_distance / geo_bounding_box
+filters, geotile_grid aggregation) to Elasticsearch; this module is the
+Spark-native equivalent over plain (lat, lon) double columns.
+
+Everything here is built-in JVM expressions — trig, comparisons, floor —
+inside whole-stage codegen; filters sit directly above the scan so lat/lon
+range predicates push down to parquet.  The same formulas are expressible
+verbatim in ANSI SQL, which is what makes the gate rows hash-matchable:
+
+* distance: haversine on a 6,371,000 m sphere (the standard public
+  great-circle approximation; ES uses the same sphere for ``arc`` type).
+* geotile cell: web-mercator tile (z, x, y) —
+  x = floor((lon + 180) / 360 * 2^z),
+  y = floor((1 - ln(tan(rad(lat)) + 1/cos(rad(lat))) / pi) / 2 * 2^z) —
+  exactly ES ``geotile_grid`` bucket keys "z/x/y".
+
+Boundary caveat (documented, not hidden): both engines evaluate the same
+IEEE-double formula, but their libm implementations may differ in the last
+ulp, so a point EXACTLY on a radius/tile boundary could in principle land
+differently; gate fixtures use md5-derived coordinates, making that a
+measure-zero event.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6371000.0
+_PI = 3.141592653589793
+
+
+def _rad(x: Column) -> Column:
+    """Degrees → radians as x * pi / 180 with FIXED operation order.
+
+    Deliberately NOT F.radians: Spark's RADIANS is Java's toRadians
+    (x / 180 * pi) while DuckDB's is x * (pi/180) — three different IEEE
+    orderings of the same conversion, off by an ulp for some inputs.  An
+    explicit left-associated x * pi / 180 is the one spelling every SQL
+    engine reproduces bit-for-bit, which keeps gate hashes stable."""
+    return x * _PI / 180.0
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in metres between two (lat, lon) points."""
+    dphi = _rad(lat2 - lat1) / 2.0
+    dlam = _rad(lon2 - lon1) / 2.0
+    a = (F.sin(dphi) * F.sin(dphi)
+         + F.cos(_rad(lat1)) * F.cos(_rad(lat2))
+         * F.sin(dlam) * F.sin(dlam))
+    return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(a))
+
+
+def geo_distance(df: DataFrame, lat_col: str, lon_col: str,
+                 center_lat: float, center_lon: float,
+                 radius_m: float) -> DataFrame:
+    """ES geo_distance filter: rows within ``radius_m`` of the center,
+    with the computed ``distance_m`` kept for sorting/inspection.
+
+    A cheap bounding-box pre-filter (sargable, pushes down to the scan)
+    brackets the circle before the trig runs.  Soundness on the haversine
+    sphere: one degree of great-circle arc is pi*R/180 = 111,194.93 m, so
+    the latitude half-width uses the smaller divisor 111,000 (over-covers
+    by ~0.18%); the longitude half-width divides by cos at the WORST
+    (highest-|lat|) edge of the latitude band — the cap's lon extent peaks
+    there, so taking the MINIMUM cosine over-covers.  (A cap touching a
+    pole drives the cosine to the 1e-9 floor, which degenerates to an
+    everything-passes lon filter — still sound.)  The exact haversine test
+    below the box is what decides membership; the box only prunes."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    dlat = float(radius_m) / 111000.0
+    import math
+
+    coslat = max(min(math.cos(math.radians(center_lat + dlat)),
+                     math.cos(math.radians(center_lat - dlat))), 1e-9)
+    dlon = float(radius_m) / (111000.0 * coslat)
+    boxed = df.filter((lat >= center_lat - dlat) & (lat <= center_lat + dlat)
+                      & (lon >= center_lon - dlon) & (lon <= center_lon + dlon))
+    d = haversine_m(lat, lon, F.lit(float(center_lat)), F.lit(float(center_lon)))
+    return (boxed.withColumn("distance_m", d)
+            .filter(F.col("distance_m") <= float(radius_m)))
+
+
+def geo_bounding_box(df: DataFrame, lat_col: str, lon_col: str,
+                     top: float, left: float,
+                     bottom: float, right: float) -> DataFrame:
+    """ES geo_bounding_box filter (non-antimeridian-crossing box)."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    return df.filter((lat <= float(top)) & (lat >= float(bottom))
+                     & (lon >= float(left)) & (lon <= float(right)))
+
+
+def geotile_cell(lat: Column, lon: Column, zoom: int) -> Column:
+    """Web-mercator tile key "z/x/y" for a point — ES geotile_grid's
+    bucket key.  Valid for |lat| <= 85.05112878 (the mercator limit)."""
+    n = float(1 << int(zoom))
+    x = F.floor((lon + 180.0) / 360.0 * n)
+    phi = _rad(lat)
+    y = F.floor((1.0 - F.log(F.tan(phi) + 1.0 / F.cos(phi))
+                 / F.lit(_PI)) / 2.0 * n)
+    return F.concat_ws("/", F.lit(str(int(zoom))),
+                       x.cast("long").cast("string"),
+                       y.cast("long").cast("string"))
+
+
+def geotile_grid(df: DataFrame, lat_col: str, lon_col: str, zoom: int,
+                 size: int = 10) -> DataFrame:
+    """ES geotile_grid aggregation: top ``size`` mercator tiles by row
+    count at ``zoom``, deterministic total order (count desc, key asc).
+
+    Scale shape: one map-side-combined groupBy on a short string key
+    (#cells <= 4^zoom, and in practice the occupied-cell count), then a
+    distributed TakeOrdered cut — never a single-partition sort of all
+    cells."""
+    cell = geotile_cell(F.col(lat_col), F.col(lon_col), zoom)
+    agg = (df.select(cell.alias("tile"))
+           .groupBy("tile").agg(F.count(F.lit(1)).alias("doc_count")))
+    return (agg.orderBy(F.desc("doc_count"), F.asc("tile")).limit(int(size)))
+
+
+def geo_distance_ranges(df: DataFrame, lat_col: str, lon_col: str,
+                        center_lat: float, center_lon: float,
+                        edges_m: list[float]) -> DataFrame:
+    """ES geo_distance range aggregation: row counts per concentric
+    distance band [edge_i, edge_{i+1}) around the center, plus the
+    open-ended outer band.  One pass, one map-side-combined groupBy."""
+    d = haversine_m(F.col(lat_col), F.col(lon_col),
+                    F.lit(float(center_lat)), F.lit(float(center_lon)))
+    edges = sorted(float(e) for e in edges_m)
+    band = F.when(d < edges[0], F.lit(f"*-{edges[0]:g}"))
+    for lo, hi in zip(edges, edges[1:]):
+        band = band.when(d < hi, F.lit(f"{lo:g}-{hi:g}"))
+    band = band.otherwise(F.lit(f"{edges[-1]:g}-*"))
+    return (df.select(band.alias("band"))
+            .groupBy("band").agg(F.count(F.lit(1)).alias("doc_count")))

@@ -1,0 +1,150 @@
+"""Index aliases — the ES _aliases API surface, engine-native.
+
+The kohesive reference's import targets are concrete ES indexes; alias
+indirection (read aliases fanning out over several indexes, FILTERED
+aliases baking a query into the name, and a single write index per
+alias for zero-downtime reindex flips) is provided by ES itself.  This
+module is that layer for our on-disk indexes.
+
+Storage: one ``aliases.json`` at a catalog root directory that contains
+(or points at) index directories.  Updates are atomic (temp + rename,
+same discipline as ``state.py``), and ``actions([...])`` applies a batch
+of add/remove operations in ONE rename — the ES ``_aliases`` API's
+atomic-swap semantics, which is what makes the blue/green reindex flip
+(remove alias from old, add to new, in one action list) safe for
+concurrent readers.
+
+A filtered alias stores bool-query clause lists (must / must_not term
+lists); ``merged_clauses`` folds them into a caller's own clauses so any
+query routed through the alias is automatically scoped — the ES pattern
+for multi-tenant indexes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+class AliasCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        self._path = os.path.join(root, "aliases.json")
+
+    # -- storage ---------------------------------------------------------
+    def _load(self) -> dict:
+        if not os.path.exists(self._path):
+            return {}
+        with open(self._path) as f:
+            return json.load(f)
+
+    def _store(self, data: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._path)
+
+    # -- ES _aliases API ---------------------------------------------------
+    def actions(self, acts: list[dict]) -> None:
+        """Atomic batch: [{"add": {"alias", "index", "filter"?,
+        "is_write_index"?}} | {"remove": {"alias", "index"}}], applied to
+        an in-memory copy then committed with one rename."""
+        data = self._load()
+        for act in acts:
+            if "add" in act:
+                a = act["add"]
+                entries = data.setdefault(a["alias"], [])
+                entries = [e for e in entries if e["index"] != a["index"]]
+                entries.append({
+                    "index": a["index"],
+                    "filter": a.get("filter"),
+                    "is_write_index": bool(a.get("is_write_index", False)),
+                })
+                data[a["alias"]] = entries
+            elif "remove" in act:
+                r = act["remove"]
+                entries = [e for e in data.get(r["alias"], [])
+                           if e["index"] != r["index"]]
+                if entries:
+                    data[r["alias"]] = entries
+                else:
+                    data.pop(r["alias"], None)
+            else:
+                raise ValueError(f"unknown alias action {act!r}")
+        self._store(data)
+
+    def add(self, alias: str, index: str, filter: dict | None = None,
+            is_write_index: bool = False) -> None:
+        self.actions([{"add": {"alias": alias, "index": index,
+                               "filter": filter,
+                               "is_write_index": is_write_index}}])
+
+    def remove(self, alias: str, index: str) -> None:
+        self.actions([{"remove": {"alias": alias, "index": index}}])
+
+    # -- resolution --------------------------------------------------------
+    def resolve(self, name: str) -> list[dict]:
+        """Alias → its entries; a name with no alias entry resolves to
+        itself unfiltered (ES lets you query concrete indexes by name)."""
+        data = self._load()
+        if name in data:
+            return data[name]
+        return [{"index": name, "filter": None, "is_write_index": False}]
+
+    def write_index(self, alias: str) -> str:
+        """The single index writes through this alias land in.  ES rule:
+        one entry → that index; several → exactly one must be flagged
+        is_write_index, else the write is rejected."""
+        entries = self.resolve(alias)
+        if len(entries) == 1:
+            return entries[0]["index"]
+        flagged = [e["index"] for e in entries if e["is_write_index"]]
+        if len(flagged) != 1:
+            raise ValueError(
+                f"alias {alias!r} spans {len(entries)} indexes with "
+                f"{len(flagged)} write indexes — exactly one must set "
+                f"is_write_index")
+        return flagged[0]
+
+    def index_dir(self, index: str) -> str:
+        """Index name → directory (absolute names pass through)."""
+        return index if os.path.isabs(index) else os.path.join(self.root, index)
+
+
+def merged_clauses(entry_filter: dict | None, must=None, should=None,
+                   must_not=None) -> dict:
+    """Fold a filtered alias's stored bool clauses into the caller's own
+    (alias filter terms become additional must / must_not conjuncts)."""
+    f = entry_filter or {}
+    return {
+        "must": list(must or []) + list(f.get("must") or []),
+        "should": list(should or []),
+        "must_not": list(must_not or []) + list(f.get("must_not") or []),
+    }
+
+
+def search_alias(spark, catalog: AliasCatalog, name: str, must=None,
+                 should=None, must_not=None, min_should: int = 0,
+                 round_to: int | None = 4):
+    """bool_query routed through an alias: resolve, merge the stored
+    filter into the clauses, run per resolved index, union results with
+    the index name attached.  Readers are opened lazily per entry; a
+    multi-index alias is a plan-level union of per-index scans (each
+    partition-pruned independently)."""
+    from ..operators.textsearch import bool_query
+    from .build import IndexReader
+
+    out = None
+    for entry in catalog.resolve(name):
+        from pyspark.sql import functions as F
+
+        reader = IndexReader(spark, catalog.index_dir(entry["index"]))
+        cl = merged_clauses(entry["filter"], must, should, must_not)
+        hits = bool_query(spark, reader, must=cl["must"] or None,
+                          should=cl["should"] or None,
+                          must_not=cl["must_not"] or None,
+                          min_should=min_should, round_to=round_to)
+        hits = hits.withColumn("index", F.lit(entry["index"]))
+        out = hits if out is None else out.unionByName(hits)
+    return out

@@ -1,0 +1,357 @@
+"""Span queries, geo queries, parent-child/nested, and index aliases vs
+brute-force Python ground truth (tiny fixture corpus / tables)."""
+
+import math
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_data_import_handler_spark.operators.dedup import dedup_latest
+from elasticsearch_data_import_handler_spark.operators.geo import (
+    geo_bounding_box,
+    geo_distance,
+    geo_distance_ranges,
+    geotile_cell,
+    geotile_grid,
+)
+from elasticsearch_data_import_handler_spark.operators.relational import (
+    has_child,
+    has_parent,
+    nested_match,
+    object_match,
+)
+from elasticsearch_data_import_handler_spark.operators.spanquery import (
+    span_first,
+    span_near,
+    span_or,
+)
+from elasticsearch_data_import_handler_spark.operators.textsearch import (
+    phrase_search_slop,
+)
+from elasticsearch_data_import_handler_spark.plans.aliases import (
+    AliasCatalog,
+    merged_clauses,
+    search_alias,
+)
+from elasticsearch_data_import_handler_spark.plans.build import (
+    IndexReader,
+    build_index,
+    docs_versioned,
+)
+from elasticsearch_data_import_handler_spark.sources.corpus import synth_pages
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("spanidx"))
+    pages = synth_pages(spark, 300, seed=42)
+    build_index(spark, pages, d, tau=100, n_buckets=4, positions=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(spark):
+    docs = docs_versioned(dedup_latest(synth_pages(spark, 300, seed=42)))
+    return {r["doc_id"]: list(r["tokens"])
+            for r in docs.select("doc_id", "tokens").collect()}
+
+
+# ---------------------------------------------------------------- span
+
+
+def _unordered_truth(tokens_by_doc, words, slop):
+    """n_matches = distinct minima over position tuples (one per term)
+    with max - min <= (n-1)+slop."""
+    import itertools
+
+    maxspan = len(words) - 1 + slop
+    out = {}
+    for doc_id, toks in tokens_by_doc.items():
+        pos = {w: [i for i, t in enumerate(toks) if t == w] for w in set(words)}
+        if any(not pos[w] for w in words):
+            continue
+        mins = set()
+        for tup in itertools.product(*(pos[w] for w in words)):
+            if max(tup) - min(tup) <= maxspan:
+                mins.add(min(tup))
+        if mins:
+            out[doc_id] = len(mins)
+    return out
+
+
+def test_span_near_ordered_equals_phrase_slop(spark, pos_index):
+    reader = IndexReader(spark, pos_index)
+    a = {r["doc_id"]: r["n_matches"]
+         for r in span_near(spark, reader, ["the", "spark"],
+                            slop=2, in_order=True).collect()}
+    b = {r["doc_id"]: r["n_matches"]
+         for r in phrase_search_slop(spark, reader, "the spark",
+                                     slop=2).collect()}
+    assert a == b and a
+
+
+def test_span_near_unordered_bruteforce(spark, pos_index, doc_tokens):
+    reader = IndexReader(spark, pos_index)
+    words, slop = ["spark", "the"], 2
+    got = {r["doc_id"]: r["n_matches"]
+           for r in span_near(spark, reader, words, slop=slop,
+                              in_order=False).collect()}
+    assert got == _unordered_truth(doc_tokens, words, slop) and got
+
+
+def test_span_near_unordered_superset_of_ordered(spark, pos_index):
+    reader = IndexReader(spark, pos_index)
+    o = {r["doc_id"] for r in span_near(spark, reader, ["of", "spark"],
+                                        slop=5, in_order=True).collect()}
+    u = {r["doc_id"] for r in span_near(spark, reader, ["of", "spark"],
+                                        slop=5, in_order=False).collect()}
+    assert o <= u
+
+
+def test_span_near_unordered_rejects_duplicate_terms(spark, pos_index):
+    reader = IndexReader(spark, pos_index)
+    with pytest.raises(ValueError):
+        span_near(spark, reader, ["fast", "fast"], in_order=False)
+
+
+def test_span_first_bruteforce(spark, pos_index, doc_tokens):
+    reader = IndexReader(spark, pos_index)
+    end = 12
+    got = {r["doc_id"]: r["n_matches"]
+           for r in span_first(spark, reader, "the", end).collect()}
+    want = {}
+    for doc_id, toks in doc_tokens.items():
+        n = sum(1 for t in toks[:end] if t == "the")
+        if n:
+            want[doc_id] = n
+    assert got == want and got
+
+
+def test_span_or_bruteforce(spark, pos_index, doc_tokens):
+    reader = IndexReader(spark, pos_index)
+    got = {r["doc_id"]: r["n_matches"]
+           for r in span_or(spark, reader, ["merge", "vector"]).collect()}
+    want = {}
+    for doc_id, toks in doc_tokens.items():
+        n = sum(1 for t in toks if t in ("merge", "vector"))
+        if n:
+            want[doc_id] = n
+    assert got == want and got
+
+
+# ---------------------------------------------------------------- geo
+
+
+@pytest.fixture(scope="module")
+def geo_points(spark):
+    """Deterministic points around Berlin: 400 rows, md5-derived offsets."""
+    rows = spark.range(400).select(
+        F.col("id"),
+        (F.lit(52.0)
+         + (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 6),
+                   16, 10).cast("long") % 2000) / 1000.0).alias("lat"),
+        (F.lit(13.0)
+         + (F.conv(F.substring(F.md5(F.col("id").cast("string")), 7, 6),
+                   16, 10).cast("long") % 2000) / 1000.0).alias("lon"))
+    return rows
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = math.radians(lat2 - lat1) / 2, math.radians(lon2 - lon1) / 2
+    a = math.sin(dp) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl) ** 2
+    return 2 * 6371000.0 * math.asin(math.sqrt(a))
+
+
+def test_geo_distance_bruteforce(spark, geo_points):
+    pts = geo_points.collect()
+    got = {r["id"] for r in geo_distance(geo_points, "lat", "lon",
+                                         52.52, 13.405, 60000.0).collect()}
+    want = {r["id"] for r in pts
+            if _hav(r["lat"], r["lon"], 52.52, 13.405) <= 60000.0}
+    assert got == want and 0 < len(got) < len(pts)
+
+
+def test_geo_distance_values_match_python(spark, geo_points):
+    out = geo_distance(geo_points, "lat", "lon", 52.52, 13.405, 60000.0)
+    for r in out.limit(20).collect():
+        assert abs(r["distance_m"]
+                   - _hav(r["lat"], r["lon"], 52.52, 13.405)) < 1e-6
+
+
+def test_geo_distance_rim_not_pruned(spark):
+    """Regression: the bounding-box pre-filter must not exclude points just
+    inside the radius (due-east rim point at 99.9% of r — the spot the old
+    111,320 m/deg divisor + max-cos box wrongly pruned)."""
+    clat, clon, r = 52.52, 13.405, 60000.0
+    pts = spark.createDataFrame(
+        [(1, clat, clon + 0.886), (2, clat + 0.5389, clon),
+         (3, clat, clon + 0.90)],  # 3 is just OUTSIDE the radius
+        "id int, lat double, lon double")
+    rows = {r2["id"]: r2["distance_m"]
+            for r2 in geo_distance(pts, "lat", "lon", clat, clon, r).collect()}
+    assert set(rows) == {1, 2}
+    assert all(d <= r for d in rows.values())
+
+
+def test_geo_bounding_box(spark, geo_points):
+    pts = geo_points.collect()
+    got = {r["id"] for r in geo_bounding_box(
+        geo_points, "lat", "lon", top=53.0, left=13.2,
+        bottom=52.3, right=14.0).collect()}
+    want = {r["id"] for r in pts
+            if 52.3 <= r["lat"] <= 53.0 and 13.2 <= r["lon"] <= 14.0}
+    assert got == want and got
+
+
+def test_geotile_cell_known_points(spark):
+    df = spark.createDataFrame(
+        [(52.5200, 13.4050), (0.0001, 0.0001), (-33.8688, 151.2093)],
+        "lat double, lon double")
+    got = [r[0] for r in df.select(
+        geotile_cell(F.col("lat"), F.col("lon"), 10)).collect()]
+
+    def tile(lat, lon, z):
+        n = 1 << z
+        x = math.floor((lon + 180.0) / 360.0 * n)
+        phi = math.radians(lat)
+        y = math.floor((1.0 - math.log(math.tan(phi) + 1.0 / math.cos(phi))
+                        / math.pi) / 2.0 * n)
+        return f"{z}/{x}/{y}"
+
+    assert got == [tile(52.52, 13.405, 10), tile(0.0001, 0.0001, 10),
+                   tile(-33.8688, 151.2093, 10)]
+
+
+def test_geotile_grid_counts_and_order(spark, geo_points):
+    out = geotile_grid(geo_points, "lat", "lon", zoom=8, size=5).collect()
+    assert 0 < len(out) <= 5
+    counts = [r["doc_count"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    # ties broken by key ascending
+    for a, b in zip(out, out[1:]):
+        if a["doc_count"] == b["doc_count"]:
+            assert a["tile"] < b["tile"]
+
+
+def test_geo_distance_ranges_partition(spark, geo_points):
+    out = geo_distance_ranges(geo_points, "lat", "lon", 52.52, 13.405,
+                              [20000.0, 60000.0]).collect()
+    assert sum(r["doc_count"] for r in out) == geo_points.count()
+    assert {r["band"] for r in out} <= {"*-20000", "20000-60000", "60000-*"}
+
+
+# ------------------------------------------------------- parent/child
+
+
+def test_has_child_bruteforce(spark, sf_dir):
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = {(r["c_custkey"], r["n_children"])
+           for r in has_child(
+               cu, od.withColumnRenamed("o_custkey", "c_custkey"),
+               "c_custkey", "c_custkey",
+               predicate=F.col("o_totalprice") > 100000.0,
+               min_children=2).collect()}
+    counts = {}
+    for r in od.collect():
+        if r["o_totalprice"] > 100000.0:
+            counts[r["o_custkey"]] = counts.get(r["o_custkey"], 0) + 1
+    want = {(r["c_custkey"], counts[r["c_custkey"]])
+            for r in cu.collect() if counts.get(r["c_custkey"], 0) >= 2}
+    assert got == want and got
+
+
+def test_has_parent_bruteforce(spark, sf_dir):
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ch = od.withColumnRenamed("o_custkey", "c_custkey")
+    got = {r["o_orderkey"] for r in has_parent(
+        ch, cu, "c_custkey", "c_custkey",
+        predicate=F.col("c_mktsegment") == "BUILDING").collect()}
+    keys = {r["c_custkey"] for r in cu.collect()
+            if r["c_mktsegment"] == "BUILDING"}
+    want = {r["o_orderkey"] for r in od.collect() if r["o_custkey"] in keys}
+    assert got == want and got
+
+
+def test_nested_vs_object_semantics(spark):
+    parent = spark.createDataFrame([(1,), (2,)], "pid int")
+    child = spark.createDataFrame(
+        # parent 1: one child satisfies BOTH conds; parent 2: conds split
+        # across two children — object matches, nested must not
+        [(1, "F", 200.0), (2, "F", 50.0), (2, "O", 200.0)],
+        "pid int, status string, price double")
+    conds = [F.col("status") == "F", F.col("price") > 100.0]
+    nested = {r["pid"] for r in nested_match(parent, child, "pid", "pid",
+                                             conds).collect()}
+    obj = {r["pid"] for r in object_match(parent, child, "pid", "pid",
+                                          conds).collect()}
+    assert nested == {1} and obj == {1, 2}
+
+
+# ------------------------------------------------------------ aliases
+
+
+@pytest.fixture(scope="module")
+def two_indexes(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("aliasroot"))
+    for name, seed in (("idx_a", 42), ("idx_b", 7)):
+        build_index(spark, synth_pages(spark, 120, seed=seed),
+                    f"{root}/{name}", tau=100, n_buckets=4)
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_alias_resolution_and_atomic_actions(two_indexes):
+    cat = AliasCatalog(two_indexes)
+    cat.add("logs", "idx_a")
+    assert [e["index"] for e in cat.resolve("logs")] == ["idx_a"]
+    # concrete names pass through
+    assert cat.resolve("idx_b")[0]["index"] == "idx_b"
+    # atomic blue/green flip
+    cat.actions([{"remove": {"alias": "logs", "index": "idx_a"}},
+                 {"add": {"alias": "logs", "index": "idx_b"}}])
+    assert [e["index"] for e in cat.resolve("logs")] == ["idx_b"]
+
+
+def test_alias_write_index_rules(two_indexes):
+    cat = AliasCatalog(two_indexes)
+    cat.add("w", "idx_a")
+    assert cat.write_index("w") == "idx_a"
+    cat.add("w", "idx_b")
+    with pytest.raises(ValueError):
+        cat.write_index("w")
+    cat.actions([{"remove": {"alias": "w", "index": "idx_b"}},
+                 {"add": {"alias": "w", "index": "idx_b",
+                          "is_write_index": True}}])
+    assert cat.write_index("w") == "idx_b"
+
+
+def test_merged_clauses_folds_filter():
+    m = merged_clauses({"must": ["spark"], "must_not": ["vector"]},
+                       must=["fast"], should=["merge"])
+    assert m == {"must": ["fast", "spark"], "should": ["merge"],
+                 "must_not": ["vector"]}
+
+
+def test_search_alias_union_and_filter(spark, two_indexes):
+    cat = AliasCatalog(two_indexes)
+    cat.actions([{"add": {"alias": "all", "index": "idx_a"}},
+                 {"add": {"alias": "all", "index": "idx_b"}},
+                 {"add": {"alias": "sparky", "index": "idx_a",
+                          "filter": {"must": ["spark"]}}}])
+    both = search_alias(spark, cat, "all", must=["the"])
+    assert set(r["index"] for r in both.select("index").distinct().collect()
+               ) == {"idx_a", "idx_b"}
+    # the filtered alias behaves as if 'spark' were an extra must clause
+    filt = search_alias(spark, cat, "sparky", must=["the"])
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        bool_query)
+
+    direct = bool_query(spark, IndexReader(spark, f"{two_indexes}/idx_a"),
+                        must=["the", "spark"])
+    assert ({r["doc_id"] for r in filt.collect()}
+            == {r["doc_id"] for r in direct.collect()})
