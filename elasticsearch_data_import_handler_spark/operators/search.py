@@ -233,6 +233,50 @@ def rescore_topk(base_scored: DataFrame, rescore_scored: DataFrame,
     return out.select("doc_id", score.alias("score"), "rank")
 
 
+def collapse_hits(scored: DataFrame, meta: DataFrame, field: str,
+                  k: int = 10, inner_size: int = 0,
+                  round_to: int | None = 4) -> DataFrame:
+    """ES **collapse**: fold a scored result set to its best hit per
+    ``field`` value (one result per site/host/author), ranked globally;
+    optionally attach the next ``inner_size`` hits of each surviving
+    group (ES ``inner_hits``).
+
+    Inputs compose like rescore_topk: ``scored`` is any (doc_id, score)
+    frame, ``meta`` carries (doc_id, field).  Output rows are tagged —
+    inner_rank=0 is the collapsed (group-best) hit carrying the global
+    ``rank``; inner_rank 1..inner_size are that group's runners-up
+    (rank NULL).  Plan shape: ONE window partitioned by field value
+    (bounded per-partition state, no global sort), then a distributed
+    TakeOrdered cut to k groups before the global rank window, so the
+    unpartitioned window sees ≤ k rows; inner hits semi-join on the k
+    surviving groups — cost bounded by k × inner_size regardless of
+    corpus size."""
+    from pyspark.sql import Window
+
+    tagged = scored.join(meta.select("doc_id", field), "doc_id")
+    wg = Window.partitionBy(field).orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = tagged.withColumn("__g", F.row_number().over(wg))
+    best = (ranked.filter(F.col("__g") == 1)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+    wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    score = (F.round("score", round_to) if round_to is not None
+             else F.col("score"))
+    out = best.select(
+        F.col(field).alias("group_key"), "doc_id", score.alias("score"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+        F.lit(0).cast("long").alias("inner_rank"))
+    if inner_size > 0:
+        keep = best.select(field)
+        inner = (ranked.filter((F.col("__g") > 1)
+                               & (F.col("__g") <= 1 + inner_size))
+                 .join(keep, field, "left_semi"))
+        out = out.unionByName(inner.select(
+            F.col(field).alias("group_key"), "doc_id",
+            score.alias("score"), F.lit(None).cast("long").alias("rank"),
+            (F.col("__g") - 1).cast("long").alias("inner_rank")))
+    return out
+
+
 def facet_cardinality(spark, reader, meta: DataFrame, group_col: str,
                       distinct_col: str, k: int = 64, must=None,
                       should=None, must_not=None, min_should: int = 0,

@@ -124,6 +124,49 @@ def merged_clauses(entry_filter: dict | None, must=None, should=None,
     }
 
 
+def rollover(catalog: AliasCatalog, alias: str, reader_stats: dict,
+             max_docs: int | None = None,
+             max_bytes: int | None = None,
+             dry_run: bool = False) -> dict:
+    """ES ``_rollover``: if the alias's current write index exceeds any
+    threshold, flip the write alias to the next generation name in ONE
+    atomic action batch (old index stays readable through the alias —
+    only the write flag moves, the ES rollover contract).
+
+    ``reader_stats`` is ``IndexReader(spark, dir).stats()`` for the
+    current write index — parquet-footer metadata only, no Spark job, so
+    a scheduler can poll this cheaply.  Generation naming is the ES
+    convention: ``name-000001`` → ``name-000002``; a write index without
+    a ``-NNNNNN`` suffix gets ``-000002`` (ES rejects that case, we roll
+    it forward — documented divergence, friendlier for our flat dirs).
+    Returns {"rolled_over", "old_index", "new_index", "conditions"} —
+    the caller builds the next ``build_index`` batch into the new dir."""
+    old = catalog.write_index(alias)
+    size = reader_stats.get("postings_bytes", 0) + \
+        reader_stats.get("positions_bytes", 0)
+    conditions = {}
+    if max_docs is not None:
+        conditions["max_docs"] = reader_stats.get("n_docs", 0) >= max_docs
+    if max_bytes is not None:
+        conditions["max_bytes"] = size >= max_bytes
+    hit = any(conditions.values())
+    base, sep, gen = old.rpartition("-")
+    if sep and gen.isdigit():
+        new = f"{base}-{int(gen) + 1:06d}"
+    else:
+        new = f"{old}-000002"
+    if hit and not dry_run:
+        old_filter = next((e["filter"] for e in catalog.resolve(alias)
+                           if e["index"] == old), None)
+        catalog.actions([
+            {"add": {"alias": alias, "index": old, "filter": old_filter,
+                     "is_write_index": False}},
+            {"add": {"alias": alias, "index": new, "is_write_index": True}},
+        ])
+    return {"rolled_over": hit and not dry_run, "old_index": old,
+            "new_index": new if hit else old, "conditions": conditions}
+
+
 def search_alias(spark, catalog: AliasCatalog, name: str, must=None,
                  should=None, must_not=None, min_should: int = 0,
                  round_to: int | None = 4):

@@ -29,9 +29,13 @@ from elasticsearch_data_import_handler_spark.operators.spanquery import (
 from elasticsearch_data_import_handler_spark.operators.textsearch import (
     phrase_search_slop,
 )
+from elasticsearch_data_import_handler_spark.operators.search import (
+    collapse_hits,
+)
 from elasticsearch_data_import_handler_spark.plans.aliases import (
     AliasCatalog,
     merged_clauses,
+    rollover,
     search_alias,
 )
 from elasticsearch_data_import_handler_spark.plans.build import (
@@ -335,6 +339,52 @@ def test_merged_clauses_folds_filter():
                        must=["fast"], should=["merge"])
     assert m == {"must": ["fast", "spark"], "should": ["merge"],
                  "must_not": ["vector"]}
+
+
+def test_rollover_flip_and_generation(tmp_path):
+    cat = AliasCatalog(str(tmp_path))
+    cat.add("logs", "logs-000001", filter={"must": ["spark"]},
+            is_write_index=True)
+    # below thresholds: no-op
+    r = rollover(cat, "logs", {"n_docs": 10, "postings_bytes": 100},
+                 max_docs=1000, max_bytes=10**6)
+    assert not r["rolled_over"] and cat.write_index("logs") == "logs-000001"
+    # docs threshold hit: atomic flip, generation bump, filter preserved
+    r = rollover(cat, "logs", {"n_docs": 2000, "postings_bytes": 100},
+                 max_docs=1000, max_bytes=10**6)
+    assert r["rolled_over"] and r["new_index"] == "logs-000002"
+    assert cat.write_index("logs") == "logs-000002"
+    old = next(e for e in cat.resolve("logs")
+               if e["index"] == "logs-000001")
+    assert old["filter"] == {"must": ["spark"]} and not old["is_write_index"]
+    # dry_run reports without flipping; bytes condition counts positions
+    r = rollover(cat, "logs", {"n_docs": 0, "postings_bytes": 7 * 10**5,
+                               "positions_bytes": 4 * 10**5},
+                 max_bytes=10**6, dry_run=True)
+    assert r["conditions"]["max_bytes"] and not r["rolled_over"]
+    assert cat.write_index("logs") == "logs-000002"
+    # non-generation name rolls forward with the documented suffix
+    cat.add("w2", "plain", is_write_index=True)
+    r = rollover(cat, "w2", {"n_docs": 5}, max_docs=1)
+    assert r["new_index"] == "plain-000002"
+
+
+def test_collapse_hits_bruteforce(spark):
+    scored = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.5), (4, 7.0), (5, 6.0), (6, 5.0)],
+        "doc_id int, score double")
+    meta = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b"), (6, "c")],
+        "doc_id int, host string")
+    out = collapse_hits(scored, meta, "host", k=2, inner_size=2).collect()
+    main = {r["group_key"]: (r["doc_id"], r["rank"])
+            for r in out if r["inner_rank"] == 0}
+    assert main == {"a": (1, 1), "b": (3, 2)}  # best per group, global rank
+    inner = {(r["group_key"], r["inner_rank"]): r["doc_id"]
+             for r in out if r["inner_rank"] > 0}
+    # group c fell outside k=2 — no inner hits for it
+    assert inner == {("a", 1): 2, ("b", 1): 4, ("b", 2): 5}
+    assert all(r["rank"] is None for r in out if r["inner_rank"] > 0)
 
 
 def test_search_alias_union_and_filter(spark, two_indexes):
