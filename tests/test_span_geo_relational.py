@@ -296,6 +296,64 @@ def test_nested_vs_object_semantics(spark):
     assert nested == {1} and obj == {1, 2}
 
 
+# ---------------------------------------------------------- percolate
+
+
+def test_percolate_bruteforce(spark):
+    from elasticsearch_data_import_handler_spark.operators.percolate import (
+        percolate,
+        query_term_index,
+    )
+
+    queries = spark.createDataFrame(
+        [("q_must", ["spark", "index"], None, None, None),
+         ("q_neg", ["spark"], None, ["vector"], None),
+         ("q_should", None, ["merge", "batch", "scan"], None, 2),
+         ("q_only_should", None, ["fast"], None, None),  # default msm = 1
+         ("q_dup", ["spark", "spark"], None, None, None)],
+        "query_id string, must array<string>, should array<string>, "
+        "must_not array<string>, min_should int")
+    docs = {
+        1: ["spark", "index", "merge"],
+        2: ["spark", "vector", "index"],      # q_must yes, q_neg excluded
+        3: ["merge", "batch"],                # q_should (2 of 3)
+        4: ["merge", "scan", "batch", "fast"],
+        5: ["spark"],                         # q_dup (distinct bar), q_neg
+    }
+    doc_terms = spark.createDataFrame(
+        [(d, t) for d, ts in docs.items() for t in set(ts)],
+        "doc_id int, term string")
+    got = {(r["query_id"], r["doc_id"])
+           for r in percolate(queries, doc_terms).collect()}
+    want = set()
+    for d, ts in docs.items():
+        s = set(ts)
+        if {"spark", "index"} <= s:
+            want.add(("q_must", d))
+        if "spark" in s and "vector" not in s:
+            want.add(("q_neg", d))
+        if len({"merge", "batch", "scan"} & s) >= 2:
+            want.add(("q_should", d))
+        if "fast" in s:
+            want.add(("q_only_should", d))
+        if "spark" in s:
+            want.add(("q_dup", d))
+    assert got == want and ("q_dup", 5) in got and ("q_neg", 2) not in got
+
+    # registration-time rejection of pure-negative queries (the ES rule)
+    bad = spark.createDataFrame(
+        [("nope", None, None, ["vector"], None)],
+        "query_id string, must array<string>, should array<string>, "
+        "must_not array<string>, min_should int")
+    with pytest.raises(ValueError):
+        query_term_index(bad)
+    # a prebuilt index skips validation and is reusable
+    qi = query_term_index(queries)
+    got2 = {(r["query_id"], r["doc_id"])
+            for r in percolate(queries, doc_terms, qindex=qi).collect()}
+    assert got2 == got
+
+
 # ------------------------------------------------------------ aliases
 
 
