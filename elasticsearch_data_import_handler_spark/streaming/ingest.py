@@ -47,6 +47,31 @@ def stream_index_pages(spark: SparkSession, pages_dir: str, index_dir: str,
     )
 
 
+def percolate_stream(docs: DataFrame, queries: DataFrame,
+                     qindex: DataFrame | None = None,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Percolation over a document stream — the ES alerting shape: which
+    registered queries does each arriving document satisfy?
+
+    Works on a static frame or a stream (same logical plan): documents
+    tokenize JVM-side (``jvm_tokens_col``), explode to distinct terms,
+    and run through :func:`..operators.percolate.percolate`'s term-keyed
+    join against the (small, broadcastable) inverted query index.  The
+    plan is stateless — stream-static joins and the (query, doc)
+    aggregation are per-micro-batch in append mode via foreachBatch, or
+    attach a watermark upstream for update-mode sinks.  Build ``qindex``
+    once with ``query_term_index(queries)`` and persist it; re-exploding
+    per batch is correct but wasteful."""
+    from ..functions.textanalysis import jvm_tokens_col
+    from ..operators.percolate import percolate
+
+    doc_terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(jvm_tokens_col(text_col))).alias("term"))
+    return percolate(queries, doc_terms, qindex=qindex)
+
+
 def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
                           slide: str | None = None,
                           watermark: str = "10 minutes") -> DataFrame:

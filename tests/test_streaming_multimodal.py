@@ -122,3 +122,48 @@ def test_stateful_sessionize_stream_equals_batch(spark, tmp_path, sf_dir):
     exp_map = {r["user_id"]: (r["n_sessions"], r["n_events"])
                for r in exp.collect()}
     assert got_map == exp_map
+
+
+def test_percolate_stream_equals_static(spark, tmp_path):
+    """Streaming percolation (foreachBatch over AvailableNow micro-batches)
+    must produce exactly the static-frame percolation matches, regardless
+    of how documents split across batches."""
+    from elasticsearch_data_import_handler_spark.operators.percolate import (
+        query_term_index)
+    from elasticsearch_data_import_handler_spark.sources.corpus import (
+        PAGES_SCHEMA, synth_pages)
+    from elasticsearch_data_import_handler_spark.streaming.ingest import (
+        percolate_stream)
+
+    pages = synth_pages(spark, 120, seed=7).withColumn(
+        "doc_id", F.xxhash64("url"))
+    queries = spark.createDataFrame(
+        [("alert_spark", ["spark"], None, ["vector"], None),
+         ("alert_pair", None, ["merge", "batch", "scan"], None, 2)],
+        "query_id string, must array<string>, should array<string>, "
+        "must_not array<string>, min_should int")
+    qi = query_term_index(queries).cache()
+
+    want = {(r["query_id"], r["doc_id"])
+            for r in percolate_stream(pages, queries, qindex=qi).collect()}
+    assert want  # fixture corpus must trigger both alert shapes
+
+    pages_dir = str(tmp_path / "pages_in")
+    pages.coalesce(4).write.parquet(pages_dir)
+    got = set()
+    stream = (spark.readStream
+              .schema(spark.read.parquet(pages_dir).schema)
+              .option("maxFilesPerTrigger", 1).format("parquet")
+              .load(pages_dir))
+
+    def _sink(batch_df, epoch_id):
+        for r in percolate_stream(batch_df, queries, qindex=qi).collect():
+            got.add((r["query_id"], r["doc_id"]))
+
+    q = (stream.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert got == want
+    qi.unpersist()
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
