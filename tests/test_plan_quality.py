@@ -349,3 +349,54 @@ def test_multi_match_single_combine_no_extra_exchange(spark, tmp_path):
     # there is no join-chain between field frames
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_geo_box_predicates_push_to_scan(spark, sf_dir):
+    """geo_distance's sargable bounding-box pre-filter must reach the
+    parquet scan as pushed range predicates on the coordinate columns —
+    the point of bracketing the circle before any trig runs."""
+    from elasticsearch_data_import_handler_spark.operators.geo import geo_distance
+
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cu.select(
+        "c_custkey",
+        (F.col("c_acctbal") / 1000.0).alias("lat"),
+        (F.col("c_acctbal") / 500.0).alias("lon"))
+    df = geo_distance(pts, "lat", "lon", 5.0, 10.0, 60000.0)
+    plan = _plan(df)
+    # derived columns can't push past the projection, but the box filter
+    # itself must be a plain range Filter below the haversine projection,
+    # i.e. the trig appears ABOVE the comparison filter in the plan
+    assert "Filter" in plan
+    # when the coordinates are raw scan columns the ranges push all the way
+    raw = cu.withColumnRenamed("c_acctbal", "lat").withColumn(
+        "lon", F.col("c_custkey").cast("double"))
+    df2 = geo_distance(raw, "lat", "lon", 5.0, 10.0, 600000.0)
+    plan2 = _plan(df2)
+    # Catalyst rewrites the box ranges through the rename back to the
+    # underlying scan column — that's the pushdown we designed for
+    assert "PushedFilters" in plan2, plan2
+    assert "GreaterThanOrEqual(c_acctbal" in plan2, plan2
+
+
+def test_collapse_global_window_is_limit_bounded(spark, sf_dir):
+    """collapse_hits: the per-group window is partitioned (no global sort),
+    and the global rank window sits above a TakeOrdered cut of k rows."""
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        collapse_hits)
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    scored = od.select(F.col("o_orderkey").alias("doc_id"),
+                       F.col("o_totalprice").alias("score"))
+    meta = od.select(F.col("o_orderkey").alias("doc_id"),
+                     F.col("o_orderpriority").alias("prio"))
+    df = collapse_hits(scored, meta, "prio", k=3, inner_size=2)
+    plan = _plan(df)
+    first_window_above = plan.split("Window", 1)[0]
+    # the global (unpartitioned) rank window appears first in the top-down
+    # print; everything feeding it must include the limit cut
+    rest = plan.split("Window", 1)[1]
+    assert "TakeOrderedAndProject" in rest or "GlobalLimit" in rest, plan
+    # the per-group window is partitioned by the collapse field
+    assert "partitionBy" not in first_window_above  # sanity: split worked
+    assert plan.count("Window") >= 2, plan
