@@ -465,11 +465,16 @@ def main():
 
 def _commit_constant(side: dict):
     """Solve a (the O(1) per-build driver constant) from the half/full
-    pair: a = t_full − n·(t_full − t_half)/(n − n_half)."""
+    pair: a = t_full − n·(t_full − t_half)/(n − n_half).  A negative
+    solve means the half build ran in a slower sub-window than the full
+    build (non-stationary tenancy) — the model t = a + b·n doesn't hold
+    for that sample, so report None rather than a nonsense constant
+    (the raw half/full seconds stay in the artifact for auditing)."""
     try:
         b = ((side["build_secs_all"][-1] - side["build_half_sec"])
              / (side["n_docs"] - side["n_docs_half"]))
-        return round(side["build_secs_all"][-1] - side["n_docs"] * b, 2)
+        a = round(side["build_secs_all"][-1] - side["n_docs"] * b, 2)
+        return a if a >= 0 else None
     except (KeyError, ZeroDivisionError, TypeError):
         return None
 
