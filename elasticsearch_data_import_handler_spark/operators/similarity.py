@@ -620,3 +620,40 @@ def ivf_pq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos")))
+
+
+def knn_filtered_topk(embeddings: DataFrame, predicate, n_queries: int = 5,
+                      k: int = 10, mode: str = "pre",
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """ES 8.x filtered kNN (``knn.filter``): top-k nearest neighbors among
+    candidates satisfying ``predicate`` (a Column over the embeddings
+    table's metadata).
+
+    ``mode="pre"`` is the ES contract: the filter applies DURING the
+    search, so exactly k hits come back whenever k candidates pass — the
+    filter narrows the candidate set BEFORE ranking.  ``mode="post"`` is
+    the naive (and usually wrong) alternative ES docs warn about: rank
+    first, filter the k results after, returning < k hits when the filter
+    is selective.  Both are provided so pipelines can assert the
+    difference; recall-sensitive callers want "pre".
+
+    Scale shape: the predicate is a plain Column, so it pushes into the
+    candidate scan (parquet pushdown when the metadata is a scan column)
+    and the brute-force matmul kernel only ever sees surviving rows; with
+    an IVF index the same pre-filter applies to the probed cells'
+    candidate rows (selectivity reduces work, never recall).  Query rows
+    are exempt from the filter — they're the search, not the corpus."""
+    if mode == "post":
+        ranked = cosine_topk(embeddings, n_queries=n_queries, k=k,
+                             id_col=id_col, vec_col=vec_col)
+        keep = embeddings.filter(predicate).select(
+            F.col(id_col).alias("vec_id"))
+        return ranked.join(keep, "vec_id", "left_semi") \
+                     .select("query_id", "rank", "vec_id", "cos")
+    if mode != "pre":
+        raise ValueError(f"mode must be 'pre' or 'post', got {mode!r}")
+    queries = embeddings.filter(F.col(id_col) < n_queries)
+    cands = embeddings.filter(F.col(id_col) >= n_queries).filter(predicate)
+    return cosine_topk(queries.unionByName(cands), n_queries=n_queries,
+                       k=k, id_col=id_col, vec_col=vec_col)

@@ -463,3 +463,48 @@ def test_search_alias_union_and_filter(spark, two_indexes):
                         must=["the", "spark"])
     assert ({r["doc_id"] for r in filt.collect()}
             == {r["doc_id"] for r in direct.collect()})
+
+
+# ------------------------------------------------------- filtered knn
+
+
+def test_knn_filtered_pre_vs_post(spark, sf_dir):
+    from elasticsearch_data_import_handler_spark.operators import (
+        similarity as SIM)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pred = F.col("vec_id") % 3 == 0
+    pre = SIM.knn_filtered_topk(emb, pred, n_queries=2, k=5, mode="pre")
+    post = SIM.knn_filtered_topk(emb, pred, n_queries=2, k=5, mode="post")
+    pre_rows = pre.collect()
+    # the ES contract: k hits per query whenever k candidates pass
+    n_pass = emb.filter(pred).filter(F.col("vec_id") >= 2).count()
+    per_q = {}
+    for r in pre_rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["vec_id"] % 3 == 0 and r["vec_id"] >= 2
+    assert all(len(v) == min(5, n_pass) for v in per_q.values())
+    # ranks are contiguous within each query
+    for v in per_q.values():
+        assert sorted(r["rank"] for r in v) == list(range(1, len(v) + 1))
+    # post-filter returns a subset per query, usually fewer than k
+    post_rows = post.collect()
+    assert len(post_rows) <= len(pre_rows)
+    # brute-force truth for query 0 on the filtered candidate set
+    import math
+
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    want = sorted(((round(cos(vecs[0], v), 4), -i) for i, v in vecs.items()
+                   if i >= 2 and i % 3 == 0), reverse=True)[:5]
+    want_ids = [-i for _, i in want]
+    got_ids = [r["vec_id"] for r in sorted(
+        (r for r in pre_rows if r["query_id"] == 0),
+        key=lambda r: r["rank"])]
+    assert got_ids == want_ids
