@@ -378,7 +378,7 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, iters: int = 3,
 def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
              n_probe: int = 4, k_cells: int = 16, iters: int = 3,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             centroids=None) -> DataFrame:
+             centroids=None, predicate=None) -> DataFrame:
     """IVF (inverted-file) ANN: train a deterministic k-means coarse
     quantizer, assign every candidate vector to its nearest cell, probe the
     query's ``n_probe`` nearest cells, exact cosine re-rank (einsum kernel)
@@ -390,11 +390,20 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     tie-break).  At 100 TB the assigned table is persisted partitioned by
     cell id: a query scans n_probe partitions (partition pruning), the IVF
     analog of the LSH table layout; training cost is iters passes with a
-    (cell, pos)-sized shuffle each."""
+    (cell, pos)-sized shuffle each.
+
+    ``predicate`` is the ES 8.x ``knn.filter`` pre-filter (see
+    :func:`knn_filtered_topk`): applied to candidate rows BEFORE cell
+    assignment, so the filter narrows the probed cells' contents (never
+    recall within the filtered set) and pushes into the candidate scan.
+    Centroids train on the unfiltered corpus — the index is built once,
+    filters vary per query, matching how a deployed IVF index works."""
     C = centroids if centroids is not None else kmeans_centroids(
         embeddings, k=k_cells, iters=iters, n_queries=n_queries,
         id_col=id_col, vec_col=vec_col)
-    assigned = _assign_cells(embeddings, C, n_probe=n_probe,
+    corpus = embeddings if predicate is None else (
+        embeddings.filter((F.col(id_col) < n_queries) | predicate))
+    assigned = _assign_cells(corpus, C, n_probe=n_probe,
                              id_col=id_col, vec_col=vec_col)
     cand = (assigned.filter((F.col(id_col) >= n_queries) & (F.col("crank") == 1))
             .select(F.col(id_col).alias("vec_id"), "cell"))

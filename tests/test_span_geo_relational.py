@@ -508,3 +508,21 @@ def test_knn_filtered_pre_vs_post(spark, sf_dir):
         (r for r in pre_rows if r["query_id"] == 0),
         key=lambda r: r["rank"])]
     assert got_ids == want_ids
+
+
+def test_ivf_filtered_subset_of_corpus_and_matches_bruteforce(spark, sf_dir):
+    from elasticsearch_data_import_handler_spark.operators import (
+        similarity as SIM)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pred = F.col("vec_id") % 2 == 0
+    out = SIM.ivf_topk(emb, n_queries=2, k=5, n_probe=16, k_cells=16,
+                       predicate=pred).collect()
+    assert out and all(r["vec_id"] % 2 == 0 for r in out)
+    # probing ALL cells makes filtered IVF exact on the filtered set:
+    # must equal the brute-force filtered top-k
+    want = {(r["query_id"], r["rank"], r["vec_id"], r["cos"])
+            for r in SIM.knn_filtered_topk(emb, pred, n_queries=2, k=5,
+                                           mode="pre").collect()}
+    got = {(r["query_id"], r["rank"], r["vec_id"], r["cos"]) for r in out}
+    assert got == want
