@@ -132,3 +132,36 @@ def tokenize_udf():
         return text.map(tokenize)
 
     return _tok
+
+
+def analyze(text: str, analyzer: dict | None = None) -> list[dict]:
+    """The ES ``_analyze`` API: explain how ``text`` tokenizes under the
+    (possibly index-persisted) analyzer settings — one dict per emitted
+    token with its ``position`` (post-stopword positions are NOT
+    renumbered: like Lucene's StopFilter, removal leaves position gaps so
+    phrase/span queries keep true distances), character ``start_offset``/
+    ``end_offset`` into the original text, and the stage trace
+    (``lowercased``, ``stopword_removed=False`` by construction for
+    emitted tokens).  Driver-side debug utility — index/query paths use
+    the vectorized ``jvm_tokens_col``; this exists so an operator of the
+    engine can answer "why did/didn't this document match" without
+    reverse-engineering the analyzer config."""
+    a = resolve_analyzer(analyzer)
+    if text is None:
+        return []
+    src = text.lower() if a["lowercase"] else text
+    stop = set(a["stopwords"] or [])
+    out = []
+    for pos, m in enumerate(re.finditer(a["token_pattern"], src)):
+        tok = m.group(0)
+        if tok in stop:
+            continue
+        out.append({
+            "token": tok,
+            "position": pos,
+            "start_offset": m.start(),
+            "end_offset": m.end(),
+            "lowercased": bool(a["lowercase"])
+            and text[m.start():m.end()] != tok,
+        })
+    return out

@@ -505,3 +505,20 @@ def test_bpe_chunking_windows_subword_stream(spark, sf_dir):
             want = stream[start:start + 32]
             assert r["chunk_text"].split(" ") == want
             assert r["n_tokens"] == len(want)
+
+
+def test_analyze_explains_tokens_offsets_and_stopword_gaps():
+    from elasticsearch_data_import_handler_spark.functions.textanalysis import (
+        analyze, py_tokenize)
+
+    an = {"stopwords": ["the"]}
+    text = "The Spark THE index"
+    got = analyze(text, an)
+    assert [t["token"] for t in got] == py_tokenize(text, an)
+    # stopword removal leaves position gaps (Lucene StopFilter semantics)
+    assert [t["position"] for t in got] == [1, 3]
+    # offsets index the ORIGINAL text
+    assert [text[t["start_offset"]:t["end_offset"]] for t in got] == \
+        ["Spark", "index"]
+    assert got[0]["lowercased"] and not got[1]["lowercased"]
+    assert analyze(None) == [] and analyze("") == []
