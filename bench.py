@@ -410,6 +410,12 @@ def main():
             f"query_qps_c{SCALE_HIGH}": round(hi["query_qps"], 2),
             f"query_p50_latency_ms_c{SCALE_HIGH}": round(hi["query_p50_latency_ms"], 1),
             "scaling_efficiency_build": round(eff_build, 3),
+            # > 1.05 cannot be real 2->8 scaling — it means the c2 side ran
+            # in a worse tenancy sub-window than the c8 side (slow-c2
+            # anomaly).  Flagged so a supra-linear reading is never mistaken
+            # for the >= 0.8 bar being met; same rule for the marginal.
+            "build_pair_anomalous": eff_build > 1.05 or (
+                best.get("eff_build_marginal") or 0) > 1.05,
             "scaling_efficiency_query": round(eff_query, 3),
             **cal,
             "scaling_efficiency_build_vs_host_membw": round(
