@@ -626,3 +626,58 @@ def phrase_prefix_search(spark, reader, phrase_prefix: str, slop: int = 0,
     if tomb is not None:
         out = out.join(tomb, "doc_id", "left_anti")
     return out
+
+
+def terms_set_query(spark, reader, terms: list[str],
+                    required: "int | float | DataFrame" = 1,
+                    round_to: int | None = None) -> DataFrame:
+    """ES ``terms_set`` query: documents containing at least ``required``
+    of ``terms``, scored by the BM25 sum over the matched terms.
+
+    ``required`` follows the ES surface:
+    * an int — fixed minimum (``minimum_should_match_script: N``);
+    * a float in (0, 1) — fraction of the queried terms, floored, min 1
+      (the ``Math.min(params.num_terms * f, ...)`` idiom);
+    * a DataFrame (doc_id, required_matches) — the per-document field ES
+      reads via ``minimum_should_match_field``, broadcast-joined; docs
+      absent from it require ALL terms (conservative ES-less default).
+
+    Plan: same TAAT shape as bool_query — bucket-pruned decode of ONLY
+    the queried terms (O(Σ df)), one groupBy(doc_id) counting distinct
+    matched terms + summing BM25, then the requirement filter; the
+    per-doc threshold join adds no second pass over postings."""
+    from ..operators.indexing import bm25_score_expr
+
+    ts = sorted(set(terms))
+    if not ts:
+        raise ValueError("terms_set_query needs at least one term")
+    dec = reader.decoded_postings_for_terms(ts)
+    lex = reader.lexicon().filter(F.col("term").isin(ts)).select("term", "idf")
+    avgdl = reader.corpus_stats().select("avgdl")
+    agg = (dec.join(F.broadcast(lex), "term")
+           .crossJoin(F.broadcast(avgdl))
+           .withColumn("contrib", bm25_score_expr())
+           .groupBy("doc_id")
+           .agg(F.count_distinct("term").alias("n_matched"),
+                F.sum("contrib").alias("score")))
+    if isinstance(required, DataFrame):
+        req = F.broadcast(required.select(
+            "doc_id", F.col("required_matches").cast("long").alias("__req")))
+        agg = (agg.join(req, "doc_id", "left")
+               .withColumn("__req", F.coalesce(F.col("__req"),
+                                               F.lit(len(ts)).cast("long"))))
+    elif isinstance(required, float):
+        if not 0.0 < required <= 1.0:
+            raise ValueError("fractional required must be in (0, 1]")
+        agg = agg.withColumn(
+            "__req", F.greatest(F.lit(1), F.floor(F.lit(len(ts) * required)))
+            .cast("long"))
+    else:
+        agg = agg.withColumn("__req", F.lit(int(required)).cast("long"))
+    out = agg.filter(F.col("n_matched") >= F.col("__req"))
+    tomb = reader.tombstones_df()
+    if tomb is not None:
+        out = out.join(tomb, "doc_id", "left_anti")
+    score = F.round("score", round_to) if round_to is not None else F.col("score")
+    return out.select("doc_id", F.col("n_matched").cast("long").alias("n_matched"),
+                      score.alias("score"))

@@ -355,3 +355,36 @@ def test_significant_terms_matches_bruteforce(spark, pos_index, doc_tokens):
     assert got == want
     # 'spark' itself is maximally significant (fg% = 1) — sanity anchor
     assert got[0][0] == "spark"
+
+
+def test_terms_set_query_modes(spark, pos_index, doc_tokens):
+    """terms_set: fixed / fractional / per-doc-field thresholds against
+    the brute-force distinct-matched-terms count."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        terms_set_query)
+    from elasticsearch_data_import_handler_spark.plans.build import IndexReader
+
+    reader = IndexReader(spark, pos_index)
+    terms = ["spark", "merge", "batch"]
+    truth = {d: len(set(terms) & set(toks))
+             for d, toks in doc_tokens.items()}
+
+    for req in (1, 2, 3):
+        got = {r["doc_id"]: r["n_matched"]
+               for r in terms_set_query(spark, reader, terms, req).collect()}
+        want = {d: n for d, n in truth.items() if n >= req}
+        assert got == want, req
+    # fraction: 0.67 of 3 -> floor(2.01) = 2
+    got_f = {r["doc_id"] for r in
+             terms_set_query(spark, reader, terms, 0.67).collect()}
+    assert got_f == {d for d, n in truth.items() if n >= 2}
+    # per-doc field: even doc_ids need 1, odd need 3; absent -> all 3
+    reqdf = spark.createDataFrame(
+        [(d, 1 if d % 2 == 0 else 3) for d in list(truth)[:50]],
+        "doc_id long, required_matches int")
+    got_d = {r["doc_id"] for r in
+             terms_set_query(spark, reader, terms, reqdf).collect()}
+    listed = set(list(truth)[:50])
+    want_d = {d for d, n in truth.items()
+              if n >= ((1 if d % 2 == 0 else 3) if d in listed else 3)}
+    assert got_d == want_d
