@@ -659,15 +659,29 @@ def q_phrase_slop(spark, sf_dir):
 
 
 def q_bool_query(spark, sf_dir):
-    """ES bool-query combinator over the index: must/should/must_not with
-    min_should_match, BM25-scored over the matched scoring terms."""
+    """ES bool-query combinator over the index (op='bool': must/should/
+    must_not with min_should_match, BM25-scored over the matched scoring
+    terms — the previously-gated row verbatim), plus the terms_set query
+    (op='terms_set', tagged round 4): >= 2 of {spark, merge, batch} per
+    doc, hits = distinct matched terms, both riding the same O(Σ df)
+    TAAT decode."""
     from elasticsearch_data_import_handler_spark.operators.textsearch import (
-        bool_query)
+        bool_query,
+        terms_set_query,
+    )
 
     reader = _gate_index(spark, sf_dir)
     out = bool_query(spark, reader, must=["spark"], should=["merge", "batch"],
                      must_not=["vector"], min_should=1, round_to=4)
-    return _native_doc_ids(reader, out, ["should_hits", "score"])
+    bq = _native_doc_ids(reader, out, ["should_hits", "score"]).select(
+        F.lit("bool").alias("op"), "doc_id",
+        F.col("should_hits").cast("long").alias("hits"), "score")
+    tsq = terms_set_query(spark, reader, ["spark", "merge", "batch"],
+                          required=2, round_to=4)
+    ts = _native_doc_ids(reader, tsq, ["n_matched", "score"]).select(
+        F.lit("terms_set").alias("op"), "doc_id",
+        F.col("n_matched").cast("long").alias("hits"), "score")
+    return bq.unionByName(ts)
 
 
 def q_query_string(spark, sf_dir):
@@ -1955,19 +1969,25 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT start)::BIGINT FROM mp GROUP BY doc_id"
         ),
         "bool_query": (
+            # op='bool' (the former row verbatim) + op='terms_set':
+            # >= 2 distinct of the same three terms, hits = matched count
             f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
             "scored AS (SELECT tf.doc_id, "
             "count(DISTINCT CASE WHEN tf.term IN ('spark') THEN tf.term END) "
             "AS must_hits, "
             "count(DISTINCT CASE WHEN tf.term IN ('merge', 'batch') "
             "THEN tf.term END)::BIGINT AS should_hits, "
+            "count(DISTINCT tf.term)::BIGINT AS n_matched, "
             f"sum({bm25_contrib}) AS score "
             "FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
             "CROSS JOIN stats s WHERE tf.term IN ('spark', 'merge', 'batch') "
             "GROUP BY tf.doc_id) "
-            "SELECT doc_id, should_hits, round(score, 4) AS score FROM scored "
+            "SELECT 'bool' AS op, doc_id, should_hits AS hits, "
+            "round(score, 4) AS score FROM scored "
             "WHERE must_hits = 1 AND should_hits >= 1 AND doc_id NOT IN "
-            "(SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')"
+            "(SELECT DISTINCT doc_id FROM tok WHERE term = 'vector') "
+            "UNION ALL SELECT 'terms_set', doc_id, n_matched, "
+            "round(score, 4) FROM scored WHERE n_matched >= 2"
         ),
         "query_string": (
             # replay of '+spark merg* quer? "fast table scan"~4 -vector':
