@@ -629,7 +629,15 @@ def q_phrase_index(spark, sf_dir):
     fi = _native_doc_ids(reader, first, ["n_matches"]).select(
         F.lit("first").alias("op"), "doc_id",
         F.col("n_matches").cast("long").alias("n"))
-    return ph.unionByName(nr).unionByName(fi)
+    from elasticsearch_data_import_handler_spark.operators.spanquery import (
+        span_or,
+    )
+
+    orq = span_or(spark, reader, ["merge", "vector"])
+    oq = _native_doc_ids(reader, orq, ["n_matches"]).select(
+        F.lit("or").alias("op"), "doc_id",
+        F.col("n_matches").cast("long").alias("n"))
+    return ph.unionByName(nr).unionByName(fi).unionByName(oq)
 
 
 def q_phrase_slop(spark, sf_dir):
@@ -976,7 +984,12 @@ def q_ann_topk(spark, sf_dir):
           .withColumn("op", F.lit("exact")))
     ls = (SIM.lsh_bucketed_topk(emb, n_queries=5, k=10)
           .withColumn("op", F.lit("lsh")))
-    return ex.unionByName(ls)
+    # op='filtered' (tagged round 4): ES knn.filter pre-filter — exact
+    # top-k among candidates with vec_id % 3 == 0, k hits guaranteed
+    fi = (SIM.knn_filtered_topk(emb, F.col("vec_id") % 3 == 0,
+                                n_queries=5, k=10, mode="pre")
+          .withColumn("op", F.lit("filtered")))
+    return ex.unionByName(ls).unionByName(fi)
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -2158,7 +2171,10 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'near', doc_id, count(DISTINCT mn)::BIGINT "
             "FROM nr GROUP BY doc_id "
             "UNION ALL SELECT 'first', doc_id, count(*)::BIGINT FROM p "
-            "WHERE term = 'data' AND pos <= 10 GROUP BY doc_id"
+            "WHERE term = 'data' AND pos <= 10 GROUP BY doc_id "
+            # op='or': span_or — total occurrences of ANY clause term
+            "UNION ALL SELECT 'or', doc_id, count(*)::BIGINT FROM p "
+            "WHERE term IN ('merge', 'vector') GROUP BY doc_id"
         ),
         "multi_match": (
             # per-field BM25 (title = first 8 tokens, boost 2.0; body,
@@ -2568,7 +2584,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'exact' AS op, query_id, rank, vec_id, round(cos, 4) AS cos "
             "FROM eranked WHERE rank <= 10 "
             "UNION ALL SELECT 'lsh', query_id, rank, vec_id, round(cos, 4) "
-            "FROM lranked WHERE rank <= 10"
+            "FROM lranked WHERE rank <= 10 "
+            # op='filtered': knn.filter pre-filter (vec_id % 3 == 0)
+            "UNION ALL SELECT 'filtered', query_id, rank, vec_id, "
+            "round(cos, 4) FROM (SELECT query_id, vec_id, cos, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, "
+            "vec_id ASC) AS rank FROM escored WHERE vec_id % 3 = 0) fr "
+            "WHERE rank <= 10"
         ),
         "tpch_pricing": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
