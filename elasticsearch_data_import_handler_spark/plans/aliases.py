@@ -169,25 +169,39 @@ def rollover(catalog: AliasCatalog, alias: str, reader_stats: dict,
 
 def search_alias(spark, catalog: AliasCatalog, name: str, must=None,
                  should=None, must_not=None, min_should: int = 0,
-                 round_to: int | None = 4):
+                 round_to: int | None = 4,
+                 indices_boost: dict | None = None):
     """bool_query routed through an alias: resolve, merge the stored
     filter into the clauses, run per resolved index, union results with
     the index name attached.  Readers are opened lazily per entry; a
     multi-index alias is a plan-level union of per-index scans (each
-    partition-pruned independently)."""
+    partition-pruned independently).
+
+    ``indices_boost`` is the ES body parameter of the same name: a
+    {index: factor} map multiplying each index's scores before the union
+    (missing indexes boost 1.0).  Applied BEFORE rounding so the rounded
+    score is the final one, as in ES."""
     from ..operators.textsearch import bool_query
     from .build import IndexReader
 
+    boosts = indices_boost or {}
     out = None
     for entry in catalog.resolve(name):
         from pyspark.sql import functions as F
 
         reader = IndexReader(spark, catalog.index_dir(entry["index"]))
         cl = merged_clauses(entry["filter"], must, should, must_not)
+        b = float(boosts.get(entry["index"], 1.0))
         hits = bool_query(spark, reader, must=cl["must"] or None,
                           should=cl["should"] or None,
                           must_not=cl["must_not"] or None,
-                          min_should=min_should, round_to=round_to)
+                          min_should=min_should,
+                          round_to=None if b != 1.0 else round_to)
+        if b != 1.0:
+            score = F.col("score") * b
+            if round_to is not None:
+                score = F.round(score, round_to)
+            hits = hits.withColumn("score", score)
         hits = hits.withColumn("index", F.lit(entry["index"]))
         out = hits if out is None else out.unionByName(hits)
     return out

@@ -526,3 +526,20 @@ def test_ivf_filtered_subset_of_corpus_and_matches_bruteforce(spark, sf_dir):
                                            mode="pre").collect()}
     got = {(r["query_id"], r["rank"], r["vec_id"], r["cos"]) for r in out}
     assert got == want
+
+
+def test_search_alias_indices_boost(spark, two_indexes):
+    cat = AliasCatalog(two_indexes)
+    cat.actions([{"add": {"alias": "all2", "index": "idx_a"}},
+                 {"add": {"alias": "all2", "index": "idx_b"}}])
+    plain = search_alias(spark, cat, "all2", must=["the"])
+    boosted = search_alias(spark, cat, "all2", must=["the"],
+                           indices_boost={"idx_b": 2.0})
+    p = {(r["index"], r["doc_id"]): r["score"] for r in plain.collect()}
+    b = {(r["index"], r["doc_id"]): r["score"] for r in boosted.collect()}
+    assert set(p) == set(b) and p
+    for k in p:
+        if k[0] == "idx_b":
+            assert abs(b[k] - round(p[k] * 2.0, 4)) <= 1e-3, (k, p[k], b[k])
+        else:
+            assert b[k] == p[k]
