@@ -321,9 +321,44 @@ def multi_match(spark, readers: dict, terms, boosts: dict | None = None,
 
     if not readers:
         raise ValueError("multi_match needs at least one field reader")
-    if match_type not in ("best_fields", "most_fields"):
+    if match_type not in ("best_fields", "most_fields", "cross_fields"):
         raise ValueError(f"unknown multi_match type: {match_type}")
     boosts = boosts or {}
+    if match_type == "cross_fields":
+        # term-centric: each TERM contributes its best single-field BM25
+        # (boosted), summed over terms — Lucene BlendedTermQuery's
+        # operational shape with tie_breaker 0.  (True df-blending would
+        # rewrite every field's statistics per query; the per-term max
+        # keeps each leg a local O(Σ df_f) index scan.  Documented
+        # deviation: ES blends df, we pick the best field per term.)
+        from functools import reduce
+
+        from .indexing import bm25_score_expr
+
+        tlegs = []
+        ts = sorted({t for t in terms})
+        for field, rd in sorted(readers.items()):
+            dec = rd.decoded_postings_for_terms(ts)
+            lex = rd.lexicon().filter(F.col("term").isin(ts)) \
+                .select("term", "idf")
+            avgdl = rd.corpus_stats().select("avgdl")
+            b = float(boosts.get(field, 1.0))
+            leg = (dec.join(F.broadcast(lex), "term")
+                   .crossJoin(F.broadcast(avgdl))
+                   .withColumn("contrib", bm25_score_expr() * F.lit(b))
+                   .select("doc_id", "term", "contrib"))
+            tomb = rd.tombstones_df()
+            if tomb is not None:
+                leg = leg.join(tomb, "doc_id", "left_anti")
+            tlegs.append(leg)
+        u = reduce(lambda a, c: a.unionByName(c), tlegs)
+        out = (u.groupBy("doc_id", "term")
+               .agg(F.max("contrib").alias("best_term"))
+               .groupBy("doc_id").agg(F.sum("best_term").alias("score")))
+        if round_to is not None:
+            out = out.select("doc_id",
+                             F.round("score", round_to).alias("score"))
+        return out
     legs = []
     for field, rd in sorted(readers.items()):
         leg = bool_query(spark, rd, should=terms, min_should=1)

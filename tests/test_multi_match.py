@@ -102,4 +102,34 @@ def test_multi_match_validation(spark, mm_readers):
     with pytest.raises(ValueError):
         multi_match(spark, {}, TERMS)
     with pytest.raises(ValueError):
-        multi_match(spark, mm_readers, TERMS, match_type="cross_fields")
+        multi_match(spark, mm_readers, TERMS, match_type="phrase_prefixy")
+
+
+def test_cross_fields_matches_bruteforce(spark, mm_readers, field_tokens):
+    """cross_fields: per TERM, the best single-field boosted contribution;
+    doc score = sum over terms (BlendedTermQuery's operational shape)."""
+    per_term = {}
+    for field, toks_by_doc in field_tokens.items():
+        n = len(toks_by_doc)
+        avgdl = sum(len(t) for t in toks_by_doc.values()) / n
+        df = {w: sum(1 for t in toks_by_doc.values() if w in t)
+              for w in TERMS}
+        for doc_id, toks in toks_by_doc.items():
+            for w in TERMS:
+                tf = toks.count(w)
+                if tf and df[w]:
+                    idf = math.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5))
+                    c = (idf * tf
+                         / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+                         * BOOSTS[field])
+                    k = (doc_id, w)
+                    per_term[k] = max(per_term.get(k, 0.0), c)
+    want = {}
+    for (doc_id, _w), c in per_term.items():
+        want[doc_id] = want.get(doc_id, 0.0) + c
+    got = {r["doc_id"]: r["score"] for r in
+           multi_match(spark, mm_readers, TERMS, boosts=BOOSTS,
+                       match_type="cross_fields").collect()}
+    assert set(got) == set(want) and len(got) > 10
+    for d, s in got.items():
+        assert abs(s - want[d]) < 1e-9
