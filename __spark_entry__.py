@@ -1236,8 +1236,30 @@ def q_semi_anti_exists(spark, sf_dir):
           .groupBy(F.col("c_mktsegment").alias("grp"))
           .agg(F.count(F.lit(1)).alias("n"))
           .withColumn("op", F.lit("object")))
+    # op='percolate' (tagged round 4): the ES percolator — two stored bool
+    # queries matched against ALL documents via the inverted query-term
+    # index (operators/percolate.py); grp = query_id, n = matching docs.
+    from elasticsearch_data_import_handler_spark.operators.percolate import (
+        percolate,
+    )
+    from elasticsearch_data_import_handler_spark.functions.textanalysis import (
+        jvm_tokens_col,
+    )
+
+    pqueries = spark.createDataFrame(
+        [("pq_spark", ["spark"], None, ["vector"], None),
+         ("pq_pair", None, ["merge", "batch", "scan"], None, 2)],
+        "query_id string, must array<string>, should array<string>, "
+        "must_not array<string>, min_should int")
+    doc_terms = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.array_distinct(jvm_tokens_col("text"))).alias("term"))
+    pc = (percolate(pqueries, doc_terms)
+          .groupBy(F.col("query_id").alias("grp"))
+          .agg(F.count(F.lit(1)).alias("n"))
+          .withColumn("op", F.lit("percolate")))
     return sa.unionByName(ex).unionByName(hc).unionByName(hp) \
-             .unionByName(ne).unionByName(ob)
+             .unionByName(ne).unionByName(ob).unionByName(pc)
 
 
 def q_hybrid_rrf(spark, sf_dir):
@@ -2425,7 +2447,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderstatus = 'F') AND EXISTS ("
             "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
-            "AND o_totalprice > 150000.0) GROUP BY c_mktsegment"
+            "AND o_totalprice > 150000.0) GROUP BY c_mktsegment "
+            # op='percolate': stored-query match counts over documents —
+            # pq_spark = must 'spark' AND NOT 'vector'; pq_pair = >= 2
+            # distinct of {merge, batch, scan}
+            "UNION ALL "
+            "SELECT 'pq_spark' AS grp, count(*)::BIGINT AS n, "
+            "'percolate' AS op FROM ("
+            "SELECT doc_id FROM (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+            "FROM documents) GROUP BY doc_id "
+            "HAVING max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) = 1 "
+            "AND max(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) = 0) "
+            "UNION ALL "
+            "SELECT 'pq_pair', count(*)::BIGINT, 'percolate' FROM ("
+            "SELECT doc_id FROM (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+            "FROM documents) "
+            "WHERE term IN ('merge', 'batch', 'scan') GROUP BY doc_id "
+            "HAVING count(DISTINCT term) >= 2)"
         ),
         "hybrid": (
             # BM25 leg (bool should over spark/index/merge, top-100 by
