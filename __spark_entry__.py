@@ -1567,16 +1567,36 @@ def q_contamination(spark, sf_dir):
 
 
 def q_topn_per_group(spark, sf_dir):
+    """Ranking-window family in one tagged row: classic top-3-per-group
+    (op='topn', the previously-gated row verbatim) + ES field collapsing
+    (op='collapse', tagged round 4): best order per priority, top-3
+    groups by global rank, 2 inner hits each (rank NULL on inner hits,
+    inner_rank 0 on collapsed hits — the ES inner_hits shape)."""
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        collapse_hits,
+    )
     from pyspark.sql import Window
     od = _read(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
+    tp = (
         od.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
-        .select("o_orderpriority", "rank", "o_orderkey",
-                F.round("o_totalprice", 2).alias("o_totalprice"))
+        .select(F.lit("topn").alias("op"),
+                F.col("o_orderpriority").alias("grp"), "rank",
+                F.col("o_orderkey").alias("key"),
+                F.round("o_totalprice", 2).alias("value"),
+                F.lit(None).cast("long").alias("inner_rank"))
     )
+    scored = od.select(F.col("o_orderkey").alias("doc_id"),
+                       F.col("o_totalprice").alias("score"))
+    meta = od.select(F.col("o_orderkey").alias("doc_id"), "o_orderpriority")
+    co = collapse_hits(scored, meta, "o_orderpriority", k=3, inner_size=2,
+                       round_to=2).select(
+        F.lit("collapse").alias("op"), F.col("group_key").alias("grp"),
+        "rank", F.col("doc_id").alias("key"),
+        F.col("score").alias("value"), "inner_rank")
+    return tp.unionByName(co)
 
 
 def q_asof_join(spark, sf_dir):
@@ -2658,11 +2678,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh JOIN b USING (shingle) GROUP BY doc_id"
         ),
         "topn_per_group": (
-            "SELECT o_orderpriority, rank, o_orderkey, round(o_totalprice, 2) AS o_totalprice "
-            "FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, "
-            "row_number() OVER (PARTITION BY o_orderpriority "
-            "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders) "
-            "WHERE rank <= 3"
+            # op='topn' (the former row verbatim) + op='collapse': ES field
+            # collapsing — best per group, top-3 groups globally, 2 inner
+            # hits each (rank NULL on inner hits)
+            "WITH r AS (SELECT o_orderpriority AS grp, o_orderkey AS key, "
+            "round(o_totalprice, 2) AS value, row_number() OVER ("
+            "PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC) AS g FROM orders), "
+            "best AS (SELECT grp, key, value, row_number() OVER ("
+            "ORDER BY value DESC, key ASC) AS rank FROM ("
+            "SELECT grp, key, value FROM r WHERE g = 1 "
+            "ORDER BY value DESC, key ASC LIMIT 3)) "
+            "SELECT 'topn' AS op, grp, g::BIGINT AS rank, key, value, "
+            "NULL::BIGINT AS inner_rank FROM r WHERE g <= 3 "
+            "UNION ALL SELECT 'collapse', grp, rank::BIGINT, key, value, "
+            "0::BIGINT FROM best "
+            "UNION ALL SELECT 'collapse', r.grp, NULL::BIGINT, r.key, "
+            "r.value, (r.g - 1)::BIGINT FROM r "
+            "JOIN best ON r.grp = best.grp WHERE r.g BETWEEN 2 AND 3"
         ),
         "asof_join": (
             "WITH purchases AS (SELECT user_id, event_id, ts FROM events "
