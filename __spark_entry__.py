@@ -765,11 +765,15 @@ def q_multi_match(spark, sf_dir):
                        round_to=4)
     most = multi_match(spark, readers, terms, boosts=boosts,
                        match_type="most_fields", round_to=4)
+    cross = multi_match(spark, readers, terms, boosts=boosts,
+                        match_type="cross_fields", round_to=4)
     b = _native_doc_ids(body, best, ["score"]).select(
         F.lit("best").alias("op"), "doc_id", "score")
     m = _native_doc_ids(body, most, ["score"]).select(
         F.lit("most").alias("op"), "doc_id", "score")
-    return b.unionByName(m)
+    c = _native_doc_ids(body, cross, ["score"]).select(
+        F.lit("cross").alias("op"), "doc_id", "score")
+    return b.unionByName(m).unionByName(c)
 
 
 def q_search_facets(spark, sf_dir):
@@ -2248,10 +2252,27 @@ def oracle_sql() -> dict[str, str]:
             "WHERE tf.term IN ('spark', 'merge') GROUP BY tf.doc_id), "
             "u AS (SELECT * FROM tsc UNION ALL SELECT * FROM bsc), "
             "g AS (SELECT doc_id, max(fs) AS best, sum(fs) AS total "
-            "FROM u GROUP BY doc_id) "
+            "FROM u GROUP BY doc_id), "
+            # op='cross': per-TERM best field contribution, summed —
+            # cross_fields (BlendedTermQuery operational shape)
+            "tpt AS (SELECT tf.doc_id, tf.term, "
+            f"2.0 * ({bm25_contrib}) AS c "
+            "FROM ttf tf JOIN tdfreq dfreq USING (term) "
+            "JOIN tdl dl ON tf.doc_id = dl.doc_id CROSS JOIN tstats s "
+            "WHERE tf.term IN ('spark', 'merge')), "
+            "bpt AS (SELECT tf.doc_id, tf.term, "
+            f"1.0 * ({bm25_contrib}) AS c "
+            "FROM tf JOIN dfreq USING (term) "
+            "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s "
+            "WHERE tf.term IN ('spark', 'merge')), "
+            "xp AS (SELECT doc_id, term, max(c) AS bc FROM ("
+            "SELECT * FROM tpt UNION ALL SELECT * FROM bpt) "
+            "GROUP BY doc_id, term), "
+            "xs AS (SELECT doc_id, sum(bc) AS score FROM xp GROUP BY doc_id) "
             "SELECT 'best' AS op, doc_id, "
             "round(best + 0.3 * (total - best), 4) AS score FROM g "
-            "UNION ALL SELECT 'most', doc_id, round(total, 4) FROM g"
+            "UNION ALL SELECT 'most', doc_id, round(total, 4) FROM g "
+            "UNION ALL SELECT 'cross', doc_id, round(score, 4) FROM xs"
         ),
         "snippets": (
             "SELECT doc_id, strpos(lower(text), 'the spark')::BIGINT AS pos, "
