@@ -654,12 +654,19 @@ def terms_set_query(spark, reader, terms: list[str],
     dec = reader.decoded_postings_for_terms(ts)
     lex = reader.lexicon().filter(F.col("term").isin(ts)).select("term", "idf")
     avgdl = reader.corpus_stats().select("avgdl")
+    # distinct-matched-term count as a SUM of per-term max-flags (the
+    # bool_query idiom) — count_distinct would expand into a second
+    # (doc_id, term) exchange of the whole decoded set; |terms| is small
+    # for terms_set (it's a clause list), so the flag columns are cheap
+    flags = [F.max(F.when(F.col("term") == t, 1).otherwise(0))
+             .alias(f"__t{i}") for i, t in enumerate(ts)]
     agg = (dec.join(F.broadcast(lex), "term")
            .crossJoin(F.broadcast(avgdl))
            .withColumn("contrib", bm25_score_expr())
            .groupBy("doc_id")
-           .agg(F.count_distinct("term").alias("n_matched"),
-                F.sum("contrib").alias("score")))
+           .agg(*flags, F.sum("contrib").alias("score")))
+    n_matched = sum((F.col(f"__t{i}") for i in range(len(ts))), F.lit(0))
+    agg = agg.withColumn("n_matched", n_matched.cast("long"))
     if isinstance(required, DataFrame):
         req = F.broadcast(required.select(
             "doc_id", F.col("required_matches").cast("long").alias("__req")))

@@ -400,3 +400,45 @@ def test_collapse_global_window_is_limit_bounded(spark, sf_dir):
     # the per-group window is partitioned by the collapse field
     assert "partitionBy" not in first_window_above  # sanity: split worked
     assert plan.count("Window") >= 2, plan
+
+
+def test_percolate_is_join_based_no_cartesian(spark):
+    """Percolation must be a term-keyed equi-join — never a docs × queries
+    nested-loop/cartesian product."""
+    from elasticsearch_data_import_handler_spark.operators.percolate import (
+        percolate, query_term_index)
+
+    queries = spark.createDataFrame(
+        [("q1", ["spark"], None, ["vector"], None),
+         ("q2", None, ["merge", "batch"], None, 1)],
+        "query_id string, must array<string>, should array<string>, "
+        "must_not array<string>, min_should int")
+    docs = spark.createDataFrame(
+        [(1, "spark"), (1, "merge"), (2, "vector")], "doc_id int, term string")
+    df = percolate(queries, docs, qindex=query_term_index(queries, validate=False))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the requirements side is broadcast (bounded by |queries|)
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_terms_set_single_aggregation_exchange(spark, tmp_path):
+    """terms_set adds NO second postings pass: one groupBy(doc_id) shuffle
+    above the decode, threshold applied as a filter."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        terms_set_query)
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        IndexReader, build_index)
+    from elasticsearch_data_import_handler_spark.sources.corpus import synth_pages
+
+    d = str(tmp_path / "idx")
+    build_index(spark, synth_pages(spark, 120, seed=42), d, tau=100,
+                n_buckets=4)
+    df = terms_set_query(spark, IndexReader(spark, d),
+                         ["spark", "merge", "batch"], required=2)
+    plan = _plan(df)
+    # exactly one hashpartitioning exchange on doc_id (the aggregation);
+    # lexicon/avgdl ride broadcasts
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles == 1, plan
