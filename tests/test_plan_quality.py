@@ -442,3 +442,23 @@ def test_terms_set_single_aggregation_exchange(spark, tmp_path):
     # lexicon/avgdl ride broadcasts
     n_shuffles = plan.count("Exchange hashpartitioning")
     assert n_shuffles == 1, plan
+
+
+def test_positions_scan_partition_pruning(spark, tmp_path):
+    """positions_for_terms (the span/phrase family's scan) must prune to
+    the term's hash bucket at planning time, like the postings scan."""
+    from elasticsearch_data_import_handler_spark.functions.hashing import (
+        xxhash64_str)
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        IndexReader, build_index)
+    from elasticsearch_data_import_handler_spark.sources.corpus import synth_pages
+
+    d = str(tmp_path / "idx")
+    build_index(spark, synth_pages(spark, 120, seed=42), d, tau=100,
+                n_buckets=4, positions=True)
+    df = IndexReader(spark, d).positions_for_terms(["spark"])
+    plan = _plan(df)
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "bucket" in pf, plan
+    rows = df.collect()
+    assert rows
