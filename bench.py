@@ -327,16 +327,29 @@ def _measure_scaling_pair(corpus_path: str) -> tuple[dict, list[dict]]:
     all attempts)."""
     ratio = SCALE_HIGH / SCALE_LOW
     attempts = []
+    best_seen = 0.0  # best CPU calibration observed across ALL probes
     for i in range(MAX_PAIR_ATTEMPTS):
+        final = i == MAX_PAIR_ATTEMPTS - 1
         cal = _host_calibration()
+        best_seen = max(best_seen, cal["host_cpu_scaling_2_8"])
         waits = 0
-        while (cal["host_cpu_scaling_2_8"] < CAL_CPU_TARGET
-               and waits < CAL_WAIT_TRIES):
+        # on non-final attempts the bar is the absolute target; on the
+        # FINAL (measure-regardless) attempt, hunt instead for a window at
+        # least as good as 90% of the session's best observed ceiling —
+        # on a host that never calms, this lands the one mandatory
+        # measurement in the best available window rather than whichever
+        # window the retry budget happens to expire in
+        def _ok(c):
+            if c >= CAL_CPU_TARGET:
+                return True
+            return final and best_seen > 0 and c >= 0.9 * best_seen
+        while not _ok(cal["host_cpu_scaling_2_8"]) and waits < CAL_WAIT_TRIES:
             print(f"# host contended (cpu scaling "
                   f"{cal['host_cpu_scaling_2_8']}) — waiting {CAL_WAIT_SEC}s",
                   file=sys.stderr)
             time.sleep(CAL_WAIT_SEC)
             cal = _host_calibration()
+            best_seen = max(best_seen, cal["host_cpu_scaling_2_8"])
             waits += 1
         calm = cal["host_cpu_scaling_2_8"] >= CAL_CPU_TARGET
         if not calm and i < MAX_PAIR_ATTEMPTS - 1:
