@@ -53,6 +53,24 @@ def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colum
     return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(a))
 
 
+def _lon_range_filter(lon: Column, lo: float, hi: float) -> Column:
+    """Longitude-membership predicate on the [-180, 180] domain, antimeridian
+    aware: [lo, hi] that leaks past ±180 wraps into TWO OR'd sargable range
+    predicates (both still push down to the scan).  A range covering the full
+    circle degenerates to an everything-passes filter — still a sound prune."""
+    if hi - lo >= 360.0:
+        return F.lit(True)
+    # normalize endpoints into [-180, 180]; an upper endpoint landing exactly
+    # on the seam means +180, not -180
+    lo_n = -180.0 + (lo + 180.0) % 360.0
+    hi_n = -180.0 + (hi + 180.0) % 360.0
+    if hi_n == -180.0 and hi != -180.0:
+        hi_n = 180.0
+    if lo_n <= hi_n:
+        return (lon >= lo_n) & (lon <= hi_n)
+    return (lon >= lo_n) | (lon <= hi_n)
+
+
 def geo_distance(df: DataFrame, lat_col: str, lon_col: str,
                  center_lat: float, center_lon: float,
                  radius_m: float) -> DataFrame:
@@ -67,8 +85,11 @@ def geo_distance(df: DataFrame, lat_col: str, lon_col: str,
     (highest-|lat|) edge of the latitude band — the cap's lon extent peaks
     there, so taking the MINIMUM cosine over-covers.  (A cap touching a
     pole drives the cosine to the 1e-9 floor, which degenerates to an
-    everything-passes lon filter — still sound.)  The exact haversine test
-    below the box is what decides membership; the box only prunes."""
+    everything-passes lon filter — still sound.)  A center near ±180 wraps
+    the lon prune into two OR'd ranges (``_lon_range_filter``) so far-side
+    points are never pruned; the haversine itself is wrap-safe (sin² of the
+    half-delta is 360°-periodic).  The exact haversine test below the box
+    is what decides membership; the box only prunes."""
     lat, lon = F.col(lat_col), F.col(lon_col)
     dlat = float(radius_m) / 111000.0
     import math
@@ -77,7 +98,8 @@ def geo_distance(df: DataFrame, lat_col: str, lon_col: str,
                      math.cos(math.radians(center_lat - dlat))), 1e-9)
     dlon = float(radius_m) / (111000.0 * coslat)
     boxed = df.filter((lat >= center_lat - dlat) & (lat <= center_lat + dlat)
-                      & (lon >= center_lon - dlon) & (lon <= center_lon + dlon))
+                      & _lon_range_filter(lon, center_lon - dlon,
+                                          center_lon + dlon))
     d = haversine_m(lat, lon, F.lit(float(center_lat)), F.lit(float(center_lon)))
     return (boxed.withColumn("distance_m", d)
             .filter(F.col("distance_m") <= float(radius_m)))
@@ -86,10 +108,14 @@ def geo_distance(df: DataFrame, lat_col: str, lon_col: str,
 def geo_bounding_box(df: DataFrame, lat_col: str, lon_col: str,
                      top: float, left: float,
                      bottom: float, right: float) -> DataFrame:
-    """ES geo_bounding_box filter (non-antimeridian-crossing box)."""
+    """ES geo_bounding_box filter.  ``left > right`` means the box crosses
+    the antimeridian (ES semantics): the lon predicate becomes the
+    two-disjunct ``lon >= left OR lon <= right``."""
     lat, lon = F.col(lat_col), F.col(lon_col)
-    return df.filter((lat <= float(top)) & (lat >= float(bottom))
-                     & (lon >= float(left)) & (lon <= float(right)))
+    out = df.filter((lat <= float(top)) & (lat >= float(bottom)))
+    if float(left) > float(right):
+        return out.filter((lon >= float(left)) | (lon <= float(right)))
+    return out.filter((lon >= float(left)) & (lon <= float(right)))
 
 
 def geotile_cell(lat: Column, lon: Column, zoom: int) -> Column:

@@ -668,8 +668,13 @@ def terms_set_query(spark, reader, terms: list[str],
     n_matched = sum((F.col(f"__t{i}") for i in range(len(ts))), F.lit(0))
     agg = agg.withColumn("n_matched", n_matched.cast("long"))
     if isinstance(required, DataFrame):
-        req = F.broadcast(required.select(
-            "doc_id", F.col("required_matches").cast("long").alias("__req")))
+        # NO broadcast hint: the per-doc threshold frame (ES
+        # minimum_should_match_field doc-values) is corpus-sized in the
+        # worst case — a forced broadcast would OOM at 10^12 docs.  Plain
+        # equi-join on doc_id lets AQE broadcast it when it measures small
+        # and shuffle-join otherwise; `agg` is already ≤ the matched docs.
+        req = required.select(
+            "doc_id", F.col("required_matches").cast("long").alias("__req"))
         agg = (agg.join(req, "doc_id", "left")
                .withColumn("__req", F.coalesce(F.col("__req"),
                                                F.lit(len(ts)).cast("long"))))

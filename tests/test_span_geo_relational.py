@@ -210,6 +210,41 @@ def test_geo_bounding_box(spark, geo_points):
     assert got == want and got
 
 
+def test_geo_distance_antimeridian_wrap(spark):
+    """Regression (round-4 advice): a geo_distance center near lon ±180 must
+    not prune far-side points — the lon pre-filter wraps into two OR'd
+    ranges.  Exercises both seam directions; membership is decided by the
+    same haversine as the brute force."""
+    r = 600000.0
+    pts = spark.createDataFrame(
+        [(1, 10.0, -179.5), (2, 10.0, 179.0), (3, 10.0, -174.0),
+         (4, 10.0, 174.0), (5, 10.0, 0.0)],
+        "id int, lat double, lon double")
+    for clon in (179.9, -179.9):
+        got = {x["id"] for x in geo_distance(
+            pts, "lat", "lon", 10.0, clon, r).collect()}
+        want = {x["id"] for x in pts.collect()
+                if _hav(x["lat"], x["lon"], 10.0, clon) <= r}
+        assert got == want, (clon, got, want)
+        # the far side of the seam MUST be represented, else the prune bug
+        far = {i for i, _, lo in pts.collect()
+               if (lo < 0) != (clon < 0) and i in want}
+        assert far & got
+
+
+def test_geo_bounding_box_dateline(spark):
+    """ES semantics: left > right means the box crosses the antimeridian —
+    lon >= left OR lon <= right."""
+    pts = spark.createDataFrame(
+        [(1, 10.0, 179.5), (2, 10.0, -179.5), (3, 10.0, 170.0),
+         (4, 10.0, -170.0), (5, 10.0, 0.0), (6, 30.0, 179.5)],
+        "id int, lat double, lon double")
+    got = {r["id"] for r in geo_bounding_box(
+        pts, "lat", "lon", top=20.0, left=175.0,
+        bottom=0.0, right=-175.0).collect()}
+    assert got == {1, 2}
+
+
 def test_geotile_cell_known_points(spark):
     df = spark.createDataFrame(
         [(52.5200, 13.4050), (0.0001, 0.0001), (-33.8688, 151.2093)],
