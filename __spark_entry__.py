@@ -368,6 +368,35 @@ def _gate_title_index(spark, sf_dir):
     return IndexReader(spark, d)
 
 
+# Round-5 analyzer-sensitive gate index (A8 depth): stopwords + synonym
+# rules (both ES forms: contraction and equivalence class) + the
+# light_english stemmer whose SQL template replays VERBATIM in DuckDB
+# (functions/textanalysis.py: light_stem_p1_sql/p2_sql).
+GATE_STEM_ANALYZER = {
+    "stopwords": ["the", "a"],
+    "synonyms": ["fast, quick => rapid", "merge, join"],
+    "stemmer": "light_english",
+}
+_GATE_STEM_INDEX: dict[str, str] = {}
+
+
+def _gate_stem_index(spark, sf_dir):
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        IndexReader, build_index)
+    from elasticsearch_data_import_handler_spark.sources.corpus import (
+        pages_from_documents)
+
+    d = _GATE_STEM_INDEX.get(sf_dir)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="eidh_gate_sidx_")
+        build_index(spark, pages_from_documents(spark, sf_dir), d,
+                    tau=200, n_buckets=8, analyzer=GATE_STEM_ANALYZER)
+        _GATE_STEM_INDEX[sf_dir] = d
+    return IndexReader(spark, d)
+
+
 def _native_map(reader):
     """(doc_id, __nid): versioned index doc_id → the documents table's
     native id (the synthetic corpus encodes it in the url tail).  Single
@@ -742,7 +771,24 @@ def q_query_string_tagged(spark, sf_dir):
         F.lit("suggest").alias("op"), nulll.alias("doc_id"),
         F.lit(None).cast("double").alias("score"), "rank",
         nulls.alias("method"), "term", "df")
-    return qs.unionByName(ex).unionByName(sg)
+    # op='stemmed' (round 5): analyzer-sensitive BM25 over the stemmed+
+    # synonym index; op='complete': the ES completion suggester (round-4
+    # VERDICT missing #2), served from the SAME vocab aggregation
+    st = _stemmed_only(spark, sf_dir).select(
+        F.lit("stemmed").alias("op"), "doc_id", "score", "rank",
+        nulls.alias("method"), nulls.alias("term"), nulll.alias("df"))
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        complete_suggest)
+
+    cp = complete_suggest(
+        vocab.select(F.col("term").alias("input"),
+                     F.col("df").alias("weight")), "s", size=5).select(
+        F.lit("complete").alias("op"), nulll.alias("doc_id"),
+        F.lit(None).cast("double").alias("score"), "rank",
+        nulls.alias("method"), F.col("input").alias("term"),
+        F.col("weight").alias("df"))
+    return (qs.unionByName(ex).unionByName(sg).unionByName(st)
+            .unionByName(cp))
 
 
 def _expand_only(spark, sf_dir):
@@ -762,6 +808,35 @@ def _suggest_only(spark, sf_dir):
 
     return suggest_terms(_read(spark, sf_dir, "documents"), "dat",
                          max_dist=2, size=5)
+
+
+def _stemmed_only(spark, sf_dir):
+    """op='stemmed': end-to-end analyzer-sensitive retrieval — an index
+    built with GATE_STEM_ANALYZER (stopwords + synonyms + light_english),
+    the raw query text analyzed with the index's PERSISTED analyzer
+    ('the fast merging tables' → ['rapid', 'merg', 'tabl']), BM25
+    bool-should scored, top-10 under native-id tie order.  The oracle
+    replays the identical filter chain via the shared SQL templates."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        bool_query)
+    from elasticsearch_data_import_handler_spark.queryset import query_terms
+
+    reader = _gate_stem_index(spark, sf_dir)
+    terms = query_terms("the fast merging tables", reader.state.analyzer)
+    cand = bool_query(spark, reader, should=terms, min_should=1)
+    return _rank_native(_native_doc_ids(reader, cand, ["score"]), 10)
+
+
+def _complete_only(spark, sf_dir):
+    """op='complete': the ES completion suggester over a weighted-inputs
+    table curated from the corpus vocabulary (input=term, weight=df) —
+    prefix 's', ES tie rules (weight DESC, input ASC), top 5."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        complete_suggest, corpus_vocab)
+
+    vocab = corpus_vocab(_read(spark, sf_dir, "documents")).select(
+        F.col("term").alias("input"), F.col("df").alias("weight"))
+    return complete_suggest(vocab, "s", size=5)
 
 
 def q_multi_match(spark, sf_dir):
@@ -1877,8 +1952,53 @@ BENCH_SUBOPS: dict[str, dict[str, Callable]] = {
         "cross": lambda s, d: _mm_leg(s, d, "cross_fields"),
     },
     "query_string": {"search": q_query_string, "expand": _expand_only,
-                     "suggest": _suggest_only},
+                     "suggest": _suggest_only, "stemmed": _stemmed_only,
+                     "complete": _complete_only},
 }
+
+
+def _stem_ctes_sql() -> str:
+    """The stemmed-analyzer token chain + BM25 scoring CTEs for the
+    op='stemmed' oracle branch — built from the SAME SQL templates the
+    engine's Column mirrors implement (light_stem_p1_sql/p2_sql,
+    synonym_case_sql), so Spark and DuckDB run textually identical
+    per-token transforms; the analyzed query terms come from the SAME
+    py_tokenize the engine's query side uses."""
+    from elasticsearch_data_import_handler_spark.functions.textanalysis import (
+        light_stem_p1_sql,
+        light_stem_p2_sql,
+        parse_synonyms,
+        py_tokenize,
+        synonym_case_sql,
+    )
+
+    a = GATE_STEM_ANALYZER
+    syn = synonym_case_sql(parse_synonyms(a["synonyms"]))
+    stop = ", ".join(f"'{s}'" for s in a["stopwords"])
+    qterms = dict.fromkeys(py_tokenize("the fast merging tables", a))
+    terms_in = ", ".join(f"'{t}'" for t in qterms)
+    contrib = (
+        "ln(1 + (st.n_docs - sdf.df + 0.5) / (sdf.df + 0.5)) * stf.tf / "
+        "(stf.tf + 1.2 * (1 - 0.75 + 0.75 * sdl.doc_len / st.avgdl))")
+    return (
+        "sraw AS (SELECT doc_id, list_transform(list_transform("
+        "list_transform(list_filter(regexp_extract_all(lower(text), "
+        f"'[a-z0-9]+'), t -> t NOT IN ({stop})), t -> {syn}), "
+        f"t -> {light_stem_p1_sql('t')}), t -> {light_stem_p2_sql('t')}) "
+        "AS toks FROM documents), "
+        "sxp AS (SELECT doc_id, unnest(toks) AS term FROM sraw), "
+        "stf AS (SELECT term, doc_id, count(*)::BIGINT AS tf "
+        "FROM sxp GROUP BY 1, 2), "
+        "sdl AS (SELECT doc_id, count(*)::BIGINT AS doc_len "
+        "FROM sxp GROUP BY 1), "
+        "sst AS (SELECT count(*)::BIGINT AS n_docs, avg(doc_len) AS avgdl "
+        "FROM sdl), "
+        "sdf AS (SELECT term, count(*)::BIGINT AS df FROM stf GROUP BY 1), "
+        f"sscored AS (SELECT stf.doc_id, sum({contrib}) AS score "
+        "FROM stf JOIN sdf USING (term) JOIN sdl ON stf.doc_id = sdl.doc_id "
+        f"CROSS JOIN sst st WHERE stf.term IN ({terms_in}) "
+        "GROUP BY stf.doc_id)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2123,6 +2243,7 @@ def oracle_sql() -> dict[str, str]:
             # top-df expansion rewrite, BM25 bool scoring over must+should
             # terms, in-order phrase gate with span <= (n-1)+slop = 6
             f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
+            f"{_stem_ctes_sql()}, "
             "exp AS (SELECT term FROM (SELECT term, row_number() OVER ("
             "ORDER BY df DESC, term ASC) AS r FROM dfreq "
             "WHERE term LIKE 'merg%') e1 WHERE r <= 50 "
@@ -2179,7 +2300,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, df, row_number() OVER (ORDER BY "
             "levenshtein(term, 'dat') ASC, df DESC, term ASC) AS rank "
             "FROM v WHERE levenshtein(term, 'dat') <= 2 "
-            "AND term <> 'dat') sg WHERE sg.rank <= 5"
+            "AND term <> 'dat') sg WHERE sg.rank <= 5 "
+            # op='stemmed': full analyzer-chain replay (stopwords →
+            # synonym CASE → light_stem phase 1 → phase 2, the SAME SQL
+            # templates the Spark index applies) then BM25 over the
+            # analyzed query terms; op='complete': prefix completion over
+            # the shared v vocab, ES tie rules (weight=df DESC, input ASC)
+            "UNION ALL SELECT 'stemmed', sr.doc_id, round(sr.score, 4), "
+            "sr.rank, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT FROM ("
+            "SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, "
+            "doc_id ASC) AS rank FROM sscored) sr WHERE sr.rank <= 10 "
+            "UNION ALL SELECT 'complete', NULL::BIGINT, NULL::DOUBLE, "
+            "cp.rank, NULL::VARCHAR, cp.term, cp.df FROM ("
+            "SELECT term, df, row_number() OVER (ORDER BY df DESC, "
+            "term ASC) AS rank FROM v WHERE term LIKE 's%') cp "
+            "WHERE cp.rank <= 5"
         ),
         "search_facets": (
             f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "

@@ -507,6 +507,163 @@ def test_bpe_chunking_windows_subword_stream(spark, sf_dir):
             assert r["n_tokens"] == len(want)
 
 
+_STEM_WORDS = [
+    # plural family
+    "caresses", "ponies", "ties", "caress", "cats", "less", "analysis",
+    "status", "ss", "s", "is", "gas", "this",
+    # suffix family
+    "running", "sing", "string", "merging", "merged", "merges", "merge",
+    "tables", "table", "value", "values", "early", "only", "apply", "state",
+    "line", "lines", "thing", "things", "bring", "inging",
+    # degenerate / non-alpha
+    "a", "ab", "abc", "123", "12s", "x9ing", "sses", "ies", "ed", "ing",
+    "yyy", "fly", "flys", "ly", "eed", "agreed",
+]
+
+
+def test_light_stem_three_way_parity(spark):
+    """light_english must produce IDENTICAL strings from (a) the pure-Python
+    mirror, (b) the Spark Column chain the index applies, and (c) the DuckDB
+    SQL templates the oracle replays — over an adversarial word list plus
+    the full sf0.001 corpus vocabulary."""
+    import duckdb
+
+    from elasticsearch_data_import_handler_spark.functions.textanalysis import (
+        _light_p1_col, _light_p2_col, light_stem, light_stem_p1_sql,
+        light_stem_p2_sql)
+
+    from conftest import SF_UNIT
+
+    vocab = [r["t"] for r in spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+             .select(F.explode(F.regexp_extract_all(
+                 F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias("t"))
+             .distinct().collect()]
+    words = sorted(set(_STEM_WORDS) | set(vocab))
+    py = [light_stem(w) for w in words]
+    sdf = spark.createDataFrame([(w,) for w in words], "t string")
+    sp = [r["s"] for r in sdf.select(
+        _light_p2_col(_light_p1_col(F.col("t"))).alias("s"))
+        .collect()]
+    inner = light_stem_p1_sql("t")
+    outer = light_stem_p2_sql("s")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w(t VARCHAR)")
+    con.executemany("INSERT INTO w VALUES (?)", [(w,) for w in words])
+    dk = [r[0] for r in con.execute(
+        f"SELECT {outer} FROM (SELECT {inner} AS s FROM w)").fetchall()]
+    assert py == sp, [x for x in zip(words, py, sp) if x[1] != x[2]][:5]
+    assert py == dk, [x for x in zip(words, py, dk) if x[1] != x[2]][:5]
+
+
+def test_porter_known_vectors():
+    """Porter (1980) — the paper's worked examples."""
+    from elasticsearch_data_import_handler_spark.functions.textanalysis import (
+        porter_stem)
+
+    pairs = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "fizzed": "fizz", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+        "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope",
+        "callousness": "callous", "formaliti": "formal",
+        "sensitiviti": "sensit", "sensibiliti": "sensibl",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+        "goodness": "good", "revival": "reviv", "allowance": "allow",
+        "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt", "homologou": "homolog",
+        "communism": "commun", "activate": "activ", "angulariti": "angular",
+        "homologous": "homolog", "effective": "effect", "bowdlerize":
+        "bowdler", "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+    }
+    got = {w: porter_stem(w) for w in pairs}
+    bad = {w: (g, pairs[w]) for w, g in got.items() if g != pairs[w]}
+    assert not bad, bad
+
+
+def test_synonym_rules_and_conflicts():
+    from elasticsearch_data_import_handler_spark.functions.textanalysis import (
+        parse_synonyms, py_tokenize)
+
+    m = parse_synonyms(["fast, quick => rapid", "merge, join"])
+    assert m == {"fast": "rapid", "quick": "rapid", "join": "merge"}
+    an = {"synonyms": ["fast, quick => rapid", "merge, join"],
+          "stemmer": "light_english", "stopwords": ["the"]}
+    assert py_tokenize("the fast merging tables", an) == [
+        "rapid", "merg", "tabl"]
+    import pytest
+    with pytest.raises(ValueError, match="conflicting"):
+        parse_synonyms(["a => b", "a => c"])
+    with pytest.raises(ValueError, match="multi-word"):
+        parse_synonyms(["new york => nyc"])
+
+
+def test_stemming_analyzer_build_query_roundtrip(spark, tmp_path):
+    """A8 round-trip: an index built with {stopwords, synonyms, porter} and
+    a query analyzed with the PERSISTED analyzer retrieve exactly the docs
+    whose python-recounted analyzed tokens contain the query term."""
+    from elasticsearch_data_import_handler_spark.functions.textanalysis import (
+        py_tokenize)
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        bool_query)
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        IndexReader, build_index)
+    from elasticsearch_data_import_handler_spark.queryset import query_terms
+    from elasticsearch_data_import_handler_spark.sources.corpus import (
+        synth_pages)
+
+    an = {"stopwords": ["the", "a"], "synonyms": ["fast, quick => rapid"],
+          "stemmer": "porter"}
+    pages = synth_pages(spark, 150, seed=7)
+    d = str(tmp_path / "stem_idx")
+    build_index(spark, pages, d, tau=100, n_buckets=4, analyzer=an)
+    reader = IndexReader(spark, d)
+    assert reader.state.analyzer["stemmer"] == "porter"
+    # query text analyzed with the persisted analyzer
+    terms = query_terms("the fast merges", reader.state.analyzer)
+    assert terms == ["rapid", "merg"]  # porter: merges -> merg
+    got = {(r["doc_id"], r["should_hits"]) for r in bool_query(
+        spark, reader, should=terms, min_should=1).collect()}
+    # brute force over the raw pages with the same python analyzer
+    url_by_doc = {r["doc_id"]: r["url"] for r in reader.doc_stats().collect()}
+    toks_by_url = {r["url"]: py_tokenize(r["text"], an)
+                   for r in pages.select("url", "text").collect()}
+    want = set()
+    for did, url in url_by_doc.items():
+        hits = sum(1 for t in ("rapid", "merg") if t in toks_by_url[url])
+        if hits >= 1:
+            want.add((did, hits))
+    assert got == want and got
+
+
+def test_complete_suggest_es_tie_rules(spark):
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        complete_suggest)
+
+    inputs = spark.createDataFrame(
+        [("spark", 5), ("spark", 9), ("spa", 9), ("sql", 2), ("scan", 9),
+         ("merge", 100), ("s", 1)],
+        "input string, weight int")
+    got = [(r["input"], r["weight"], r["rank"]) for r in
+           complete_suggest(inputs, "sp", size=3).collect()]
+    # dedupe keeps best weight; weight DESC then input ASC
+    assert got == [("spa", 9, 1), ("spark", 9, 2)]
+    got2 = [r["input"] for r in complete_suggest(inputs, "s", size=4)
+            .orderBy("rank").collect()]
+    assert got2 == ["scan", "spa", "spark", "sql"]
+
+
 def test_analyze_explains_tokens_offsets_and_stopword_gaps():
     from elasticsearch_data_import_handler_spark.functions.textanalysis import (
         analyze, py_tokenize)
