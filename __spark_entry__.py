@@ -994,12 +994,37 @@ def q_term_expansion(spark, sf_dir):
 
 
 def q_snippets(spark, sf_dir):
-    """ES highlighter analog: fixed window around the first query hit."""
+    """ES highlighter family in one tagged row: op='first' — fixed window
+    around the first query hit (the previously-gated row verbatim);
+    op='multi' (round 5) — the unified highlighter's multi-fragment shape:
+    top-3 fragments per doc by analyzer-token hits, fragment_size=80,
+    ES rank order (hits DESC, position ASC)."""
+    nulll = F.lit(None).cast("long")
+    fi = _snippets_first(spark, sf_dir).select(
+        F.lit("first").alias("op"), "doc_id", "pos",
+        nulll.alias("rank"), nulll.alias("n_hits"), "snippet")
+    mu = _highlight_multi(spark, sf_dir).select(
+        F.lit("multi").alias("op"), "doc_id",
+        F.col("frag_start").alias("pos"), F.col("frag_rank").alias("rank"),
+        "n_hits", F.col("fragment").alias("snippet"))
+    return fi.unionByName(mu)
+
+
+def _snippets_first(spark, sf_dir):
     from elasticsearch_data_import_handler_spark.operators.textsearch import (
         snippets)
 
     return snippets(_read(spark, sf_dir, "documents"), "the spark",
                     before=30, width=80)
+
+
+def _highlight_multi(spark, sf_dir):
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        highlight_fragments)
+
+    return highlight_fragments(_read(spark, sf_dir, "documents"),
+                               ["spark", "merge"], fragment_size=80,
+                               number_of_fragments=3)
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -1954,6 +1979,7 @@ BENCH_SUBOPS: dict[str, dict[str, Callable]] = {
     "query_string": {"search": q_query_string, "expand": _expand_only,
                      "suggest": _suggest_only, "stemmed": _stemmed_only,
                      "complete": _complete_only},
+    "snippets": {"first": _snippets_first, "multi": _highlight_multi},
 }
 
 
@@ -2480,10 +2506,26 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'cross', doc_id, round(score, 4) FROM xs"
         ),
         "snippets": (
-            "SELECT doc_id, strpos(lower(text), 'the spark')::BIGINT AS pos, "
+            "SELECT 'first' AS op, doc_id, "
+            "strpos(lower(text), 'the spark')::BIGINT AS pos, "
+            "NULL::BIGINT AS rank, NULL::BIGINT AS n_hits, "
             "substr(text, greatest(1, strpos(lower(text), 'the spark') - 30), 80) "
             "AS snippet FROM documents "
-            "WHERE strpos(lower(text), 'the spark') > 0"
+            "WHERE strpos(lower(text), 'the spark') > 0 "
+            # op='multi': fixed 80-char fragments, token-hit scores, per-doc
+            # rank (hits DESC, position ASC), top 3 — substr/ceil/range are
+            # IEEE/1-based identical across engines
+            "UNION ALL SELECT 'multi', doc_id, (f * 80 + 1)::BIGINT, "
+            "frag_rank, n_hits, fragment FROM ("
+            "SELECT doc_id, f, fragment, n_hits, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY n_hits DESC, f ASC) AS frag_rank "
+            "FROM (SELECT doc_id, f, fragment, "
+            "len(list_filter(regexp_extract_all(lower(fragment), "
+            "'[a-z0-9]+'), t -> t IN ('merge', 'spark')))::BIGINT AS n_hits "
+            "FROM (SELECT doc_id, f, substr(text, f::INT * 80 + 1, 80) "
+            "AS fragment FROM (SELECT doc_id, text, unnest(range(0, "
+            "ceil(length(text) / 80.0)::INT)) AS f FROM documents))) "
+            "WHERE n_hits > 0) WHERE frag_rank <= 3"
         ),
         "pack_sequences": _pack_sequences_sql(),
         "sampling": (

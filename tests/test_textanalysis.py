@@ -138,6 +138,30 @@ def test_phrase_fuzzy_snippet_semantics(spark):
     assert "beta" in sn[1]
 
 
+def test_highlight_fragments_multi(spark):
+    """ES multi-fragment highlighter: fixed windows, per-fragment hit
+    scores (duplicates count), rank = hits DESC then position ASC, zero-hit
+    fragments dropped, top number_of_fragments kept."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        highlight_fragments)
+
+    df = spark.createDataFrame(
+        [(1, "spark spark junk merge end spark"),
+         (2, "nothing here at all"),
+         (3, "")],
+        "doc_id long, text string")
+    rows = sorted(
+        highlight_fragments(df, ["SPARK", "merge"], fragment_size=12,
+                            number_of_fragments=2).collect(),
+        key=lambda r: r["frag_rank"])
+    # doc 1 fragments: 'spark spark ' (2 hits), 'junk merge e' (1),
+    # 'nd spark' (1) — rank keeps the first two
+    assert [(r["doc_id"], r["frag_rank"], r["frag_start"], r["n_hits"],
+             r["fragment"]) for r in rows] == [
+        (1, 1, 1, 2, "spark spark "),
+        (1, 2, 13, 1, "junk merge e")]
+
+
 def test_expand_terms_methods(spark):
     """ES multi-term expansion: fuzzy/prefix/wildcard flags from ONE
     vocabulary pass; a term matching several methods yields one row each;
