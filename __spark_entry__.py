@@ -873,63 +873,104 @@ def _mm_leg(spark, sf_dir, match_type):
     return _native_doc_ids(body, out, ["score"])
 
 
-def q_search_facets(spark, sf_dir):
-    """ES search-with-aggregations: bool query against the index, matching
-    docs bucketed by metadata fields (lang, source) with doc_count + score
-    sums — the terms-agg + sum-sub-agg shape."""
+def _facet_meta(spark, sf_dir, reader):
+    """Metadata side table keyed by INDEX doc_id (the doc-values analog):
+    index doc_stats carries the url, whose tail is the native documents
+    id."""
+    return _native_map(reader).join(
+        _read(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("__nid"), "lang", "source"),
+        "__nid").select("doc_id", "lang", "source")
+
+
+def _facet_scored(spark, reader):
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        bool_query)
+
+    return bool_query(spark, reader, must=["spark"],
+                      should=["merge", "batch"], min_should=0, round_to=4)
+
+
+_FACET_SUB_AGGS = {"sc": ("stats", "score")}
+_FACET_SUB_COLS = ["sc_min", "sc_max", "sc_sum", "sc_avg"]
+
+
+def _facet_terms_only(spark, sf_dir, scored=None):
     from elasticsearch_data_import_handler_spark.operators.search import (
         facet_search)
 
     reader = _gate_index(spark, sf_dir)
-    # metadata side table keyed by INDEX doc_id (the doc-values analog):
-    # index doc_stats carries the url, whose tail is the native documents id
-    meta = _native_map(reader).join(
-        _read(spark, sf_dir, "documents").select(
-            F.col("doc_id").alias("__nid"), "lang", "source"),
-        "__nid").select("doc_id", "lang", "source")
+    return facet_search(spark, reader, _facet_meta(spark, sf_dir, reader),
+                        ["lang", "source"], top_n=8,
+                        scored=scored or _facet_scored(spark, reader),
+                        sub_aggs=_FACET_SUB_AGGS)
+
+
+def _facet_dh_only(spark, sf_dir, scored=None):
     from elasticsearch_data_import_handler_spark.operators.search import (
         date_histogram_search)
 
-    from elasticsearch_data_import_handler_spark.operators.search import (
-        top_hits_facets)
+    reader = _gate_index(spark, sf_dir)
+    return date_histogram_search(spark, reader, interval_s=60,
+                                 scored=scored or _facet_scored(spark,
+                                                                reader))
 
-    from elasticsearch_data_import_handler_spark.operators.textsearch import (
-        bool_query)
 
-    nulll = F.lit(None).cast("long")
-    nulld = F.lit(None).cast("double")
-    # ONE bool-query pass feeds all three aggregation kinds — exactly how
-    # an ES request with a query + an aggs dict runs the query once
-    # persist: the three agg branches UNION over this subtree, and an
-    # unpersisted plan would re-execute the postings scan per branch
-    scored = bool_query(spark, reader, must=["spark"],
-                        should=["merge", "batch"], min_should=0,
-                        round_to=4).persist()
-    terms = facet_search(spark, reader, meta, ["lang", "source"],
-                         top_n=8, scored=scored)
-    dh = date_histogram_search(spark, reader, interval_s=60, scored=scored)
-    # op facet='pl:60s': ES pipeline aggregations (derivative of doc_count
-    # + cumulative_sum of sum_score) over the date_histogram buckets —
-    # mapped into the shared agg schema (derivative → doc_count, NULL for
-    # the first bucket as in ES; cumulative_sum → sum_score)
+def _facet_pl_only(spark, sf_dir, scored=None):
+    """ES pipeline aggregations (derivative of doc_count + cumulative_sum
+    of sum_score) over the date_histogram buckets — mapped into the shared
+    agg schema (derivative → doc_count, NULL first bucket as in ES)."""
     from elasticsearch_data_import_handler_spark.operators.search import (
         pipeline_aggs)
 
-    pl = pipeline_aggs(dh, key_col="value").select(
+    dh = _facet_dh_only(spark, sf_dir, scored=scored)
+    return pipeline_aggs(dh, key_col="value").select(
         F.lit("pl:60s").alias("facet"), "value",
         F.col("derivative").alias("doc_count"),
         F.col("cumulative_sum").alias("sum_score"))
-    counts = terms.unionByName(dh).unionByName(pl).select(
-        "facet", "value", "doc_count", "sum_score",
-        nulll.alias("doc_id"), nulld.alias("score"), nulll.alias("rank"))
-    # top_hits sub-agg: best 3 docs per lang bucket, native-id tie order
-    nm = _native_map(reader)
-    th = top_hits_facets(
+
+
+def _facet_th_only(spark, sf_dir, scored=None):
+    """top_hits sub-agg: best 3 docs per lang bucket, native-id tie order."""
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        top_hits_facets)
+
+    reader = _gate_index(spark, sf_dir)
+    return top_hits_facets(
         spark, reader, _read(spark, sf_dir, "documents").select(
             "doc_id", "lang"), "lang", hits_per_bucket=3,
-        id_map=nm, scored=scored).select(
+        id_map=_native_map(reader),
+        scored=scored or _facet_scored(spark, reader))
+
+
+def q_search_facets(spark, sf_dir):
+    """ES search-with-aggregations: bool query against the index, matching
+    docs bucketed by metadata fields (lang, source) with doc_count + score
+    sums AND a stats metric sub-agg per bucket (round 5: sc_min/sc_max/
+    sc_sum/sc_avg — NULL-padded in the non-terms branches), plus the
+    date_histogram, pipeline-agg, and top_hits branches."""
+    reader = _gate_index(spark, sf_dir)
+    nulll = F.lit(None).cast("long")
+    nulld = F.lit(None).cast("double")
+    subn = [nulld.alias(c) for c in _FACET_SUB_COLS]
+    # ONE bool-query pass feeds all four aggregation kinds — exactly how
+    # an ES request with a query + an aggs dict runs the query once
+    # persist: the agg branches UNION over this subtree, and an
+    # unpersisted plan would re-execute the postings scan per branch
+    scored = _facet_scored(spark, reader).persist()
+    terms = _facet_terms_only(spark, sf_dir, scored=scored)
+    dh = _facet_dh_only(spark, sf_dir, scored=scored)
+    pl = _facet_pl_only(spark, sf_dir, scored=scored)
+    counts = (terms.select("facet", "value", "doc_count", "sum_score",
+                           *_FACET_SUB_COLS, nulll.alias("doc_id"),
+                           nulld.alias("score"), nulll.alias("rank"))
+              .unionByName(dh.unionByName(pl).select(
+                  "facet", "value", "doc_count", "sum_score", *subn,
+                  nulll.alias("doc_id"), nulld.alias("score"),
+                  nulll.alias("rank"))))
+    th = _facet_th_only(spark, sf_dir, scored=scored).select(
         "facet", "value", nulll.alias("doc_count"),
-        nulld.alias("sum_score"), "doc_id", "score", "rank")
+        nulld.alias("sum_score"), *subn, "doc_id", "score", "rank")
     return counts.unionByName(th)
 
 
@@ -1980,6 +2021,9 @@ BENCH_SUBOPS: dict[str, dict[str, Callable]] = {
                      "suggest": _suggest_only, "stemmed": _stemmed_only,
                      "complete": _complete_only},
     "snippets": {"first": _snippets_first, "multi": _highlight_multi},
+    "search_facets": {"terms": _facet_terms_only, "date_histogram":
+                      _facet_dh_only, "pipeline": _facet_pl_only,
+                      "top_hits": _facet_th_only},
 }
 
 
@@ -2353,12 +2397,20 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY tf.doc_id), "
             "m AS (SELECT s.doc_id, s.score, d.lang, d.source FROM scored s "
             "JOIN documents d USING (doc_id) WHERE must_hits = 1), "
+            # stats metric sub-agg per bucket (round 5): min/max at 4dp
+            # (order-free over 4dp-rounded scores), sum at 2dp, avg derived
+            # POST-agg as round(sum_2dp / doc_count, 6) — the operator's
+            # exact determinism policy
             "fa AS (SELECT 'lang' AS facet, lang AS value, "
-            "count(*)::BIGINT AS doc_count, round(sum(score), 2) AS sum_score "
+            "count(*)::BIGINT AS doc_count, round(sum(score), 2) AS sum_score, "
+            "round(min(score), 4) AS sc_min, round(max(score), 4) AS sc_max, "
+            "round(sum(score), 2) AS sc_sum "
             "FROM m GROUP BY lang "
             "UNION ALL SELECT 'source' AS facet, source AS value, "
-            "count(*)::BIGINT, round(sum(score), 2) FROM m GROUP BY source), "
-            "rr AS (SELECT facet, value, doc_count, sum_score, row_number() "
+            "count(*)::BIGINT, round(sum(score), 2), round(min(score), 4), "
+            "round(max(score), 4), round(sum(score), 2) FROM m GROUP BY source), "
+            "rr AS (SELECT facet, value, doc_count, sum_score, sc_min, sc_max, "
+            "sc_sum, round(sc_sum / doc_count, 6) AS sc_avg, row_number() "
             "OVER (PARTITION BY facet ORDER BY doc_count DESC, value ASC) "
             "AS r FROM fa), "
             # shared date_histogram buckets (60 s fixed_interval, key =
@@ -2366,22 +2418,26 @@ def oracle_sql() -> dict[str, str]:
             "dhb AS (SELECT ((1767225600 + doc_id) // 60) * 60000 AS k, "
             "count(*)::BIGINT AS doc_count, round(sum(score), 2) AS "
             "sum_score FROM m GROUP BY 1) "
-            "SELECT facet, value, doc_count, sum_score, NULL::BIGINT AS doc_id, "
+            "SELECT facet, value, doc_count, sum_score, sc_min, sc_max, "
+            "sc_sum, sc_avg, NULL::BIGINT AS doc_id, "
             "NULL::DOUBLE AS score, NULL::BIGINT AS rank "
             "FROM rr WHERE r <= 8 "
             # date_histogram branch: no top-n (ES returns every non-empty
             # bucket in range)
             "UNION ALL SELECT 'dh:60s', k::VARCHAR, doc_count, sum_score, "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
             "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM dhb "
             # pipeline aggs over the histogram: derivative of doc_count
             # (NULL first bucket) + cumulative_sum of sum_score
             "UNION ALL SELECT 'pl:60s', k::VARCHAR, "
             "(doc_count - lag(doc_count) OVER (ORDER BY k))::BIGINT, "
             "round(sum(sum_score) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED "
-            "PRECEDING AND CURRENT ROW), 2), NULL::BIGINT, NULL::DOUBLE, "
-            "NULL::BIGINT FROM dhb "
+            "PRECEDING AND CURRENT ROW), 2), "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
+            "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM dhb "
             # top_hits sub-agg: best 3 matching docs per lang bucket
             "UNION ALL SELECT 'th:lang', lang, NULL::BIGINT, NULL::DOUBLE, "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
             "doc_id, score, rnk FROM (SELECT lang, doc_id, score, "
             "row_number() OVER (PARTITION BY lang ORDER BY score DESC, "
             "doc_id ASC) AS rnk FROM m) t WHERE rnk <= 3"

@@ -133,6 +133,42 @@ def test_facet_search_buckets(qs_index):
         facet_search(spark, reader, meta, [], must=["spark"])
 
 
+def test_facet_search_metric_sub_aggs(qs_index):
+    """Metric sub-aggs per bucket in ONE pass: min/max/sum/avg/stats, with
+    the documented determinism policy (min/max 4dp, sum 2dp, avg =
+    round(sum_2dp / count, 6))."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        facet_search)
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        bool_query)
+
+    spark, reader, _ = qs_index
+    meta = reader.doc_stats().select(
+        "doc_id",
+        F.when(F.col("url").isin("u1", "u2"), "en").otherwise("de")
+        .alias("lang"))
+    out = facet_search(spark, reader, meta, ["lang"], must=["spark"],
+                       sub_aggs={"sc": ("stats", "score"),
+                                 "mx": ("max", "score"),
+                                 "av": ("avg", "score")})
+    rows = {r["value"]: r for r in out.collect()}
+    scores = {}
+    for r in bool_query(spark, reader, must=["spark"], round_to=4).join(
+            meta, "doc_id").select("lang", "score").collect():
+        scores.setdefault(r["lang"], []).append(r["score"])
+    for lang, ss in scores.items():
+        r = rows[lang]
+        assert r["sc_min"] == round(min(ss), 4)
+        assert r["sc_max"] == round(max(ss), 4) == r["mx"]
+        assert r["sc_sum"] == round(sum(ss), 2)
+        assert r["sc_avg"] == round(round(sum(ss), 2) / len(ss), 6) == r["av"]
+    with pytest.raises(ValueError, match="unknown sub-agg"):
+        facet_search(spark, reader, meta, ["lang"], must=["spark"],
+                     sub_aggs={"x": ("median", "score")}).collect()
+
+
 def test_more_like_this_ranks_similar_docs(qs_index):
     from elasticsearch_data_import_handler_spark.operators.search import (
         more_like_this)
