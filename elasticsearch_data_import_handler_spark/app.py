@@ -254,8 +254,55 @@ def upsert_table(df: DataFrame, target: str, id_field: str,
     return n_written + sum(_partition_row_count(target, p) for p in untouched)
 
 
+def _apply_quality_filter(df: DataFrame, stmt: Statement) -> DataFrame:
+    """Config-declared corpus gate (``qualityFilter``, round-4 advice #9):
+    the composite C4/RefinedWeb-style ``quality_filter`` runs between the
+    statement's SQL result and the idempotent write, so the reference's
+    config-driven workflow reaches the round-3 operator without any Python.
+    Keep-only left-semi join on the statement's id column — drop-reason
+    histograms remain available by running the operator standalone."""
+    from .operators.textquality import quality_filter
+
+    qf = stmt.quality_filter
+    idc = qf.get("idField") or stmt.id_field
+    if not idc:
+        raise ValueError(f"statement {stmt.id}: qualityFilter needs idField")
+    text_col = qf.get("textCol", "text")
+    docs = df.select(F.col(idc).alias("doc_id"),
+                     F.col(text_col).alias("text"))
+    langs = tuple(qf["allowedLangs"]) if qf.get("allowedLangs") else None
+    keep = (quality_filter(docs, thresholds=qf.get("thresholds"),
+                           allowed_langs=langs)
+            .filter(F.col("keep")).select(F.col("doc_id").alias(idc)))
+    return df.join(keep, idc, "left_semi")
+
+
 def run_statement(spark: SparkSession, cfg: PipelineConfig, stmt: Statement) -> dict:
     t0 = time.time()
+    if stmt.delete_by_query:
+        # ES _delete_by_query as a config statement (round-4 advice #9):
+        # no SQL — the bool query tombstones matching docs in the target
+        # index.  delete_by_query manages the index's own BuildLock and
+        # commits crash-safely as a regular batch, so it runs OUTSIDE this
+        # function's statement lock (same dir → would self-deadlock).
+        if not stmt.target_index:
+            raise ValueError(
+                f"statement {stmt.id}: deleteByQuery needs targetIndex")
+        if stmt.sql_query or stmt.sql_file:
+            raise ValueError(
+                f"statement {stmt.id}: deleteByQuery statements take no SQL")
+        from .plans.build import delete_by_query
+
+        q = stmt.delete_by_query
+        this_run = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+        m = delete_by_query(spark, stmt.target_index, must=q.get("must"),
+                            should=q.get("should"),
+                            must_not=q.get("mustNot"),
+                            min_should=int(q.get("minShould", 0)))
+        set_last_run(cfg, stmt.id, this_run)  # only on success (A6)
+        return {"id": stmt.id, "rows": m.get("n_tombstones", 0),
+                "sec": round(time.time() - t0, 2), "lastRun": this_run,
+                "status": "ok"}
     lock_dir = stmt.target_index or stmt.target_table or cfg.state_dir
     os.makedirs(lock_dir, exist_ok=True)
     with BuildLock(lock_dir):
@@ -267,6 +314,8 @@ def run_statement(spark: SparkSession, cfg: PipelineConfig, stmt: Statement) -> 
                 sql = f.read()
         sql = sql.replace("{lastRun}", last_run)
         df = spark.sql(sql)
+        if stmt.quality_filter:
+            df = _apply_quality_filter(df, stmt)
         if stmt.target_index:
             from .plans.state import read_state
             from .plans.build import commit_batch

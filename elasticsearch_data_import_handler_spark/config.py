@@ -84,6 +84,12 @@ class Statement:
     target_table: str = ""             # parquet table dir
     target_iceberg_table: str = ""     # catalog.db.tbl — MERGE INTO upsert
     new_index_settings: dict = field(default_factory=dict)  # A8: tau/buckets
+    # config-declared composite quality gate applied between the SQL result
+    # and the write: {"idField", "textCol", "thresholds", "allowedLangs"}
+    quality_filter: dict = field(default_factory=dict)
+    # ES _delete_by_query as a statement (targetIndex required, no SQL):
+    # {"must": [...], "should": [...], "mustNot": [...], "minShould": n}
+    delete_by_query: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -160,6 +166,8 @@ def load_config(path: str) -> PipelineConfig:
                 target_table=s.get("targetTable", ""),
                 target_iceberg_table=s.get("targetIcebergTable", ""),
                 new_index_settings=s.get("newIndexSettings", {}),
+                quality_filter=s.get("qualityFilter", {}),
+                delete_by_query=s.get("deleteByQuery", {}),
             )
             for s in step.get("statements", [])
         ]

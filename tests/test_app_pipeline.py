@@ -266,3 +266,85 @@ def test_iceberg_merge_upsert_reaches_sql_layer(spark):
     leftover = [v.name for v in spark.catalog.listTables()
                 if v.name.startswith("__eidh_merge_src")]
     assert leftover == []
+
+
+def test_pipeline_quality_filter_and_delete_by_query(spark, tmp_path, sf_dir):
+    """Round-4 advice #9: qualityFilter and deleteByQuery as config-declared
+    steps — the reference's config-driven workflow reaches both operators
+    with no Python.  The filtered index holds exactly the operator's keep
+    set; the delete statement tombstones every 'spark' doc; a second run is
+    idempotent (0 new tombstones)."""
+    from elasticsearch_data_import_handler_spark.operators.textquality import (
+        quality_filter)
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        bool_query)
+    from elasticsearch_data_import_handler_spark.plans.build import IndexReader
+
+    idx = str(tmp_path / "out" / "qidx")
+    # gate on length only — the synthetic corpus's 30-word vocabulary sits
+    # outside the default CCNet loglik band, so the band is opened wide here
+    thresholds = {"min_tokens": 50, "min_quality": 0.0,
+                  "max_repetition": 1.0, "min_mean_loglik": -1000000.0,
+                  "max_mean_loglik": 1000000.0}
+    cfg_d = {
+        "stateDir": str(tmp_path / "state"),
+        "sources": {"table": [
+            {"path": f"{sf_dir}/documents.parquet", "sparkTable": "documents"},
+        ]},
+        "importSteps": [
+            {"statements": [
+                {"id": "filtered_index",
+                 "sqlQuery":
+                     "SELECT concat('doc://', source, '/', doc_id) AS url, "
+                     "timestamp '2026-01-01 00:00:00' + "
+                     "make_interval(0,0,0,0,0,0,doc_id) AS warc_ts, "
+                     "cast(concat('<html><body>', text, '</body></html>') "
+                     "AS binary) AS html, text, lang FROM documents",
+                 "idField": "url",
+                 "targetIndex": idx,
+                 "newIndexSettings": {"tau": 1000, "nBuckets": 4},
+                 "qualityFilter": {"idField": "url",
+                                   "thresholds": thresholds}}]},
+            {"statements": [
+                {"id": "purge_spark_docs",
+                 "targetIndex": idx,
+                 "deleteByQuery": {"must": ["spark"]}}]},
+        ],
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg_d))
+    cfg = load_config(str(p))
+    report = run_pipeline(spark, cfg)
+    assert [r["status"] for r in report] == ["ok", "ok"], report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keep = quality_filter(docs, thresholds=thresholds).filter("keep").count()
+    assert 0 < keep < docs.count()          # the filter actually gated
+    assert report[0]["rows"] == keep        # indexed exactly the keep set
+    assert report[1]["rows"] > 0            # the delete found victims
+
+    reader = IndexReader(spark, idx)
+    assert bool_query(spark, reader, must=["spark"]).count() == 0
+    st = reader.corpus_stats().first()
+    assert st["n_docs"] == keep - report[1]["rows"]  # active-doc accounting
+
+    # idempotent re-run: no surviving doc matches, so 0 new tombstones
+    report2 = run_pipeline(spark, cfg)
+    assert [r["status"] for r in report2] == ["ok", "ok"], report2
+    assert report2[1]["rows"] == 0
+
+
+def test_delete_by_query_statement_validation(spark, tmp_path):
+    from elasticsearch_data_import_handler_spark.app import run_statement
+    from elasticsearch_data_import_handler_spark.config import Statement
+
+    from elasticsearch_data_import_handler_spark.config import PipelineConfig
+
+    pc = PipelineConfig(state_dir=str(tmp_path / "state"))
+    with pytest.raises(ValueError, match="needs targetIndex"):
+        run_statement(spark, pc, Statement(id="d1",
+                                           delete_by_query={"must": ["x"]}))
+    with pytest.raises(ValueError, match="take no SQL"):
+        run_statement(spark, pc, Statement(
+            id="d2", sql_query="SELECT 1", target_index=str(tmp_path / "i"),
+            delete_by_query={"must": ["x"]}))
