@@ -883,6 +883,47 @@ def _facet_meta(spark, sf_dir, reader):
         "__nid").select("doc_id", "lang", "source")
 
 
+def _facet_meta_full(spark, sf_dir, reader):
+    """_facet_meta plus the numeric doc-values field (n_chars) the round-5
+    agg long-tail buckets on."""
+    return _native_map(reader).join(
+        _read(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("__nid"), "lang", "source", "n_chars"),
+        "__nid").select("doc_id", "lang", "source", "n_chars")
+
+
+def _facet_aggs_only(spark, sf_dir, scored=None):
+    """Round-5 ES agg long-tail over the SAME matched set: range, filters,
+    multi_terms, rare_terms, composite (true after-key paging: page 2's
+    cursor is page 1's last key), weighted_avg / value_count / missing.
+    All stack into the shared (facet, value, doc_count, sum_score) schema."""
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        composite_agg, filters_agg, metric_aggs, multi_terms_agg,
+        range_agg, rare_terms_agg)
+
+    reader = _gate_index(spark, sf_dir)
+    sc = scored if scored is not None else _facet_scored(spark, reader)
+    meta = _facet_meta_full(spark, sf_dir, reader)
+    rg = range_agg(sc, meta, "n_chars",
+                   [(None, 200), (200, 350), (350, None)])
+    fl = filters_agg(sc, meta,
+                     {"en": "lang = 'en'", "long": "n_chars >= 350"})
+    mt = multi_terms_agg(sc, meta, ["lang", "source"], top_n=8)
+    rt = rare_terms_agg(sc, meta, "source", max_doc_count=3)
+    p1 = composite_agg(sc, meta, ["lang", "source"], size=5)
+    # page-1 last key under TUPLE order (≤ size rows collected — the ES
+    # client's after_key handoff, not string order of the rendered key)
+    p1_keys = [tuple(r["value"].split("|")) for r in p1.select("value").collect()]
+    after = max(p1_keys) if p1_keys else None
+    p2 = (composite_agg(sc, meta, ["lang", "source"], size=5, after=after)
+          if after else p1.limit(0))
+    me = metric_aggs(sc, meta, "score", "n_chars", "lang")
+    out = rg
+    for f in (fl, mt, rt, p1, p2, me):
+        out = out.unionByName(f)
+    return out
+
+
 def _facet_scored(spark, reader):
     from elasticsearch_data_import_handler_spark.operators.textsearch import (
         bool_query)
@@ -948,7 +989,10 @@ def q_search_facets(spark, sf_dir):
     docs bucketed by metadata fields (lang, source) with doc_count + score
     sums AND a stats metric sub-agg per bucket (round 5: sc_min/sc_max/
     sc_sum/sc_avg — NULL-padded in the non-terms branches), plus the
-    date_histogram, pipeline-agg, and top_hits branches."""
+    date_histogram, pipeline-agg, and top_hits branches, and the round-5
+    agg long-tail (range / filters / multi_terms / rare_terms / composite
+    after-key pages / weighted_avg / value_count / missing) over the same
+    single matched set."""
     reader = _gate_index(spark, sf_dir)
     nulll = F.lit(None).cast("long")
     nulld = F.lit(None).cast("double")
@@ -961,10 +1005,11 @@ def q_search_facets(spark, sf_dir):
     terms = _facet_terms_only(spark, sf_dir, scored=scored)
     dh = _facet_dh_only(spark, sf_dir, scored=scored)
     pl = _facet_pl_only(spark, sf_dir, scored=scored)
+    extra = _facet_aggs_only(spark, sf_dir, scored=scored)
     counts = (terms.select("facet", "value", "doc_count", "sum_score",
                            *_FACET_SUB_COLS, nulll.alias("doc_id"),
                            nulld.alias("score"), nulll.alias("rank"))
-              .unionByName(dh.unionByName(pl).select(
+              .unionByName(dh.unionByName(pl).unionByName(extra).select(
                   "facet", "value", "doc_count", "sum_score", *subn,
                   nulll.alias("doc_id"), nulld.alias("score"),
                   nulll.alias("rank"))))
@@ -2023,7 +2068,7 @@ BENCH_SUBOPS: dict[str, dict[str, Callable]] = {
     "snippets": {"first": _snippets_first, "multi": _highlight_multi},
     "search_facets": {"terms": _facet_terms_only, "date_histogram":
                       _facet_dh_only, "pipeline": _facet_pl_only,
-                      "top_hits": _facet_th_only},
+                      "top_hits": _facet_th_only, "agg_tail": _facet_aggs_only},
 }
 
 
@@ -2395,7 +2440,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
             "CROSS JOIN stats s WHERE tf.term IN ('spark', 'merge', 'batch') "
             "GROUP BY tf.doc_id), "
-            "m AS (SELECT s.doc_id, s.score, d.lang, d.source FROM scored s "
+            "m AS (SELECT s.doc_id, s.score, d.lang, d.source, d.n_chars "
+            "FROM scored s "
             "JOIN documents d USING (doc_id) WHERE must_hits = 1), "
             # stats metric sub-agg per bucket (round 5): min/max at 4dp
             # (order-free over 4dp-rounded scores), sum at 2dp, avg derived
@@ -2417,7 +2463,57 @@ def oracle_sql() -> dict[str, str]:
             # epoch-millis bucket start; warc_ts = 2026-01-01 UTC + doc_id s)
             "dhb AS (SELECT ((1767225600 + doc_id) // 60) * 60000 AS k, "
             "count(*)::BIGINT AS doc_count, round(sum(score), 2) AS "
-            "sum_score FROM m GROUP BY 1) "
+            "sum_score FROM m GROUP BY 1), "
+            # round-5 agg long-tail over the same matched set ----------
+            # range: every requested bucket emitted, even empty
+            "rgb(value) AS (VALUES ('*-200'), ('200-350'), ('350-*')), "
+            "rgc AS (SELECT CASE WHEN n_chars < 200 THEN '*-200' "
+            "WHEN n_chars < 350 THEN '200-350' ELSE '350-*' END AS value, "
+            "count(*)::BIGINT AS dc, round(sum(score), 2) AS ss "
+            "FROM m GROUP BY 1), "
+            "rg AS (SELECT 'range:n_chars' AS facet, b.value, "
+            "coalesce(c.dc, 0)::BIGINT AS doc_count, "
+            "coalesce(c.ss, 0.0)::DOUBLE AS sum_score "
+            "FROM rgb b LEFT JOIN rgc c ON b.value = c.value), "
+            # filters: named buckets, one pass
+            "fl AS (SELECT 'filters' AS facet, 'en' AS value, "
+            "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS "
+            "doc_count, round(sum(CASE WHEN lang = 'en' THEN score "
+            "ELSE 0.0 END), 2) AS sum_score FROM m "
+            "UNION ALL SELECT 'filters', 'long', "
+            "sum(CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END)::BIGINT, "
+            "round(sum(CASE WHEN n_chars >= 350 THEN score ELSE 0.0 "
+            "END), 2) FROM m), "
+            # multi_terms: tuple-keyed, count desc / key asc, top 8
+            "mtb AS (SELECT lang || '|' || source AS value, "
+            "count(*)::BIGINT AS dc, round(sum(score), 2) AS ss "
+            "FROM m GROUP BY 1), "
+            "mt AS (SELECT 'mt:lang|source' AS facet, value, dc AS "
+            "doc_count, ss AS sum_score, row_number() OVER (ORDER BY "
+            "dc DESC, value ASC) AS r FROM mtb), "
+            # rare_terms: long tail, doc_count <= 3
+            "rrt AS (SELECT 'rare:source' AS facet, source AS value, "
+            "count(*)::BIGINT AS doc_count, round(sum(score), 2) AS "
+            "sum_score FROM m GROUP BY source HAVING count(*) <= 3), "
+            # composite pages 1+2 (size 5 each, after-key = page-1 last
+            # key) == the first 10 buckets in ascending tuple order
+            "cmb AS (SELECT lang, source, lang || '|' || source AS value, "
+            "count(*)::BIGINT AS dc, round(sum(score), 2) AS ss "
+            "FROM m GROUP BY 1, 2), "
+            "cm AS (SELECT 'comp:lang|source' AS facet, value, dc AS "
+            "doc_count, ss AS sum_score, row_number() OVER (ORDER BY "
+            "lang ASC, source ASC) AS r FROM cmb), "
+            # weighted_avg / value_count / missing metrics
+            "mx AS (SELECT count(score)::BIGINT AS vc, "
+            "sum(score * n_chars) AS ws, sum(n_chars::DOUBLE) AS wt, "
+            "sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS "
+            "miss FROM m), "
+            "me AS (SELECT 'wavg:score~n_chars' AS facet, 'all' AS value, "
+            "vc AS doc_count, round(ws / wt, 6) AS sum_score FROM mx "
+            "UNION ALL SELECT 'vcount:score', 'all', vc, NULL::DOUBLE "
+            "FROM mx "
+            "UNION ALL SELECT 'missing:lang', 'missing', miss, "
+            "NULL::DOUBLE FROM mx) "
             "SELECT facet, value, doc_count, sum_score, sc_min, sc_max, "
             "sc_sum, sc_avg, NULL::BIGINT AS doc_id, "
             "NULL::DOUBLE AS score, NULL::BIGINT AS rank "
@@ -2435,6 +2531,25 @@ def oracle_sql() -> dict[str, str]:
             "PRECEDING AND CURRENT ROW), 2), "
             "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
             "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM dhb "
+            # round-5 agg long-tail branches (shared NULL padding)
+            "UNION ALL SELECT facet, value, doc_count, sum_score, "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
+            "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM rg "
+            "UNION ALL SELECT facet, value, doc_count, sum_score, "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
+            "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM fl "
+            "UNION ALL SELECT facet, value, doc_count, sum_score, "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
+            "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM mt WHERE r <= 8 "
+            "UNION ALL SELECT facet, value, doc_count, sum_score, "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
+            "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM rrt "
+            "UNION ALL SELECT facet, value, doc_count, sum_score, "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
+            "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM cm WHERE r <= 10 "
+            "UNION ALL SELECT facet, value, doc_count, sum_score, "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
+            "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM me "
             # top_hits sub-agg: best 3 matching docs per lang bucket
             "UNION ALL SELECT 'th:lang', lang, NULL::BIGINT, NULL::DOUBLE, "
             "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "

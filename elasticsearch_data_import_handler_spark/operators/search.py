@@ -746,3 +746,209 @@ def significant_terms(spark, reader, must=None, should=None, must_not=None,
     return spark.createDataFrame(
         rows, "term string, fg_count long, bg_count long, "
               "score double, rank long")
+
+
+# ----------------------------------------------------------------- bucket
+# aggregation long-tail (round 5): the ES aggs a reference user reaches for
+# after `terms`/`date_histogram` — range, filters, multi_terms, rare_terms,
+# composite paging, and the weighted_avg / value_count / missing metrics.
+# All share facet_search's output schema (facet, value, doc_count,
+# sum_score) so a search response mixing every agg kind stacks into ONE
+# frame, and all consume the SAME bool-query candidate set (query-context
+# aggs) — O(Σ df of query terms) rows in, one groupBy each, never a second
+# postings scan.  [ref upstream: aggregations were delegated to ES search
+# after import — SURVEY §2A A8 convention.]
+
+def _facet_join(scored: DataFrame, meta: DataFrame,
+                id_col: str = "doc_id") -> DataFrame:
+    """Candidate-keyed doc-values join shared by every bucket agg."""
+    return scored.join(meta.withColumnRenamed(id_col, "doc_id"), "doc_id")
+
+
+def range_agg(scored: DataFrame, meta: DataFrame, field: str,
+              ranges: list[tuple], id_col: str = "doc_id") -> DataFrame:
+    """ES ``range`` aggregation over the matching docs: half-open buckets
+    [from, to) on a numeric doc-values field, EVERY requested bucket
+    emitted even when empty (ES contract), keyed exactly like ES
+    ("*-to", "from-to", "from-*").
+
+    ``ranges`` is a list of (from_, to) with ``None`` for open ends.
+    Scale shape: one conditional-label projection + one groupBy over the
+    candidate set; the bucket list is a literal broadcast frame, so the
+    empty-bucket left join is metadata-sized."""
+    spark = scored.sparkSession
+    j = _facet_join(scored, meta, id_col)
+
+    def _key(frm, to):
+        lo = "*" if frm is None else f"{float(frm):g}"
+        hi = "*" if to is None else f"{float(to):g}"
+        return f"{lo}-{hi}"
+
+    lab = F.lit(None).cast("string")
+    # reversed: earliest range wins when ranges overlap, as in ES each doc
+    # lands in every bucket it falls in — ES range DOES multi-bucket
+    # overlapping docs, so build one row per (doc, bucket) via array+explode
+    pairs = F.array(*[
+        F.when(
+            ((F.lit(frm).cast("double").isNull())
+             | (F.col(field).cast("double") >= F.lit(frm).cast("double")))
+            & ((F.lit(to).cast("double").isNull())
+               | (F.col(field).cast("double") < F.lit(to).cast("double"))),
+            F.lit(_key(frm, to))).otherwise(lab)
+        for frm, to in ranges])
+    hits = (j.select(F.explode(pairs).alias("value"), "score")
+            .filter(F.col("value").isNotNull())
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).alias("doc_count"),
+                 F.round(F.sum("score"), 2).alias("sum_score")))
+    buckets = spark.createDataFrame(
+        [(_key(frm, to),) for frm, to in ranges], "value string")
+    return (F.broadcast(buckets).join(hits, "value", "left")
+            .select(F.lit(f"range:{field}").alias("facet"), "value",
+                    F.coalesce(F.col("doc_count"), F.lit(0))
+                    .cast("long").alias("doc_count"),
+                    F.coalesce(F.col("sum_score"), F.lit(0.0))
+                    .alias("sum_score")))
+
+
+def filters_agg(scored: DataFrame, meta: DataFrame,
+                filters: dict, id_col: str = "doc_id") -> DataFrame:
+    """ES ``filters`` aggregation: named buckets, one per filter
+    expression (SQL string or Column), every bucket always emitted (ES
+    contract).  A doc can land in several buckets; all buckets are
+    counted in ONE pass (conditional aggregates, no per-filter scan)."""
+    spark = scored.sparkSession
+    j = _facet_join(scored, meta, id_col)
+    conds = {name: (F.expr(c) if isinstance(c, str) else c)
+             for name, c in filters.items()}
+    aggs = []
+    for name, cond in sorted(conds.items()):
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("long").alias(f"__n_{name}"))
+        aggs.append(F.round(F.sum(F.when(cond, F.col("score"))
+                                  .otherwise(F.lit(0.0))), 2)
+                    .alias(f"__s_{name}"))
+    # ONE aggregate job, then explode the named buckets out of the single
+    # result row — a per-bucket select-union would re-run the aggregation
+    # once per bucket
+    one = j.agg(*aggs)
+    buckets = F.array(*[
+        F.struct(F.lit(name).alias("value"),
+                 F.col(f"__n_{name}").alias("doc_count"),
+                 F.col(f"__s_{name}").alias("sum_score"))
+        for name in sorted(conds)])
+    return (one.select(F.explode(buckets).alias("b"))
+            .select(F.lit("filters").alias("facet"), "b.value",
+                    "b.doc_count", "b.sum_score"))
+
+
+def multi_terms_agg(scored: DataFrame, meta: DataFrame, fields: list[str],
+                    top_n: int = 10, sep: str = "|",
+                    id_col: str = "doc_id") -> DataFrame:
+    """ES ``multi_terms``: buckets keyed by a field TUPLE, ordered by
+    doc_count DESC then key ASC, top_n — the composite key rendered as
+    ES does (joined key string)."""
+    j = _facet_join(scored, meta, id_col)
+    key = F.concat_ws(sep, *[F.col(f).cast("string") for f in fields])
+    agg = (j.groupBy(key.alias("value"))
+           .agg(F.count(F.lit(1)).alias("doc_count"),
+                F.round(F.sum("score"), 2).alias("sum_score")))
+    top = agg.orderBy(F.desc("doc_count"), F.asc("value")).limit(top_n)
+    return top.select(
+        F.lit(f"mt:{sep.join(fields)}").alias("facet"), "value",
+        F.col("doc_count").cast("long").alias("doc_count"), "sum_score")
+
+
+def rare_terms_agg(scored: DataFrame, meta: DataFrame, field: str,
+                   max_doc_count: int = 1,
+                   id_col: str = "doc_id") -> DataFrame:
+    """ES ``rare_terms``: the long tail — buckets whose doc_count is ≤
+    ``max_doc_count``, ordered by doc_count ASC then key ASC (ES shows
+    rarest first).  Exact here; ES itself approximates with a CuckooFilter
+    at scale, and exact-groupBy-then-filter is the Spark-native
+    equivalent (the agg output is vocabulary-sized, far below the
+    candidate set)."""
+    j = _facet_join(scored, meta, id_col)
+    agg = (j.groupBy(F.col(field).cast("string").alias("value"))
+           .agg(F.count(F.lit(1)).alias("doc_count"),
+                F.round(F.sum("score"), 2).alias("sum_score")))
+    return (agg.filter(F.col("doc_count") <= max_doc_count)
+            .select(F.lit(f"rare:{field}").alias("facet"), "value",
+                    F.col("doc_count").cast("long").alias("doc_count"),
+                    "sum_score"))
+
+
+def composite_agg(scored: DataFrame, meta: DataFrame, sources: list[str],
+                  size: int = 10, after: tuple | None = None,
+                  sep: str = "|", id_col: str = "doc_id") -> DataFrame:
+    """ES ``composite`` aggregation: ALL buckets keyed by the source-field
+    tuple in ascending tuple order, paged ``size`` at a time with an
+    ``after`` cursor (the previous page's last key) — ES's scalable
+    export-every-bucket agg, the one tool users reach for when ``terms``'
+    top-n isn't enough.
+
+    ``after`` is strictly-greater filtering on the key tuple (never
+    OFFSET — page cost is independent of page depth, exactly why ES built
+    composite).  Scale shape: one groupBy over the candidate set, the
+    cursor predicate prunes before the TakeOrdered(size)."""
+    j = _facet_join(scored, meta, id_col)
+    cols = [F.col(f).cast("string") for f in sources]
+    agg = (j.groupBy(*[c.alias(f"__k{i}") for i, c in enumerate(cols)])
+           .agg(F.count(F.lit(1)).alias("doc_count"),
+                F.round(F.sum("score"), 2).alias("sum_score")))
+    if after is not None:
+        if len(after) != len(sources):
+            raise ValueError("after cursor arity != sources arity")
+        # tuple > after, expanded to avoid struct-comparison surprises
+        cond = F.lit(False)
+        for i in range(len(after) - 1, -1, -1):
+            eqs = F.lit(True)
+            for p in range(i):
+                eqs = eqs & (F.col(f"__k{p}") == F.lit(str(after[p])))
+            cond = cond | (eqs & (F.col(f"__k{i}") > F.lit(str(after[i]))))
+        agg = agg.filter(cond)
+    keys = [F.asc(f"__k{i}") for i in range(len(sources))]
+    page = agg.orderBy(*keys).limit(size)
+    key = F.concat_ws(sep, *[F.col(f"__k{i}") for i in range(len(sources))])
+    return page.select(
+        F.lit(f"comp:{sep.join(sources)}").alias("facet"),
+        key.alias("value"),
+        F.col("doc_count").cast("long").alias("doc_count"), "sum_score")
+
+
+def metric_aggs(scored: DataFrame, meta: DataFrame, value_col: str,
+                weight_col: str, missing_field: str,
+                id_col: str = "doc_id") -> DataFrame:
+    """ES single-bucket metric aggs in one pass: ``weighted_avg`` (of
+    ``value_col`` weighted by ``weight_col``), ``value_count``, and
+    ``missing`` (docs lacking ``missing_field``) — three ES agg responses
+    as three rows of the shared facet schema.
+
+    Determinism: the weighted avg divides two sums and rounds the RATIO
+    (6dp) — the only float whose bit pattern crosses engines is the
+    post-division round, same policy as facet_search's derived avg."""
+    j = _facet_join(scored, meta, id_col)
+    one = j.agg(
+        F.count(value_col).cast("long").alias("vc"),
+        F.sum(F.col(value_col) * F.col(weight_col)).alias("wsum"),
+        F.sum(F.col(weight_col).cast("double")).alias("wtot"),
+        F.sum(F.when(F.col(missing_field).isNull(), 1).otherwise(0))
+        .cast("long").alias("miss"))
+    # single agg job → explode the three metric responses out of its one
+    # row (no per-metric re-aggregation)
+    nulld = F.lit(None).cast("double")
+    rows = F.array(
+        F.struct(F.lit(f"wavg:{value_col}~{weight_col}").alias("facet"),
+                 F.lit("all").alias("value"),
+                 F.col("vc").alias("doc_count"),
+                 F.round(F.col("wsum") / F.col("wtot"), 6)
+                 .alias("sum_score")),
+        F.struct(F.lit(f"vcount:{value_col}").alias("facet"),
+                 F.lit("all").alias("value"),
+                 F.col("vc").alias("doc_count"), nulld.alias("sum_score")),
+        F.struct(F.lit(f"missing:{missing_field}").alias("facet"),
+                 F.lit("missing").alias("value"),
+                 F.col("miss").alias("doc_count"),
+                 nulld.alias("sum_score")))
+    return (one.select(F.explode(rows).alias("b"))
+            .select("b.facet", "b.value", "b.doc_count", "b.sum_score"))
