@@ -1662,20 +1662,57 @@ def q_grouped_analytics(spark, sf_dir):
     return gs.unionByName(ru)
 
 
-def q_function_score(spark, sf_dir):
-    """ES function_score: BM25 bool query × exponential recency decay on
-    the index-stored warc_ts (doc-values role).  The synthetic corpus sets
-    warc_ts = 2026-01-01 + doc_id seconds, so the oracle reconstructs the
-    identical decay from doc_id."""
+FS_REF = 1767229200  # 2026-01-01 01:00:00 UTC
+FS_RAND_SEED = 42
+
+
+def _fs_leg(spark, sf_dir, op: str):
+    """One function_score variant, standalone (bench times each per-op).
+    warc_ts = 2026-01-01 + native_doc_id s in the synthetic corpus, so the
+    oracle reconstructs every decay from doc_id; doc_len is the analyzer
+    token count the oracle's dl CTE replays; random_score hashes the
+    NATIVE id so both engines derive the same jitter."""
     from elasticsearch_data_import_handler_spark.operators.textsearch import (
-        function_score_query)
+        bool_query, function_score_query, random_score_expr)
 
     reader = _gate_index(spark, sf_dir)
-    ref = 1767229200  # 2026-01-01 01:00:00 UTC
-    out = function_score_query(spark, reader, must=["spark"],
-                               should=["merge"], min_should=0,
-                               ref_epoch=ref, half_life_s=900, round_to=4)
+    kw = dict(must=["spark"], should=["merge"], min_should=0)
+    if op == "exp":  # the legacy one-sided recency decay, verbatim
+        out = function_score_query(spark, reader, ref_epoch=FS_REF,
+                                   half_life_s=900, round_to=4, **kw)
+        return _native_doc_ids(reader, out, ["score"])
+    if op == "rand":
+        scored = bool_query(spark, reader, **kw)
+        nat = _native_doc_ids(reader, scored, ["score"])
+        return nat.select("doc_id", F.round(
+            F.col("score") * random_score_expr("doc_id", FS_RAND_SEED),
+            4).alias("score"))
+    fns = {
+        "gauss": [{"type": "gauss", "field": "warc_ts", "origin": FS_REF,
+                   "scale": 1800, "decay": 0.5}],
+        "linear": [{"type": "linear", "field": "warc_ts", "origin": FS_REF,
+                    "scale": 1800, "decay": 0.5}],
+        "fvf": [{"type": "field_value_factor", "field": "doc_len",
+                 "factor": 0.1, "modifier": "sqrt"}],
+    }[op]
+    out = function_score_query(spark, reader, functions=fns, round_to=4,
+                               **kw)
     return _native_doc_ids(reader, out, ["score"])
+
+
+def q_function_score(spark, sf_dir):
+    """ES function_score family in one tagged row: op='exp' (the
+    previously-gated one-sided recency decay, verbatim), op='gauss' /
+    'linear' (two-sided ES decay shapes on warc_ts), op='fvf'
+    (field_value_factor 0.1·sqrt(doc_len)), op='rand' (seeded
+    deterministic random_score) — boost_mode=multiply throughout."""
+    legs = [_fs_leg(spark, sf_dir, op).select(
+        F.lit(op).alias("op"), "doc_id", "score")
+        for op in ("exp", "gauss", "linear", "fvf", "rand")]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 # --------------------------------------- delegated Spark SQL surface (§2B)
@@ -2066,6 +2103,13 @@ BENCH_SUBOPS: dict[str, dict[str, Callable]] = {
                      "suggest": _suggest_only, "stemmed": _stemmed_only,
                      "complete": _complete_only},
     "snippets": {"first": _snippets_first, "multi": _highlight_multi},
+    "function_score": {
+        "exp": lambda s, d: _fs_leg(s, d, "exp"),
+        "gauss": lambda s, d: _fs_leg(s, d, "gauss"),
+        "linear": lambda s, d: _fs_leg(s, d, "linear"),
+        "fvf": lambda s, d: _fs_leg(s, d, "fvf"),
+        "rand": lambda s, d: _fs_leg(s, d, "rand"),
+    },
     "search_facets": {"terms": _facet_terms_only, "date_histogram":
                       _facet_dh_only, "pipeline": _facet_pl_only,
                       "top_hits": _facet_th_only, "agg_tail": _facet_aggs_only},
@@ -3066,9 +3110,12 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
         "function_score": (
-            # decay replayed from doc_id: warc_ts = 2026-01-01 + doc_id s,
-            # ref = 2026-01-01 01:00 UTC → age = max(0, 3600 - doc_id);
-            # lambda embedded as the exact repr of ln(0.5)/900
+            # every decay replayed from doc_id: warc_ts = 2026-01-01 +
+            # doc_id s, ref = 2026-01-01 01:00 UTC.  exp (one-sided
+            # recency): age = max(0, 3600 - doc_id), lambda = ln(0.5)/900.
+            # gauss/linear (two-sided ES decays): dist = |doc_id - 3600|
+            # exact in doubles.  Constants embedded as exact Python reprs
+            # so both engines fold the same literal.
             f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "
             "scored AS (SELECT tf.doc_id, "
             "count(DISTINCT CASE WHEN tf.term IN ('spark') THEN tf.term END) "
@@ -3076,10 +3123,25 @@ def oracle_sql() -> dict[str, str]:
             f"sum({bm25_contrib}) AS score "
             "FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
             "CROSS JOIN stats s WHERE tf.term IN ('spark', 'merge') "
-            "GROUP BY tf.doc_id) "
-            "SELECT doc_id, round(score * exp("
+            "GROUP BY tf.doc_id), "
+            "fsb AS (SELECT sc.doc_id, sc.score, "
+            "abs(((1767225600 + sc.doc_id) - 1767229200)::DOUBLE) AS dist, "
+            "dl.doc_len AS dl FROM scored sc JOIN dl ON sc.doc_id = dl.doc_id "
+            "WHERE sc.must_hits = 1) "
+            "SELECT 'exp' AS op, doc_id, round(score * exp("
             f"{math.log(0.5) / 900!r} * greatest(0, 3600 - doc_id)), 4) "
-            "AS score FROM scored WHERE must_hits = 1"
+            "AS score FROM fsb "
+            "UNION ALL SELECT 'gauss', doc_id, round(score * exp("
+            f"{-1.0 / (2.0 * (-(1800.0 ** 2) / (2.0 * math.log(0.5))))!r} "
+            "* dist * dist), 4) FROM fsb "
+            "UNION ALL SELECT 'linear', doc_id, round(score * "
+            "greatest(0.0::DOUBLE, (3600.0::DOUBLE - dist) / "
+            "3600.0::DOUBLE), 4) FROM fsb "
+            "UNION ALL SELECT 'fvf', doc_id, round(score * "
+            "(0.1::DOUBLE * sqrt(dl::DOUBLE)), 4) FROM fsb "
+            "UNION ALL SELECT 'rand', doc_id, round(score * "
+            "((('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))"
+            "::BIGINT % 1000000) / 1000000.0::DOUBLE), 4) FROM fsb"
         ),
         "ann_topk": (
             # op='exact' brute force + op='lsh' SRP-bucketed (the former

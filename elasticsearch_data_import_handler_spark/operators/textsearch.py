@@ -428,30 +428,133 @@ def _clause_groups(clauses) -> list[list[str]]:
             for c in (clauses or []) if (isinstance(c, str) and c) or c]
 
 
+def random_score_expr(id_col="doc_id", seed: int = 0):
+    """ES ``random_score`` multiplier: a deterministic hash of
+    (seed, doc id) mapped to [0, 1) — reproducible across engines via the
+    repo's md5-derived hash family (consistent scoring per doc across
+    shards/retries, exactly why ES seeds its random_score)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{int(seed)}:"), c.cast("string"))),
+        1, 15), 16, 10).cast("long")
+    return (h % 1_000_000).cast("double") / F.lit(1_000_000.0)
+
+
+def _decay_mult(kind: str, field_col, origin: float, scale: float,
+                decay: float, offset: float = 0.0):
+    """ES decay-function multiplier on a numeric doc-values column.
+
+    dist = max(0, |v − origin| − offset); then
+      exp:    exp(ln(decay)/scale · dist)
+      gauss:  exp(−dist² / (2σ²)),  σ² = −scale²/(2·ln decay)
+      linear: max(0, (s − dist)/s), s = scale/(1 − decay)
+    Constants are folded in Python so both engines see one literal; the
+    per-row arithmetic is left-assoc identical for oracle bit-parity."""
+    import math
+
+    dist = F.greatest(
+        F.lit(0.0),
+        F.abs(field_col.cast("double") - F.lit(float(origin)))
+        - F.lit(float(offset)))
+    if kind == "exp":
+        return F.exp(F.lit(math.log(decay) / float(scale)) * dist)
+    if kind == "gauss":
+        sigma2 = -float(scale) ** 2 / (2.0 * math.log(decay))
+        return F.exp(F.lit(-1.0 / (2.0 * sigma2)) * dist * dist)
+    if kind == "linear":
+        s = float(scale) / (1.0 - decay)
+        return F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+    raise ValueError(f"unknown decay kind: {kind!r}")
+
+
+def _fvf_mult(field_col, factor: float = 1.0, modifier: str = "none",
+              missing: float = 1.0):
+    """ES ``field_value_factor`` multiplier: factor · modifier(field).
+    ``sqrt`` is the bit-reproducible modifier (IEEE sqrt is correctly
+    rounded on every engine); ``log1p``/``ln`` may differ in the last ulp
+    across libms — fine under the repo's post-ranking rounding policy."""
+    v = F.coalesce(field_col.cast("double"), F.lit(float(missing)))
+    if modifier == "sqrt":
+        v = F.sqrt(v)
+    elif modifier == "log1p":
+        v = F.log1p(v)
+    elif modifier == "ln":
+        v = F.log(v)
+    elif modifier != "none":
+        raise ValueError(f"unknown fvf modifier: {modifier!r}")
+    return F.lit(float(factor)) * v
+
+
 def function_score_query(spark, reader, must=None, should=None,
                          must_not=None, min_should: int = 0,
                          ref_epoch: int = 0, half_life_s: int = 86_400,
-                         round_to: int | None = None) -> DataFrame:
-    """ES function_score with an exponential recency decay: (doc_id,
-    score) where score = bool-query BM25 × 2^(−age/half_life), age =
-    max(0, ref_epoch − doc timestamp) — "newer documents rank higher",
-    the most common function_score in log/web search.
+                         round_to: int | None = None,
+                         functions: list[dict] | None = None) -> DataFrame:
+    """ES function_score over the persisted index: (doc_id, score) where
+    score = bool-query BM25 × the product of the requested function
+    multipliers (``boost_mode``/``score_mode`` = multiply, the ES
+    default pairing for rank-shaping).
 
-    The timestamp comes from the INDEX's doc_stats (``warc_ts`` is stored
-    per document at commit time — the doc-values role), so scoring never
-    touches the corpus: candidate set O(Σ df of query terms), one
-    doc-keyed join against doc metadata, a scalar decay combine."""
+    ``functions`` is a list of ES function specs:
+      {"type": "exp"|"gauss"|"linear", "field", "origin", "scale",
+       "decay"=0.5, "offset"=0}          — decay on a numeric doc-values
+                                            field (warc_ts, dl)
+      {"type": "field_value_factor", "field", "factor"=1,
+       "modifier"='none', "missing"=1}   — boost by a stored field
+      {"type": "random", "seed"=0}        — deterministic per-doc jitter
+      {"type": "weight", "weight"}        — constant multiplier
+
+    With ``functions=None`` the legacy signature applies: one exponential
+    recency decay with ``2^(−age/half_life)``, age = max(0, ref_epoch −
+    warc_ts) — "newer documents rank higher", the most common
+    function_score in log/web search.
+
+    All fields come from the INDEX's doc_stats (doc-values role — stored
+    per document at commit time), so scoring never touches the corpus:
+    candidate set O(Σ df of query terms), ONE doc-keyed join against doc
+    metadata, scalar multiplier combines, no extra shuffle per function."""
     import math
 
     scored = bool_query(spark, reader, must=must, should=should,
                         must_not=must_not, min_should=min_should)
-    ds = reader.doc_stats().select(
-        "doc_id", F.col("warc_ts").cast("long").alias("__ts"))
-    age = F.greatest(F.lit(0.0),
-                     (F.lit(int(ref_epoch)) - F.col("__ts")).cast("double"))
-    lam = math.log(0.5) / float(half_life_s)
-    score = F.col("score") * F.exp(F.lit(lam) * age)
-    out = scored.join(ds, "doc_id").select("doc_id", score.alias("score"))
+    ds = reader.doc_stats()
+    if functions is None:
+        # legacy recency form: ONE-SIDED age (future docs don't decay),
+        # exactly the originally-gated arithmetic — ES `exp` decay with
+        # origin=ref is two-sided |v−origin|; use functions=[...] for that
+        age = F.greatest(F.lit(0.0), (F.lit(int(ref_epoch))
+                                      - F.col("__ts")).cast("double"))
+        lam = math.log(0.5) / float(half_life_s)
+        side = ds.select("doc_id", F.col("warc_ts").cast("long")
+                         .alias("__ts"))
+        out = (scored.join(side, "doc_id")
+               .select("doc_id", (F.col("score")
+                                  * F.exp(F.lit(lam) * age)).alias("score")))
+        if round_to is not None:
+            out = out.select("doc_id",
+                             F.round("score", round_to).alias("score"))
+        return out
+    need = sorted({f["field"] for f in functions if "field" in f})
+    side = ds.select("doc_id", *[F.col(c).alias(f"__f_{c}") for c in need])
+    mult = F.lit(1.0)
+    for fn in functions:
+        t = fn["type"]
+        if t in ("exp", "gauss", "linear"):
+            mult = mult * _decay_mult(
+                t, F.col(f"__f_{fn['field']}"), fn["origin"], fn["scale"],
+                fn.get("decay", 0.5), fn.get("offset", 0.0))
+        elif t == "field_value_factor":
+            mult = mult * _fvf_mult(
+                F.col(f"__f_{fn['field']}"), fn.get("factor", 1.0),
+                fn.get("modifier", "none"), fn.get("missing", 1.0))
+        elif t == "random":
+            mult = mult * random_score_expr("doc_id", fn.get("seed", 0))
+        elif t == "weight":
+            mult = mult * F.lit(float(fn["weight"]))
+        else:
+            raise ValueError(f"unknown function_score type: {t!r}")
+    out = (scored.join(side, "doc_id")
+           .select("doc_id", (F.col("score") * mult).alias("score")))
     if round_to is not None:
         out = out.select("doc_id", F.round("score", round_to).alias("score"))
     return out

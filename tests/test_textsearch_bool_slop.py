@@ -388,3 +388,75 @@ def test_terms_set_query_modes(spark, pos_index, doc_tokens):
     want_d = {d for d, n in truth.items()
               if n >= ((1 if d % 2 == 0 else 3) if d in listed else 3)}
     assert got_d == want_d
+
+
+def test_function_score_family(spark, pos_index):
+    """Round-5 ES function list: gauss/linear decay shapes, field_value_
+    factor, seeded random_score, weight — boost_mode multiply over the
+    same bool-query base."""
+    import math as _m
+
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        function_score_query, random_score_expr)
+
+    reader = IndexReader(spark, pos_index)
+    base = {r["doc_id"]: r["score"] for r in
+            bool_query(spark, reader, must=["spark"]).collect()}
+    ts = {r["doc_id"]: r["warc_ts"].timestamp() for r in
+          reader.doc_stats().select("doc_id", "warc_ts").collect()}
+    dl = {r["doc_id"]: r["doc_len"] for r in
+          reader.doc_stats().select("doc_id", "doc_len").collect()}
+    origin = int(min(ts.values())) + 500
+
+    # gauss: exact shape, symmetric in |ts - origin|
+    got = {r["doc_id"]: r["score"] for r in function_score_query(
+        spark, reader, must=["spark"],
+        functions=[{"type": "gauss", "field": "warc_ts", "origin": origin,
+                    "scale": 300, "decay": 0.5}]).collect()}
+    sigma2 = -(300.0 ** 2) / (2.0 * _m.log(0.5))
+    for d, sc in got.items():
+        m = _m.exp(-((ts[d] - origin) ** 2) / (2.0 * sigma2))
+        assert abs(sc - base[d] * m) < 1e-9
+
+    # linear: hits exactly 0 beyond s = scale/(1-decay)
+    got = {r["doc_id"]: r["score"] for r in function_score_query(
+        spark, reader, must=["spark"],
+        functions=[{"type": "linear", "field": "warc_ts",
+                    "origin": origin, "scale": 100,
+                    "decay": 0.5}]).collect()}
+    s = 200.0
+    for d, sc in got.items():
+        m = max(0.0, (s - abs(ts[d] - origin)) / s)
+        assert abs(sc - base[d] * m) < 1e-9
+    assert any(sc == 0.0 for sc in got.values())  # far docs clamp to 0
+
+    # field_value_factor sqrt on doc_len
+    got = {r["doc_id"]: r["score"] for r in function_score_query(
+        spark, reader, must=["spark"],
+        functions=[{"type": "field_value_factor", "field": "doc_len",
+                    "factor": 0.5, "modifier": "sqrt"}]).collect()}
+    for d, sc in got.items():
+        assert abs(sc - base[d] * 0.5 * _m.sqrt(dl[d])) < 1e-9
+
+    # random: in [0,1), deterministic across runs, seed changes it
+    g1 = {r["doc_id"]: r["score"] for r in function_score_query(
+        spark, reader, must=["spark"],
+        functions=[{"type": "random", "seed": 7}]).collect()}
+    g2 = {r["doc_id"]: r["score"] for r in function_score_query(
+        spark, reader, must=["spark"],
+        functions=[{"type": "random", "seed": 7}]).collect()}
+    g3 = {r["doc_id"]: r["score"] for r in function_score_query(
+        spark, reader, must=["spark"],
+        functions=[{"type": "random", "seed": 8}]).collect()}
+    assert g1 == g2 and g1 != g3
+    for d, sc in g1.items():
+        assert 0.0 <= sc < base[d] or base[d] == 0.0
+
+    # weight + chaining: two functions multiply
+    got = {r["doc_id"]: r["score"] for r in function_score_query(
+        spark, reader, must=["spark"],
+        functions=[{"type": "weight", "weight": 3.0},
+                   {"type": "field_value_factor", "field": "doc_len",
+                    "factor": 1.0, "modifier": "none"}]).collect()}
+    for d, sc in got.items():
+        assert abs(sc - base[d] * 3.0 * dl[d]) < 1e-9
