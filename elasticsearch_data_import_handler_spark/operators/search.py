@@ -484,6 +484,38 @@ def pipeline_aggs(buckets: DataFrame, key_col: str = "value",
     )
 
 
+def pipeline_aggs_ext(buckets: DataFrame, key_col: str = "value",
+                      count_col: str = "doc_count",
+                      sum_col: str = "sum_score", window: int = 3,
+                      lag: int = 1) -> DataFrame:
+    """The rest of the ES pipeline-agg family over ordered buckets:
+    ``moving_fn`` (here: unweighted moving average of ``sum_col`` over the
+    trailing ``window`` buckets INCLUDING the current one — ES
+    MovingFunctions.unweightedAvg with shift=1), ``serial_diff`` of
+    ``count_col`` at ``lag`` (NULL for the first ``lag`` buckets, as ES),
+    and ``bucket_sort``'s rank under (count DESC, key ASC).
+
+    Determinism: the moving avg divides a windowed sum of 2dp-rounded
+    values by the in-window row count and rounds the RATIO at 6dp — the
+    repo's derived-avg policy.  Same scale shape as :func:`pipeline_aggs`:
+    runs on the reduced agg tree, one row per bucket."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(key_col).cast("long"))
+    mv = w.rowsBetween(-(window - 1), 0)
+    return buckets.select(
+        "*",
+        F.round(F.sum(F.round(F.col(sum_col), 2)).over(mv)
+                / F.count(F.lit(1)).over(mv), 6).alias("moving_avg"),
+        (F.col(count_col) - F.lag(count_col, lag).over(w)).cast("long")
+        .alias("serial_diff"),
+        F.row_number().over(
+            Window.orderBy(F.desc(count_col),
+                           F.asc(F.col(key_col).cast("long"))))
+        .cast("long").alias("sort_rank"),
+    )
+
+
 def more_like_this(spark, reader, seed_text: str, seed_doc_id: int | None = None,
                    k: int = 10, max_query_terms: int = 25,
                    min_term_freq: int = 1, min_doc_freq: int = 2,
