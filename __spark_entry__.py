@@ -46,6 +46,16 @@ _SQL_STATS = "stats AS (SELECT count(*)::BIGINT AS n_docs, sum(doc_len)::BIGINT 
 _SQL_DF = "dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)"
 
 
+def _geohash_sql_p4() -> str:
+    from elasticsearch_data_import_handler_spark.operators.geo import (
+        geohash_cell_sql)
+
+    return geohash_cell_sql("lat", "lon", 4)
+
+
+_GEOHASH_SQL = _geohash_sql_p4()
+
+
 def _ivf_training_parts(n_queries: int, n_probe: int, k_cells: int,
                         iters: int, dim: int) -> list[str]:
     """Shared CTE prefix: the deterministic integer Lloyd loop unrolled,
@@ -1284,8 +1294,18 @@ def q_geo(spark, sf_dir):
           .groupBy(F.col("c_mktsegment").alias("key"))
           .agg(F.count(F.lit(1)).alias("n"))
           .withColumn("op", F.lit("datebox")))
+    # op='hash' (round 5): geohash_grid top-10 precision-4 cells — pure
+    # integer shift/mask interleave + base32 substr, NO libm anywhere, so
+    # this op has no boundary-ulp caveat at all
+    from elasticsearch_data_import_handler_spark.operators.geo import (
+        geohash_grid)
+
+    gh = (geohash_grid(pts, "lat", "lon", precision=4, size=10)
+          .select(F.col("geohash").alias("key"),
+                  F.col("doc_count").cast("long").alias("n"),
+                  F.lit("hash").alias("op")))
     return (di.unionByName(bx).unionByName(ti).unionByName(ba)
-            .unionByName(dl).unionByName(db))
+            .unionByName(dl).unionByName(db).unionByName(gh))
 
 
 def q_minhash_verified(spark, sf_dir):
@@ -2894,7 +2914,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT c_mktsegment, lat, CASE WHEN lon < 10.0 "
             "THEN lon + 170.0 ELSE lon - 190.0 END AS lon2 FROM pts) "
             "WHERE lat <= 50.0 AND lat >= 40.0 "
-            "AND (lon2 >= 175.0 OR lon2 <= -176.0) GROUP BY c_mktsegment"
+            "AND (lon2 >= 175.0 OR lon2 <= -176.0) GROUP BY c_mktsegment "
+            # geohash_grid (round 5): the closed-form shift/mask interleave
+            # template from geohash_cell_sql — pure integer + substr, no
+            # libm, bit-identical by construction on both engines
+            "UNION ALL SELECT 'hash', key, n FROM (SELECT "
+            f"{_GEOHASH_SQL} AS key, count(*)::BIGINT AS n FROM pts "
+            "GROUP BY 1 ORDER BY n DESC, key ASC LIMIT 10)"
         ),
         "range_join": (
             "WITH p AS (SELECT user_id, event_id, epoch(ts)::BIGINT AS t "

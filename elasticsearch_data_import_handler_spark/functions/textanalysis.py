@@ -49,7 +49,58 @@ DEFAULT_ANALYZER = {
     # pandas UDF (algorithmic token filters are ES's Java-filter analog;
     # the one deliberate departure from the all-JVM hot path).
     "stemmer": None,
+    # ES asciifolding, positioned as a CHAR filter (before tokenization):
+    # with the default [a-z0-9]+ token pattern an unfolded "café" would
+    # shed its accented chars entirely, so folding must run on the text.
+    # 1:1 accents via translate() (offset-preserving); the three classic
+    # expansions (æ→ae, œ→oe, ß→ss) via replace().  The same
+    # translate/replace SQL template runs verbatim in Spark SQL and
+    # DuckDB (asciifold_sql), so oracles replay it exactly.
+    "asciifolding": False,
 }
+
+# 1:1 fold map — lowercase and uppercase forms (case preserved like ES's
+# asciifolding; the lowercase stage then lowers if enabled)
+_FOLD_PAIRS = [
+    ("àáâãäåāăą", "a"), ("çćč", "c"), ("èéêëēėę", "e"), ("ìíîïīį", "i"),
+    ("ñń", "n"), ("òóôõöøō", "o"), ("ùúûüū", "u"), ("ýÿ", "y"),
+    ("žźż", "z"), ("šś", "s"), ("ł", "l"), ("đ", "d"), ("ť", "t"),
+    ("ř", "r"), ("ğ", "g"),
+]
+ASCIIFOLD_SRC = "".join(
+    src + src.upper() for src, _ in _FOLD_PAIRS)
+ASCIIFOLD_DST = "".join(
+    dst * len(src) + dst.upper() * len(src) for src, dst in _FOLD_PAIRS)
+ASCIIFOLD_EXPAND = [("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"),
+                    ("ß", "ss")]
+_FOLD_TABLE = str.maketrans(ASCIIFOLD_SRC, ASCIIFOLD_DST)
+
+
+def asciifold(text: str) -> str:
+    """Pure-Python mirror of the fold (oracle/test parity)."""
+    out = text.translate(_FOLD_TABLE)
+    for s, d in ASCIIFOLD_EXPAND:
+        out = out.replace(s, d)
+    return out
+
+
+def asciifold_sql(t: str = "t") -> str:
+    """The fold as portable SQL — translate + replace chain, identical
+    semantics in Spark SQL and DuckDB."""
+    expr = f"translate({t}, '{ASCIIFOLD_SRC}', '{ASCIIFOLD_DST}')"
+    for s, d in ASCIIFOLD_EXPAND:
+        expr = f"replace({expr}, '{s}', '{d}')"
+    return expr
+
+
+def _asciifold_col(c):
+    """Column mirror of asciifold_sql (parity test-enforced)."""
+    from pyspark.sql import functions as F
+
+    out = F.translate(c, ASCIIFOLD_SRC, ASCIIFOLD_DST)
+    for s, d in ASCIIFOLD_EXPAND:
+        out = F.replace(out, F.lit(s), F.lit(d))
+    return out
 
 
 def resolve_analyzer(analyzer: dict | None) -> dict:
@@ -432,7 +483,11 @@ def jvm_tokens_col(col_name: str = "text", analyzer: dict | None = None):
     from pyspark.sql import functions as F
 
     a = resolve_analyzer(analyzer)
-    src = F.lower(F.col(col_name)) if a["lowercase"] else F.col(col_name)
+    src = F.col(col_name)
+    if a["asciifolding"]:
+        src = _asciifold_col(src)
+    if a["lowercase"]:
+        src = F.lower(src)
     toks = F.regexp_extract_all(src, F.lit(a["token_pattern"]), 0)
     if a["stopwords"]:
         toks = F.filter(toks, lambda t: ~t.isin(a["stopwords"]))
@@ -453,7 +508,9 @@ def py_tokenize(text: str, analyzer: dict | None = None) -> list[str]:
     a = resolve_analyzer(analyzer)
     if text is None:
         return []
-    src = text.lower() if a["lowercase"] else text
+    src = asciifold(text) if a["asciifolding"] else text
+    if a["lowercase"]:
+        src = src.lower()
     return apply_token_filters(re.findall(a["token_pattern"], src), a)
 
 

@@ -161,3 +161,93 @@ def geo_distance_ranges(df: DataFrame, lat_col: str, lon_col: str,
     band = band.otherwise(F.lit(f"{edges[-1]:g}-*"))
     return (df.select(band.alias("band"))
             .groupBy("band").agg(F.count(F.lit(1)).alias("doc_count")))
+
+
+# --------------------------------------------------------------- geohash
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cell(lat: Column, lon: Column, precision: int) -> Column:
+    """ES geohash bucket key at ``precision`` chars, as pure integer/
+    string Catalyst expressions (whole-stage codegen; the identical
+    arithmetic replays in any SQL engine — no libm involved, so unlike
+    the trig paths this key has NO boundary-ulp caveat).
+
+    Geohash = quantize lon/lat to ceil(5p/2)/floor(5p/2) bits, interleave
+    (lon first from the MSB), emit 5-bit groups as base32 chars.  The
+    interleave is a closed-form sum of shift/mask terms — ~5p integer ops,
+    no loop rows, no UDF."""
+    p = int(precision)
+    if not 1 <= p <= 9:
+        # 9 chars = 45 bits; lon_q needs 23 bits — still exact in BIGINT,
+        # but ES caps geohash_grid precision at 12; we stop where the
+        # double → integer quantization stays exact without extra care
+        raise ValueError("geohash precision must be in 1..9")
+    total = 5 * p
+    nlon = (total + 1) // 2
+    nlat = total // 2
+    lon_q = F.least(F.lit((1 << nlon) - 1), F.floor(
+        (lon + 180.0) / 360.0 * float(1 << nlon))).cast("long")
+    lat_q = F.least(F.lit((1 << nlat) - 1), F.floor(
+        (lat + 90.0) / 180.0 * float(1 << nlat))).cast("long")
+    # bit positions from the LSB: total odd → lon on even positions,
+    # total even → lon on odd positions (MSB-first sequence starts lon)
+    lon_off, lat_off = (0, 1) if total % 2 == 1 else (1, 0)
+    code = F.lit(0).cast("long")
+    for i in range(nlon):
+        code = code + F.shiftleft(
+            F.shiftrightunsigned(lon_q, i).bitwiseAND(F.lit(1)),
+            2 * i + lon_off)
+    for i in range(nlat):
+        code = code + F.shiftleft(
+            F.shiftrightunsigned(lat_q, i).bitwiseAND(F.lit(1)),
+            2 * i + lat_off)
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_ALPHABET),
+            (F.shiftrightunsigned(code, 5 * (p - 1 - g))
+             .bitwiseAND(F.lit(31)) + 1).cast("int"), 1)
+        for g in range(p)]
+    return F.concat(*chars)
+
+
+def geohash_cell_sql(lat: str, lon: str, precision: int) -> str:
+    """The same geohash key as portable SQL (oracle replay — DuckDB and
+    Spark SQL both run this text verbatim)."""
+    p = int(precision)
+    total = 5 * p
+    nlon = (total + 1) // 2
+    nlat = total // 2
+    lon_off, lat_off = (0, 1) if total % 2 == 1 else (1, 0)
+    # x.0::DOUBLE casts everywhere: DuckDB parses bare x.0 literals as
+    # DECIMAL and runs exact decimal arithmetic — both overflow-prone and
+    # differently rounded from Spark's doubles (repo determinism policy)
+    lon_q = (f"least({(1 << nlon) - 1}, "
+             f"floor(({lon} + 180.0::DOUBLE) / 360.0::DOUBLE * "
+             f"{float(1 << nlon)!r}::DOUBLE))::BIGINT")
+    lat_q = (f"least({(1 << nlat) - 1}, "
+             f"floor(({lat} + 90.0::DOUBLE) / 180.0::DOUBLE * "
+             f"{float(1 << nlat)!r}::DOUBLE))::BIGINT")
+    terms = [f"((({lon_q} >> {i}) & 1) << {2 * i + lon_off})"
+             for i in range(nlon)]
+    terms += [f"((({lat_q} >> {i}) & 1) << {2 * i + lat_off})"
+              for i in range(nlat)]
+    code = "(" + " + ".join(terms) + ")"
+    chars = [f"substr('{GEOHASH_ALPHABET}', "
+             f"((({code} >> {5 * (p - 1 - g)}) & 31) + 1)::INT, 1)"
+             for g in range(p)]
+    return " || ".join(chars)
+
+
+def geohash_grid(df: DataFrame, lat_col: str, lon_col: str,
+                 precision: int = 4, size: int = 10) -> DataFrame:
+    """ES geohash_grid aggregation: top ``size`` geohash cells by row
+    count at ``precision``, deterministic total order (count desc, key
+    asc).  Same scale shape as :func:`geotile_grid` — map-side-combined
+    groupBy on a short key, distributed TakeOrdered cut."""
+    cell = geohash_cell(F.col(lat_col), F.col(lon_col), precision)
+    agg = (df.select(cell.alias("geohash"))
+           .groupBy("geohash").agg(F.count(F.lit(1)).alias("doc_count")))
+    return (agg.orderBy(F.desc("doc_count"), F.asc("geohash"))
+            .limit(int(size)))

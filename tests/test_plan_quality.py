@@ -462,3 +462,37 @@ def test_positions_scan_partition_pruning(spark, tmp_path):
     assert "bucket" in pf, plan
     rows = df.collect()
     assert rows
+
+
+def test_bucket_agg_longtail_plan_shapes(spark):
+    """Round-5 agg long-tail: filters is ONE aggregate pass (no
+    per-bucket re-aggregation), range's empty-bucket join broadcasts the
+    literal bucket list, composite pages via TakeOrdered (cost
+    independent of page depth)."""
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        composite_agg, filters_agg, range_agg)
+
+    scored = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("double")
+        .alias("score"))
+    meta = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l"), (F.col("id") % 3)).alias("lang"),
+        F.concat(F.lit("s"), (F.col("id") % 11)).alias("source"),
+        (F.col("id") % 500).alias("n_chars"))
+
+    fl = filters_agg(scored, meta, {"a": "n_chars >= 100",
+                                    "b": "lang = 'l1'",
+                                    "c": "source = 's3'"})
+    plan = _plan(fl)
+    # one partial+final aggregate pair for ALL named buckets — a
+    # per-bucket union would show 3x as many HashAggregates
+    assert plan.count("HashAggregate") <= 2, plan
+
+    rg = range_agg(scored, meta, "n_chars", [(None, 100), (100, None)])
+    plan = _plan(rg)
+    assert "BroadcastExchange" in plan  # literal bucket list side
+
+    cp = composite_agg(scored, meta, ["lang", "source"], size=3,
+                       after=("l1", "s5"))
+    assert "TakeOrderedAndProject" in _plan(cp)

@@ -578,3 +578,59 @@ def test_search_alias_indices_boost(spark, two_indexes):
             assert abs(b[k] - round(p[k] * 2.0, 4)) <= 1e-3, (k, p[k], b[k])
         else:
             assert b[k] == p[k]
+
+
+def test_geohash_grid_column_sql_python_parity(spark):
+    """geohash_cell (Column), geohash_cell_sql (portable SQL), and the
+    classic bisection encoder agree; geohash_grid orders count-DESC /
+    key-ASC."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from elasticsearch_data_import_handler_spark.operators.geo import (
+        GEOHASH_ALPHABET, geohash_cell, geohash_cell_sql, geohash_grid)
+
+    def ref(lat, lon, p):
+        lat_i, lon_i = (-90.0, 90.0), (-180.0, 180.0)
+        out, even, ch, n = [], True, 0, 0
+        while len(out) < p:
+            if even:
+                mid = (lon_i[0] + lon_i[1]) / 2
+                if lon >= mid:
+                    ch, lon_i = (ch << 1) | 1, (mid, lon_i[1])
+                else:
+                    ch, lon_i = ch << 1, (lon_i[0], mid)
+            else:
+                mid = (lat_i[0] + lat_i[1]) / 2
+                if lat >= mid:
+                    ch, lat_i = (ch << 1) | 1, (mid, lat_i[1])
+                else:
+                    ch, lat_i = ch << 1, (lat_i[0], mid)
+            even = not even
+            n += 1
+            if n == 5:
+                out.append(GEOHASH_ALPHABET[ch])
+                ch, n = 0, 0
+        return "".join(out)
+
+    rng = random.Random(13)
+    pts = [(rng.uniform(-90, 90), rng.uniform(-180, 180))
+           for _ in range(150)] + [(90.0, 180.0), (-90.0, -180.0),
+                                   (0.0, 0.0), (57.64911, 10.40744)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for p in (2, 4, 6):
+        got = [r[0] for r in df.select(
+            geohash_cell(F.col("lat"), F.col("lon"), p)).collect()]
+        sql = [r[0] for r in df.select(
+            F.expr(geohash_cell_sql("lat", "lon", p))).collect()]
+        want = [ref(la, lo, p) for la, lo in pts]
+        assert got == want and sql == want
+
+    top = geohash_grid(df, "lat", "lon", precision=1, size=5).collect()
+    counts = [r["doc_count"] for r in top]
+    assert counts == sorted(counts, reverse=True)
+    for a, b in zip(top, top[1:]):
+        assert (a["doc_count"], ) > (b["doc_count"], ) or (
+            a["doc_count"] == b["doc_count"]
+            and a["geohash"] < b["geohash"])

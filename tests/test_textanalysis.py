@@ -703,3 +703,37 @@ def test_analyze_explains_tokens_offsets_and_stopword_gaps():
         ["Spark", "index"]
     assert got[0]["lowercased"] and not got[1]["lowercased"]
     assert analyze(None) == [] and analyze("") == []
+
+
+def test_asciifolding_char_filter(spark):
+    """asciifolding runs as a CHAR filter (pre-tokenization): accented
+    chars fold instead of splitting tokens; JVM, Python, and SQL-template
+    paths agree; index-vs-query analyzer consistency follows from all
+    three sharing the chain."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_data_import_handler_spark.functions.textanalysis import (
+        asciifold, asciifold_sql, jvm_tokens_col, py_tokenize)
+
+    texts = ["Café ÜBER naïve", "straße Œuvre Æon", "łódź ñandú",
+             "plain ascii stays", "ÀÉÎÕÜ Ýç"]
+    a = {"asciifolding": True}
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    jvm = [r[0] for r in
+           df.select(jvm_tokens_col("text", a)).collect()]
+    py = [py_tokenize(t, a) for t in texts]
+    assert jvm == py
+    # unfolded default splits at the accent; folded keeps one token
+    assert py_tokenize("café", None) == ["caf"]
+    assert py_tokenize("café", a) == ["cafe"]
+    # the SQL template is the same transform (Spark SQL side)
+    sql = [r[0] for r in df.select(
+        F.expr(asciifold_sql("text"))).collect()]
+    assert sql == [asciifold(t) for t in texts]
+    # and DuckDB runs the identical template
+    import duckdb
+    con = duckdb.connect()
+    for t in texts:
+        got = con.execute(
+            "SELECT " + asciifold_sql("?::VARCHAR"), [t]).fetchone()[0]
+        assert got == asciifold(t)
