@@ -880,3 +880,130 @@ def terms_set_query(spark, reader, terms: list[str],
     score = F.round("score", round_to) if round_to is not None else F.col("score")
     return out.select("doc_id", F.col("n_matched").cast("long").alias("n_matched"),
                       score.alias("score"))
+
+
+def shingle_counts(documents: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   analyzer: dict | None = None) -> DataFrame:
+    """(w1, w2, n): corpus word-bigram counts — the index-time SHINGLE
+    field ES requires under its phrase suggester (the LM the suggester
+    scores against).  One tokenize + one self-zip of consecutive
+    positions + one groupBy; at web scale this is a build-time artifact
+    persisted next to the lexicon, exactly like ES's shingle subfield."""
+    from ..functions.textanalysis import jvm_tokens_col
+
+    toks = documents.select(
+        jvm_tokens_col(text_col, analyzer).alias("__t"))
+    pairs = toks.select(F.explode(
+        F.zip_with(F.slice("__t", 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                   F.slice("__t", 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    ).alias("bg"))
+    return (pairs.select("bg.w1", "bg.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def phrase_suggest(documents: DataFrame, text: str, max_dist: int = 1,
+                   per_token: int = 5, size: int = 3,
+                   real_word_error_likelihood: float = 0.95,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   vocab: DataFrame | None = None,
+                   bigrams: DataFrame | None = None,
+                   analyzer: dict | None = None) -> DataFrame:
+    """The ES **phrase suggester**: whole-phrase "did you mean" — per-token
+    candidates from the SymSpell neighborhood (dist ≤ ``max_dist``, the
+    token itself included), every candidate phrase scored by a word-BIGRAM
+    Stupid-Backoff LM (the ES default ``laplace``-free model) times an
+    error-model prior (``real_word_error_likelihood`` per kept token,
+    matching ES's parameter of the same name), top ``size`` phrases.
+
+    Output: (suggestion, score, rank) with score = the LM log10 score
+    rounded to 6dp, rank by score DESC then suggestion ASC.
+
+    Scale shape: candidates resolve against the VOCABULARY (symspell
+    equi-overlap, never a vocab scan per token); the LM counts collected
+    are ONLY the candidate unigrams and candidate bigrams (≤ T·c and
+    ≤ (T−1)·c² rows, bounded like every query-terms collect in this
+    repo); the ≤ c^T enumeration is coordinator-side exactly where ES
+    runs it, with T capped the way ES caps via max shingle size."""
+    import itertools
+    import math
+
+    from ..functions.textanalysis import py_tokenize
+
+    tokens = py_tokenize(text, analyzer)
+    if not tokens:
+        raise ValueError("phrase_suggest needs a non-empty analyzed input")
+    if len(tokens) > 6:
+        raise ValueError("phrase_suggest caps input at 6 analyzed tokens "
+                         "(ES shingle-size bound)")
+    vocab = vocab if vocab is not None else corpus_vocab(documents, id_col,
+                                                         text_col)
+    n_total = (vocab.agg(F.sum("df")).first()[0]) or 1
+
+    # per-token candidate sets: the token itself (if in vocab) + its
+    # SymSpell neighborhood, best per_token by (dist ASC, df DESC)
+    cand: dict[int, list[tuple[str, int, int]]] = {}
+    uniq = sorted(set(tokens))
+    per_tok_rows = {}
+    for tok in uniq:
+        rows = (symspell_terms(documents, tok, max_dist=max_dist,
+                               id_col=id_col, text_col=text_col,
+                               vocab=vocab)
+                .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+                .limit(per_token).collect())
+        per_tok_rows[tok] = [(r["term"], r["df"], r["dist"]) for r in rows]
+        if not per_tok_rows[tok]:
+            per_tok_rows[tok] = [(tok, 0, 0)]  # unknown token passes through
+    for i, tok in enumerate(tokens):
+        cand[i] = per_tok_rows[tok]
+
+    # candidate unigram dfs are already in hand; candidate bigram counts
+    # come from ONE filtered pass over the (possibly precomputed) shingle
+    # table — only candidate pairs are collected
+    terms_by_pos = [[c[0] for c in cand[i]] for i in range(len(tokens))]
+    want_pairs = set()
+    for i in range(len(tokens) - 1):
+        want_pairs |= set(itertools.product(terms_by_pos[i],
+                                            terms_by_pos[i + 1]))
+    bg = bigrams if bigrams is not None else shingle_counts(
+        documents, id_col, text_col, analyzer)
+    w1s = sorted({a for a, _ in want_pairs})
+    w2s = sorted({b for _, b in want_pairs})
+    bg_rows = (bg.filter(F.col("w1").isin(w1s) & F.col("w2").isin(w2s))
+               .collect())
+    bg_n = {(r["w1"], r["w2"]): r["n"] for r in bg_rows
+            if (r["w1"], r["w2"]) in want_pairs}
+    uni_df = {t: df for rows in per_tok_rows.values() for t, df, _ in rows}
+
+    def lm_log10(phrase: list[str]) -> float:
+        # Stupid Backoff: P(w2|w1) = n(w1,w2)/df(w1) if seen, else
+        # 0.4 · df(w2)/N; unigram start P(w1) = df(w1)/N; floor at 1/N
+        def uni(w):
+            return max(uni_df.get(w, 0), 0.5) / n_total
+        s = math.log10(uni(phrase[0]))
+        for a, b in zip(phrase, phrase[1:]):
+            nbg = bg_n.get((a, b), 0)
+            if nbg > 0 and uni_df.get(a, 0) > 0:
+                p = nbg / uni_df[a]
+            else:
+                p = 0.4 * uni(b)
+            s += math.log10(p)
+        return s
+
+    rwel = math.log10(real_word_error_likelihood)
+    scored = []
+    for combo in itertools.product(*[cand[i] for i in range(len(tokens))]):
+        phrase = [c[0] for c in combo]
+        s = lm_log10(phrase)
+        # error model: kept (dist 0) tokens pay the real-word-error prior,
+        # corrections pay their distance in the same log domain
+        for _, _, dist in combo:
+            s += rwel if dist == 0 else dist * math.log10(0.5)
+        scored.append((" ".join(phrase), round(s, 6)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    spark = documents.sparkSession
+    out = [(sug, sc, i + 1) for i, (sug, sc) in enumerate(scored[:size])]
+    return spark.createDataFrame(
+        out, "suggestion string, score double, rank long")

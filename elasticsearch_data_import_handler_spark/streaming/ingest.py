@@ -156,3 +156,23 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(pages: DataFrame, key_col: str = "url",
+                 ts_col: str = "warc_ts",
+                 watermark: str = "30 minutes") -> DataFrame:
+    """Streaming ingest dedup — the ES "same _id wins once" semantics on
+    a live feed: drop re-deliveries of the same ``key_col`` arriving
+    within the watermark horizon, state auto-expired beyond it
+    (``dropDuplicatesWithinWatermark``: bounded state, exactly the
+    at-least-once → effectively-once trick for web-crawl re-fetches).
+
+    Batch frames pass through ``dropDuplicates`` on the key (same
+    contract, no state).  Use upstream of :func:`stream_index_pages` so a
+    crawler retry never double-counts a page into df/tf; CROSS-horizon
+    duplicates are the keyed sink's job (dedup_latest at commit), exactly
+    how ES splits transport retries (versioning) from reindexing."""
+    if not pages.isStreaming:
+        return pages.dropDuplicates([key_col])
+    return (pages.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark([key_col]))

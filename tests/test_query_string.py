@@ -190,3 +190,37 @@ def test_more_like_this_ranks_similar_docs(qs_index):
     cand = more_like_this(spark, reader, seed_text, seed_doc_id=ds["u1"],
                           min_doc_freq=2, candidates=True).collect()
     assert {r["doc_id"] for r in cand} == {r["doc_id"] for r in rows}
+
+
+def test_phrase_suggest_corrects_misspelled_phrase(spark):
+    """ES phrase suggester: the whole-phrase correction outranks the
+    literal misspelling because the bigram LM has seen the corrected
+    pair; suggestions rank by LM×error-model score."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        phrase_suggest, shingle_counts)
+
+    docs = spark.createDataFrame(
+        [(i, "spark sql engine runs spark sql jobs") for i in range(8)]
+        + [(100 + i, "spork is cutlery") for i in range(2)],
+        "doc_id long, text string")
+    out = phrase_suggest(docs, "spagk sql", max_dist=1, per_token=4,
+                         size=3).collect()
+    assert out[0]["suggestion"] == "spark sql"
+    assert out[0]["rank"] == 1
+    # scores strictly ordered, ranks contiguous
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+    # precomputed shingle table (the ES index-time shingle field) gives
+    # identical results
+    bg = shingle_counts(docs)
+    out2 = phrase_suggest(docs, "spagk sql", max_dist=1, per_token=4,
+                          size=3, bigrams=bg).collect()
+    assert [(r["suggestion"], r["score"]) for r in out2] \
+        == [(r["suggestion"], r["score"]) for r in out]
+
+    # real-word input: the identity phrase wins when the corpus supports it
+    ok = phrase_suggest(docs, "spark sql", max_dist=1, per_token=4,
+                        size=2).collect()
+    assert ok[0]["suggestion"] == "spark sql"

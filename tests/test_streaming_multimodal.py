@@ -167,3 +167,39 @@ def test_percolate_stream_equals_static(spark, tmp_path):
     assert got == want
     qi.unpersist()
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    """dedup_stream over a rate-less file stream: re-delivered urls within
+    the watermark horizon are dropped; batch path passes through a plain
+    key dedup."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_data_import_handler_spark.streaming.ingest import (
+        dedup_stream)
+
+    rows = [("u1", "2026-01-01 00:00:00"), ("u1", "2026-01-01 00:00:05"),
+            ("u2", "2026-01-01 00:00:07"), ("u2", "2026-01-01 00:00:09"),
+            ("u3", "2026-01-01 00:01:00")]
+    df = spark.createDataFrame(rows, "url string, ts string").select(
+        "url", F.col("ts").cast("timestamp").alias("warc_ts"))
+    src = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(src)
+
+    stream = (spark.readStream.schema("url string, warc_ts timestamp")
+              .parquet(src))
+    out_rows = []
+
+    def sink(batch_df, _eid):
+        out_rows.extend(batch_df.collect())
+
+    q = (dedup_stream(stream).writeStream.foreachBatch(sink)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.awaitTermination(120)
+    assert sorted(r["url"] for r in out_rows) == ["u1", "u2", "u3"]
+
+    # batch contract: same dedup, no state
+    got = dedup_stream(df)
+    assert got.count() == 3
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
