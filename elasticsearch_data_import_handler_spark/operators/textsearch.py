@@ -1007,3 +1007,38 @@ def phrase_suggest(documents: DataFrame, text: str, max_dist: int = 1,
     out = [(sug, sc, i + 1) for i, (sug, sc) in enumerate(scored[:size])]
     return spark.createDataFrame(
         out, "suggestion string, score double, rank long")
+
+
+def match_bool_prefix(spark, reader, text: str, max_expansions: int = 50,
+                      round_to: int | None = 4,
+                      analyzer: dict | None = None) -> DataFrame:
+    """ES ``match_bool_prefix``: every analyzed token becomes a bool
+    ``should`` TERM clause except the LAST, which matches as a prefix —
+    an OR-group over its dictionary-ordered lexicon expansions capped at
+    ``max_expansions`` (the ES rewrite).  Unlike match_phrase_prefix the
+    tokens may appear anywhere, in any order — it's bool scoring, not a
+    span — so this is the type-ahead query for term-bag relevance.
+
+    Plan: one lexicon range scan for the expansion set (sargable
+    startswith → vocab-metadata scale, ≤ max_expansions collected), then
+    the already-verified :func:`bool_query` TAAT path over terms +
+    OR-group — O(Σ df) decode, ONE groupBy(doc_id)."""
+    from ..functions.textanalysis import py_tokenize
+
+    an = analyzer if analyzer is not None else (reader.state.analyzer or None)
+    toks = py_tokenize(text, an)
+    if not toks:
+        raise ValueError("match_bool_prefix needs a non-empty analyzed input")
+    *lead, last = toks
+    exp = (reader.lexicon()
+           .filter(F.col("term").startswith(last))
+           .orderBy(F.asc("term")).limit(int(max_expansions))
+           .select("term").collect())
+    expansion = [r["term"] for r in exp]
+    clauses: list = [t for t in lead]
+    if expansion:
+        clauses.append(expansion)
+    if not clauses:
+        raise ValueError(f"no lexicon term matches prefix {last!r}")
+    return bool_query(spark, reader, should=clauses, min_should=1,
+                      round_to=round_to)

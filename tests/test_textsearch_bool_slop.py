@@ -460,3 +460,26 @@ def test_function_score_family(spark, pos_index):
                     "factor": 1.0, "modifier": "none"}]).collect()}
     for d, sc in got.items():
         assert abs(sc - base[d] * 3.0 * dl[d]) < 1e-9
+
+
+def test_match_bool_prefix_equals_manual_compose(spark, pos_index):
+    """match_bool_prefix == bool_query(should=[leading terms..., OR-group
+    of the last token's dictionary-ordered prefix expansions])."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        match_bool_prefix)
+
+    reader = IndexReader(spark, pos_index)
+    exp = sorted(r["term"] for r in
+                 reader.lexicon().filter(F.col("term").startswith("sq"))
+                 .collect())[:50]
+    assert exp, "fixture must contain sq* terms"
+    want = {(r["doc_id"], r["score"]) for r in
+            bool_query(spark, reader, should=["spark", exp], min_should=1,
+                       round_to=4).collect()}
+    got = {(r["doc_id"], r["score"]) for r in
+           match_bool_prefix(spark, reader, "spark sq").collect()}
+    assert got == want and got
+    # any-order term-bag semantics: strictly more docs than the span-based
+    # phrase_prefix on the same text (those require adjacency)
+    with pytest.raises(ValueError):
+        match_bool_prefix(spark, reader, "")
