@@ -576,8 +576,43 @@ def q_dedup_latest(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    """Tagged row: op='exact' — whole-document hash dedup (the previously
+    gated row verbatim); op='line' (round 5) — corpus-level LINE dedup (the
+    C4/RefinedWeb boilerplate step) over a deterministically line-structured
+    view of documents (shared banner line + body + per-source footer), so
+    banner/footer lines and exact-duplicate bodies are removed while unique
+    bodies survive — reassembly is verified by md5 of the rebuilt text."""
+    nulls = F.lit(None).cast("string")
+    nulll = F.lit(None).cast("long")
+    ex = _dedup_exact_only(spark, sf_dir).select(
+        F.lit("exact").alias("op"), "doc_id", "lang", "source",
+        nulls.alias("text_md5"), nulll.alias("n_lines_kept"),
+        nulll.alias("n_lines_removed"))
+    li = _line_dedup_only(spark, sf_dir).select(
+        F.lit("line").alias("op"), "doc_id", nulls.alias("lang"),
+        nulls.alias("source"), "text_md5", "n_lines_kept", "n_lines_removed")
+    return ex.unionByName(li)
+
+
+def _dedup_exact_only(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return D.dedup_exact(docs).select("doc_id", "lang", "source")
+
+
+def _line_dedup_only(spark, sf_dir):
+    """The documents table is one line per doc, so the gate builds the
+    line-structured page IN the query (identically in the oracle): a banner
+    every page shares, the doc body, a per-source footer.  line_dedup must
+    strip banner + footers everywhere and duplicate bodies too."""
+    docs = _read(spark, sf_dir, "documents")
+    paged = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.lit("COOKIE CONSENT BANNER"), F.col("text"),
+                    F.concat(F.lit("footer: "), F.col("source")))
+        .alias("text"))
+    out = TQ.line_dedup(paged, min_df=2)
+    return out.select("doc_id", F.md5("text").alias("text_md5"),
+                      "n_lines_kept", "n_lines_removed")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -2123,6 +2158,7 @@ BENCH_SUBOPS: dict[str, dict[str, Callable]] = {
                      "suggest": _suggest_only, "stemmed": _stemmed_only,
                      "complete": _complete_only},
     "snippets": {"first": _snippets_first, "multi": _highlight_multi},
+    "dedup_exact": {"exact": _dedup_exact_only, "line": _line_dedup_only},
     "function_score": {
         "exp": lambda s, d: _fs_leg(s, d, "exp"),
         "gauss": lambda s, d: _fs_leg(s, d, "gauss"),
@@ -2319,10 +2355,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) WHERE rn = 1"
         ),
         "dedup_exact": (
-            "SELECT doc_id, lang, source FROM ("
+            "WITH ex AS (SELECT 'exact' AS op, doc_id, lang, source, "
+            "NULL::VARCHAR AS text_md5, NULL::BIGINT AS n_lines_kept, "
+            "NULL::BIGINT AS n_lines_removed FROM ("
             "SELECT doc_id, lang, source, "
             "row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn "
-            "FROM documents) WHERE rn = 1"
+            "FROM documents) WHERE rn = 1), "
+            "paged AS (SELECT doc_id, 'COOKIE CONSENT BANNER' || chr(10) || "
+            "text || chr(10) || 'footer: ' || source AS text FROM documents), "
+            "lines AS (SELECT doc_id, unnest(ls) AS line, "
+            "unnest(range(1, len(ls) + 1)) AS pos FROM ("
+            "SELECT doc_id, str_split(text, chr(10)) AS ls FROM paged)), "
+            "boiler AS (SELECT trim(line) AS tl FROM lines "
+            "WHERE trim(line) <> '' GROUP BY 1 "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "flag AS (SELECT doc_id, pos, line, (trim(line) <> '' AND "
+            "trim(line) IN (SELECT tl FROM boiler)) AS is_b FROM lines), "
+            "li AS (SELECT doc_id, md5(coalesce(string_agg("
+            "CASE WHEN NOT is_b THEN line END, chr(10) ORDER BY pos), '')) "
+            "AS text_md5, "
+            "sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END)::BIGINT AS n_lines_kept, "
+            "sum(CASE WHEN is_b THEN 1 ELSE 0 END)::BIGINT AS n_lines_removed "
+            "FROM flag GROUP BY doc_id) "
+            "SELECT * FROM ex UNION ALL "
+            "SELECT 'line' AS op, doc_id, NULL::VARCHAR AS lang, "
+            "NULL::VARCHAR AS source, text_md5, n_lines_kept, n_lines_removed "
+            "FROM li"
         ),
         "ngram_jaccard": (
             "WITH toks_by_doc AS (SELECT source, lang, doc_id, "

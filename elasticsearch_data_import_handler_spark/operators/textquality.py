@@ -291,3 +291,44 @@ def quality_filter(documents: DataFrame,
                     "mean_loglik", "pred_lang",
                     (F.size(reasons) == 0).alias("keep"),
                     reasons.alias("reasons"))
+
+
+def line_dedup(documents: DataFrame, min_df: int = 2,
+               id_col: str = "doc_id", text_col: str = "text",
+               sep: str = "\n") -> DataFrame:
+    """Corpus-level LINE deduplication — the C4/RefinedWeb boilerplate
+    step: a line (``sep``-delimited span) that appears in ≥ ``min_df``
+    DISTINCT documents is boilerplate (nav bars, cookie banners, footers)
+    and is removed from every document; order of surviving lines is
+    preserved.  Returns (doc_id, text, n_lines_kept, n_lines_removed).
+
+    Scale shape: explode to (doc, pos, line-hash) — the line TEXT never
+    shuffles, only its xxhash64 — one groupBy(hash) computing the
+    distinct-doc df with a map-side partial, one hash-keyed semi-join
+    back, one groupBy(doc) re-assembly via sort_array over (pos, line)
+    structs.  Two inherent shuffles (line-keyed, doc-keyed), both on
+    compact keys; never an all-pairs comparison.  Blank lines are kept
+    verbatim (they carry no boilerplate signal and C4 treats them as
+    layout)."""
+    lines = (documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep)))
+        .alias("pos", "line")))
+    keyed = lines.withColumn(
+        "h", F.when(F.trim("line") == "", F.lit(None))
+        .otherwise(F.xxhash64(F.trim(F.col("line")))))
+    df_counts = (keyed.filter(F.col("h").isNotNull())
+                 .groupBy("h")
+                 .agg(F.count_distinct("doc_id").alias("line_df")))
+    boiler = df_counts.filter(F.col("line_df") >= int(min_df)).select("h")
+    flagged = keyed.join(boiler.withColumn("__b", F.lit(1)), "h", "left")
+    return (flagged.groupBy("doc_id").agg(
+        F.concat_ws(sep, F.transform(
+            F.sort_array(F.collect_list(F.when(
+                F.col("__b").isNull(),
+                F.struct("pos", "line")))),
+            lambda s: s["line"])).alias("text"),
+        F.sum(F.when(F.col("__b").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_lines_kept"),
+        F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_lines_removed")))

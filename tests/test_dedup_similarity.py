@@ -231,3 +231,43 @@ def test_ivf_pq_codes_shape(spark, sf_dir):
     assert all(r["count"] == 8 for r in agg)
     assert codes.filter((F.col("code") < 0) | (F.col("code") >= 16)).count() == 0
     assert len(agg) == cand.count()
+
+
+def test_line_dedup_removes_boilerplate_preserves_order(spark):
+    from elasticsearch_data_import_handler_spark.operators.textquality import (
+        line_dedup)
+
+    docs = spark.createDataFrame(
+        [("d1", "COOKIE BANNER\nunique alpha line\n\nunique beta line\nfooter"),
+         ("d2", "COOKIE BANNER\nonly in d2\nfooter"),
+         ("d3", "  COOKIE BANNER \nsolo gamma\n"),
+         ("d4", "COOKIE BANNER\nfooter")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_df=2).collect()}
+    # boilerplate (banner appears in 4 docs incl. whitespace-padded, footer
+    # in 3) is gone from every doc; unique lines survive in original order
+    assert out["d1"]["text"] == "unique alpha line\n\nunique beta line"
+    assert out["d1"]["n_lines_kept"] == 3       # blank line kept verbatim
+    assert out["d1"]["n_lines_removed"] == 2
+    assert out["d2"]["text"] == "only in d2"
+    # trailing '' from the split is a blank line, kept
+    assert out["d3"]["text"] == "solo gamma\n"
+    assert out["d3"]["n_lines_removed"] == 1
+    # every line boilerplate -> empty doc, not NULL
+    assert out["d4"]["text"] == ""
+    assert out["d4"]["n_lines_kept"] == 0
+    assert out["d4"]["n_lines_removed"] == 2
+
+
+def test_line_dedup_min_df_threshold(spark):
+    from elasticsearch_data_import_handler_spark.operators.textquality import (
+        line_dedup)
+
+    docs = spark.createDataFrame(
+        [("a", "pair line\nown a"), ("b", "pair line\nown b"),
+         ("c", "own c\nown c")],  # same line twice in ONE doc: df=1, kept
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in
+           line_dedup(docs, min_df=2).collect()}
+    assert out["a"] == "own a" and out["b"] == "own b"
+    assert out["c"] == "own c\nown c"
