@@ -1344,8 +1344,29 @@ def q_geo(spark, sf_dir):
 
 
 def q_minhash_verified(spark, sf_dir):
-    """The production near-dup pipeline: LSH candidates + exact Jaccard
-    verification of candidates only (SURVEY's web-scale composition)."""
+    """Tagged row: op='pairs' — the production near-dup pipeline (LSH
+    candidates + exact Jaccard verification of candidates only, the
+    previously-gated row verbatim); op='cluster' (round 5) — distributed
+    connected components over those verified pairs (hash-min + pointer
+    jumping), yielding one canonical doc per duplicate cluster: the
+    actionable output (pairs over-delete transitive chains).  The oracle
+    replays the components with a recursive CTE over the identical pair
+    set."""
+    nulld = F.lit(None).cast("double")
+    nulll = F.lit(None).cast("long")
+    pairs = _minhash_pairs_only(spark, sf_dir)
+    pr = pairs.select(F.lit("pairs").alias("op"), "id_a", "id_b", "jaccard",
+                      nulll.alias("cluster_id"), nulll.alias("cluster_size"),
+                      nulll.alias("is_canonical"))
+    cl = D.neardup_clusters(pairs).select(
+        F.lit("cluster").alias("op"), F.col("doc_id").alias("id_a"),
+        nulll.alias("id_b"), nulld.alias("jaccard"),
+        "cluster_id", "cluster_size",
+        F.col("is_canonical").cast("long").alias("is_canonical"))
+    return pr.unionByName(cl)
+
+
+def _minhash_pairs_only(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return D.minhash_verified_pairs(docs, n=3, num_hashes=64, bands=16,
                                     jaccard_threshold=0.3)
@@ -2159,6 +2180,10 @@ BENCH_SUBOPS: dict[str, dict[str, Callable]] = {
                      "complete": _complete_only},
     "snippets": {"first": _snippets_first, "multi": _highlight_multi},
     "dedup_exact": {"exact": _dedup_exact_only, "line": _line_dedup_only},
+    "minhash_verified": {
+        "pairs": _minhash_pairs_only,
+        "cluster": lambda s, d: D.neardup_clusters(_minhash_pairs_only(s, d)),
+    },
     "function_score": {
         "exp": lambda s, d: _fs_leg(s, d, "exp"),
         "gauss": lambda s, d: _fs_leg(s, d, "gauss"),
@@ -2879,15 +2904,30 @@ def oracle_sql() -> dict[str, str]:
             "AS frame_fingerprint FROM f"
         ),
         "minhash_verified": (
-            f"WITH {mh_chain}, "
+            f"WITH RECURSIVE {mh_chain}, "
             "sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM sh GROUP BY id), "
             "inter AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_inter "
             "FROM cand c JOIN sh a ON a.id = c.id_a "
-            "JOIN sh b ON b.id = c.id_b AND b.s = a.s GROUP BY c.id_a, c.id_b) "
-            "SELECT id_a, id_b, round(j, 6) AS jaccard FROM ("
+            "JOIN sh b ON b.id = c.id_b AND b.s = a.s GROUP BY c.id_a, c.id_b), "
+            "vp AS (SELECT id_a, id_b, round(j, 6) AS jaccard FROM ("
             "SELECT id_a, id_b, n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) AS j "
             "FROM inter JOIN sizes za ON za.id = id_a "
-            "JOIN sizes zb ON zb.id = id_b) WHERE j >= 0.3"
+            "JOIN sizes zb ON zb.id = id_b) WHERE j >= 0.3), "
+            "ed AS (SELECT id_a AS src, id_b AS dst FROM vp "
+            "UNION SELECT id_b, id_a FROM vp), "
+            "reach(node, lab) AS (SELECT src, src FROM ed UNION "
+            "SELECT e.src, r.lab FROM ed e JOIN reach r ON e.dst = r.node), "
+            "comp AS (SELECT node, min(lab) AS cluster_id FROM reach "
+            "GROUP BY node), "
+            "cs AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size "
+            "FROM comp GROUP BY 1) "
+            "SELECT 'pairs' AS op, id_a, id_b, jaccard, "
+            "NULL::BIGINT AS cluster_id, NULL::BIGINT AS cluster_size, "
+            "NULL::BIGINT AS is_canonical FROM vp "
+            "UNION ALL SELECT 'cluster' AS op, node AS id_a, "
+            "NULL::BIGINT AS id_b, NULL::DOUBLE AS jaccard, comp.cluster_id, "
+            "cs.cluster_size, (node = comp.cluster_id)::BIGINT AS is_canonical "
+            "FROM comp JOIN cs USING (cluster_id)"
         ),
         "simhash_neardup": (
             f"WITH {_SQL_TOK}, {_SQL_TF}, "

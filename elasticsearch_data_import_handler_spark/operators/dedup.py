@@ -339,3 +339,64 @@ def minhash_verified_pairs(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("jaccard") >= jaccard_threshold)
             .select("id_a", "id_b",
                     F.round(F.col("jaccard").cast("double"), 6).alias("jaccard")))
+
+
+def neardup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                     id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → one CANONICAL
+    document per duplicate cluster (min doc_id wins) — the step production
+    pipelines run AFTER MinHash verification: pairs alone can't be acted on
+    (removing one doc of every pair over-deletes transitive chains), the
+    cluster structure can.
+
+    Algorithm: hash-min label propagation fused with pointer jumping
+    (label ← label(label)) every round, so convergence is O(log diameter)
+    rounds instead of O(diameter); each round is two shuffles over compact
+    (long, long) rows and the driver sees only a one-row SUM per round
+    (labels only ever decrease, so an unchanged sum IS the fixpoint — no
+    row-level change join needed).  ``labels`` is localCheckpoint()ed every
+    round to truncate the iterative lineage (the classic iterative-Spark
+    plan-explosion fix).  Edges are persisted for reuse across rounds and
+    released before returning.
+
+    Returns (doc_id, cluster_id, cluster_size, is_canonical) for every node
+    that appears in ≥1 pair; singleton documents never enter the graph and
+    are by definition their own canonical.
+    """
+    edges = pairs.select(F.col(id_a).cast("long").alias("src"),
+                         F.col(id_b).cast("long").alias("dst"))
+    edges = (edges.union(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint())
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (edges
+                   .join(labels.select(F.col("node").alias("dst"),
+                                       F.col("label").alias("dlab")), "dst")
+                   .groupBy("src").agg(F.min("dlab").alias("nmin")))
+        new = (labels
+               .join(nbr_min.select(F.col("src").alias("node"), "nmin"),
+                     "node", "left")
+               .select("node", F.least(
+                   "label", F.coalesce("nmin", "label")).alias("label")))
+        # pointer jump: label(label) is always defined — labels only take
+        # node-id values — and only decreases (v = label(k) ≤ k invariant)
+        dic = new.select(F.col("node").alias("k"), F.col("label").alias("v"))
+        labels = (new.join(dic, new["label"] == dic["k"], "left")
+                  .select("node", F.coalesce("v", "label").alias("label"))
+                  .localCheckpoint())
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("label").alias("cluster_id"),
+                    F.col("cluster_size").cast("long").alias("cluster_size"),
+                    (F.col("node") == F.col("label")).alias("is_canonical")))

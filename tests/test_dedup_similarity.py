@@ -271,3 +271,22 @@ def test_line_dedup_min_df_threshold(spark):
            line_dedup(docs, min_df=2).collect()}
     assert out["a"] == "own a" and out["b"] == "own b"
     assert out["c"] == "own c\nown c"
+
+
+def test_neardup_clusters_transitive_components(spark):
+    from elasticsearch_data_import_handler_spark.operators.dedup import (
+        neardup_clusters)
+
+    # chain 1-2-3-4 (transitive), pair 10-11, long path 20..26 step pairs
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11)] + \
+        [(i, i + 1) for i in range(20, 26)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    out = {r["doc_id"]: r for r in neardup_clusters(df).collect()}
+    assert {out[i]["cluster_id"] for i in (1, 2, 3, 4)} == {1}
+    assert out[1]["is_canonical"] and not out[4]["is_canonical"]
+    assert out[1]["cluster_size"] == 4
+    assert out[10]["cluster_id"] == out[11]["cluster_id"] == 10
+    # 7-node path exercises >1 propagation round (pointer-jump acceleration)
+    assert {out[i]["cluster_id"] for i in range(20, 27)} == {20}
+    assert out[26]["cluster_size"] == 7
+    assert sum(1 for r in out.values() if r["is_canonical"]) == 3
