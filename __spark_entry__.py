@@ -440,29 +440,92 @@ def _rank_native(native, k, round_to=4):
 
 
 def q_bm25_topk_wand(spark, sf_dir):
-    """End-to-end scale path: build the persisted compressed index (SPIMI →
-    varbyte segments), query it with block-max WAND, and map versioned
-    doc_ids back to the documents table's native ids so the SAME DuckDB BM25
-    oracle validates the whole pipeline."""
+    """Tagged row.  op='topk' — the end-to-end scale path verbatim: build
+    the persisted compressed index (SPIMI → varbyte segments), query it with
+    block-max WAND, map versioned doc_ids back to native ids so the SAME
+    DuckDB BM25 oracle validates the whole pipeline.  op='after' (round 5) —
+    ES search_after keyset pagination: page 2 is a FRESH bounded WAND query
+    (k'=2k pool) filtered by the page-1 cursor's sort values, never a global
+    offset-and-discard; pagination keys are the presentation-rounded scores
+    (the values ES hands back) with doc_id ASC tiebreak.  op='rescore'
+    (round 5) — ES rescore: the page-1 window re-ranked by
+    1.0·bm25 + 0.5·match_phrase('the spark') occurrences, proximity
+    evaluated only on the window."""
+    page1 = _bm25_page1(spark, sf_dir)
+    return (
+        page1.drop("k").withColumn("op", F.lit("topk"))
+        .select("op", "query_id", "rank", "doc_id", "score")
+        .unionByName(_bm25_after(spark, sf_dir).select(
+            F.lit("after").alias("op"), "query_id", "rank", "doc_id", "score"))
+        .unionByName(_bm25_rescore(spark, sf_dir).select(
+            F.lit("rescore").alias("op"), "query_id", "rank", "doc_id",
+            "score"))
+        .orderBy("op", "query_id", "rank")
+    )
+
+
+def _bm25_native_pool(spark, sf_dir, k_mult: int = 1):
+    """Tie-inclusive WAND candidate pool mapped to NATIVE doc ids (so
+    exact-score ties break identically to the SQL oracle), joined with the
+    ORIGINAL per-query k."""
+    from elasticsearch_data_import_handler_spark.operators.scoring import (
+        query_terms_df)
     from elasticsearch_data_import_handler_spark.operators.wand import bm25_topk_wand
 
+    reader = _gate_index(spark, sf_dir)
+    ds = reader.doc_stats().select("doc_id", "url")
+    qt = query_terms_df(spark)
+    qt_run = qt if k_mult == 1 else qt.withColumn(
+        "k", (F.col("k") * k_mult).cast("int"))
+    cand = bm25_topk_wand(spark, reader, qterms=qt_run, candidates=True)
+    ks = qt.select("query_id", "k").distinct()
+    return (cand.join(ds, "doc_id")
+            .select("query_id", "score",
+                    F.element_at(F.split("url", "/"), -1).cast("long")
+                    .alias("doc_id"))
+            .join(F.broadcast(ks), "query_id"))
+
+
+def _bm25_page1(spark, sf_dir):
     from pyspark.sql import Window
 
-    reader = _gate_index(spark, sf_dir)
-    # tie-inclusive candidate pool, then rank under the NATIVE doc-id order
-    # so exact-score ties break identically to the SQL oracle
-    cand = bm25_topk_wand(spark, reader, candidates=True)
-    ds = reader.doc_stats().select("doc_id", "url")
-    native = cand.join(ds, "doc_id").select(
-        "query_id", "k", "score",
-        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        native.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= F.col("k"))
-        .select("query_id", "rank", "doc_id", F.round("score", 4).alias("score"))
-        .orderBy("query_id", "rank")
-    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (_bm25_native_pool(spark, sf_dir)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_id",
+                    F.round("score", 4).alias("score"), "k"))
+
+
+def _bm25_after(spark, sf_dir):
+    """search_after: cursor = sort values of page 1's last (rank=k) hit; the
+    page-2 candidate pool is a fresh WAND run at k'=2k; pagination keys are
+    the presentation-rounded scores (what ES hands back)."""
+    from elasticsearch_data_import_handler_spark.operators.scoring import (
+        search_after)
+
+    page1 = _bm25_page1(spark, sf_dir)
+    pool2 = _bm25_native_pool(spark, sf_dir, k_mult=2).select(
+        "query_id", F.round("score", 4).alias("score"), "doc_id", "k")
+    cursor = (page1.filter(F.col("rank") == F.col("k"))
+              .select("query_id", F.col("score").alias("cs"),
+                      F.col("doc_id").alias("cid")))
+    return search_after(pool2, cursor)
+
+
+def _bm25_rescore(spark, sf_dir):
+    """rescore: phrase proximity evaluated only on the bounded window."""
+    from elasticsearch_data_import_handler_spark.operators.scoring import (
+        rescore_topk)
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        phrase_match)
+
+    ph = phrase_match(_read(spark, sf_dir, "documents"), "the spark") \
+        .select("doc_id",
+                F.col("n_occurrences").cast("double").alias("sec_score"))
+    return rescore_topk(_bm25_page1(spark, sf_dir).drop("k"), ph,
+                        query_weight=1.0, rescore_query_weight=0.5)
 
 
 def q_windowed_events(spark, sf_dir):
@@ -2184,6 +2247,8 @@ BENCH_SUBOPS: dict[str, dict[str, Callable]] = {
         "pairs": _minhash_pairs_only,
         "cluster": lambda s, d: D.neardup_clusters(_minhash_pairs_only(s, d)),
     },
+    "bm25_topk_wand": {"topk": lambda s, d: _bm25_page1(s, d).drop("k"),
+                       "after": _bm25_after, "rescore": _bm25_rescore},
     "function_score": {
         "exp": lambda s, d: _fs_leg(s, d, "exp"),
         "gauss": lambda s, d: _fs_leg(s, d, "gauss"),
@@ -2363,9 +2428,39 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY q.query_id, tf.doc_id), "
             "ranked AS (SELECT query_id, doc_id, score, k, "
             "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank "
-            "FROM scored) "
-            "SELECT query_id, rank, doc_id, round(score, 4) AS score "
-            "FROM ranked WHERE rank <= k"
+            "FROM scored), "
+            "r1 AS (SELECT query_id, rank, doc_id, round(score, 4) AS score, k "
+            "FROM ranked WHERE rank <= k), "
+            # search_after: cursor = page-1 last hit's (rounded) sort values;
+            # keyset predicate over rounded scores, doc_id ASC tiebreak
+            "cur AS (SELECT query_id, score AS cs, doc_id AS cid FROM r1 "
+            "WHERE rank = k), "
+            "p2base AS (SELECT s.query_id, s.doc_id, "
+            "round(s.score, 4) AS score, s.k FROM scored s "
+            "JOIN cur USING (query_id) WHERE round(s.score, 4) < cs "
+            "OR (round(s.score, 4) = cs AND s.doc_id > cid)), "
+            "r2 AS (SELECT query_id, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score, k "
+            "FROM p2base), "
+            # rescore: match_phrase('the spark') counts over the window only
+            "t2 AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
+            "g2 AS (SELECT doc_id, unnest(list_transform("
+            "range(1, greatest(len(toks) - 1, 0) + 1), "
+            "i -> array_to_string(toks[i:i+1], ' '))) AS g FROM t2), "
+            "ph AS (SELECT doc_id, count(*)::BIGINT AS n FROM g2 "
+            "WHERE g = 'the spark' GROUP BY doc_id), "
+            "rsb AS (SELECT r1.query_id, r1.doc_id, "
+            "round(r1.score + 0.5 * coalesce(ph.n, 0), 4) AS new_score "
+            "FROM r1 LEFT JOIN ph USING (doc_id)), "
+            "rsr AS (SELECT query_id, row_number() OVER (PARTITION BY "
+            "query_id ORDER BY new_score DESC, doc_id ASC) AS rank, doc_id, "
+            "new_score AS score FROM rsb) "
+            "SELECT 'topk' AS op, query_id, rank, doc_id, score FROM r1 "
+            "UNION ALL SELECT 'after' AS op, query_id, rank, doc_id, score "
+            "FROM r2 WHERE rank <= k "
+            "UNION ALL SELECT 'rescore' AS op, query_id, rank, doc_id, score "
+            "FROM rsr"
         ),
         "windowed_events": (
             "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') "

@@ -153,3 +153,38 @@ def test_positions_flag_conflict_raises(spark, tmp_path):
         with pytest.raises(ValueError, match="positions"):
             B.commit_batch(spark, b1, d, 1, tau=100, n_buckets=4,
                            positions=True)
+
+
+def test_search_after_keyset_equals_rank_offset(spark):
+    """Keyset pagination must return exactly ranks k+1..2k of the global
+    order — the defining contract ES documents for search_after."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_data_import_handler_spark.operators.scoring import (
+        search_after)
+
+    rows = [(1, 100 + i, float(50 - i // 3), 5) for i in range(30)]
+    scored = spark.createDataFrame(rows, ["query_id", "doc_id", "score", "k"])
+    # cursor = rank-5 hit under (score DESC, doc_id ASC)
+    full = sorted(rows, key=lambda r: (-r[2], r[1]))
+    cs, cid = full[4][2], full[4][1]
+    cur = spark.createDataFrame([(1, cs, cid)], ["query_id", "cs", "cid"])
+    got = [(r["doc_id"], r["rank"]) for r in
+           search_after(scored, cur).orderBy("rank").collect()]
+    want = [(r[1], i + 1) for i, r in enumerate(full[5:10])]
+    assert got == want
+
+
+def test_rescore_only_reorders_window(spark):
+    from elasticsearch_data_import_handler_spark.operators.scoring import (
+        rescore_topk)
+
+    hits = spark.createDataFrame(
+        [(1, 1, 10, 3.0), (1, 2, 11, 2.0), (1, 3, 12, 1.0)],
+        ["query_id", "rank", "doc_id", "score"])
+    sec = spark.createDataFrame([(12, 5.0)], ["doc_id", "sec_score"])
+    out = {r["doc_id"]: (r["rank"], r["score"]) for r in
+           rescore_topk(hits, sec, rescore_query_weight=0.5).collect()}
+    # doc 12: 1.0 + 2.5 = 3.5 → promoted to rank 1; same 3 docs, no growth
+    assert out[12] == (1, 3.5) and out[10] == (2, 3.0) and out[11] == (3, 2.0)
+    assert len(out) == 3
