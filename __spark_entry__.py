@@ -1299,7 +1299,24 @@ def q_sampling(spark, sf_dir):
 
 
 def q_repetition_metrics(spark, sf_dir):
-    return TQ.repetition_metrics(_read(spark, sf_dir, "documents"), n=2)
+    """Tagged row: op='intra' — per-doc repeated-n-gram metrics (the
+    previously-gated row verbatim); op='spans' (round 5) — the Lee et al.
+    exact-substring CROSS-doc duplication signal: 20-token rolling span
+    hashes, span df ≥ 2 across distinct docs ⇒ duplicated, per-doc
+    merged-interval coverage fraction."""
+    nulld = F.lit(None).cast("double")
+    nulll = F.lit(None).cast("long")
+    docs = _read(spark, sf_dir, "documents")
+    intra = TQ.repetition_metrics(docs, n=2).select(
+        F.lit("intra").alias("op"), "doc_id", "n_grams", "distinct_ratio",
+        "repetition", nulll.alias("n_dup_windows"),
+        nulll.alias("covered_tokens"), nulld.alias("dup_fraction"))
+    spans = TQ.dup_span_fraction(docs, window=20, min_df=2).select(
+        F.lit("spans").alias("op"), "doc_id",
+        F.col("n_tokens").alias("n_grams"), nulld.alias("distinct_ratio"),
+        nulld.alias("repetition"), "n_dup_windows", "covered_tokens",
+        "dup_fraction")
+    return intra.unionByName(spans)
 
 
 def q_unigram_loglik(spark, sf_dir):
@@ -2249,6 +2266,12 @@ BENCH_SUBOPS: dict[str, dict[str, Callable]] = {
     },
     "bm25_topk_wand": {"topk": lambda s, d: _bm25_page1(s, d).drop("k"),
                        "after": _bm25_after, "rescore": _bm25_rescore},
+    "repetition_metrics": {
+        "intra": lambda s, d: TQ.repetition_metrics(_read(s, d, "documents"),
+                                                    n=2),
+        "spans": lambda s, d: TQ.dup_span_fraction(_read(s, d, "documents"),
+                                                   window=20, min_df=2),
+    },
     "function_score": {
         "exp": lambda s, d: _fs_leg(s, d, "exp"),
         "gauss": lambda s, d: _fs_leg(s, d, "gauss"),
@@ -2540,11 +2563,39 @@ def oracle_sql() -> dict[str, str]:
             "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
             "sh AS (SELECT doc_id, unnest(list_transform("
             "range(1, greatest(len(toks) - 1, 0) + 1), "
-            "i -> array_to_string(toks[i:i+1], ' '))) AS g FROM toks_by_doc) "
-            "SELECT doc_id, count(*)::BIGINT AS n_grams, "
+            "i -> array_to_string(toks[i:i+1], ' '))) AS g FROM toks_by_doc), "
+            "intra AS (SELECT doc_id, count(*)::BIGINT AS n_grams, "
             "round(count(DISTINCT g) * 1.0 / count(*), 6) AS distinct_ratio, "
             "round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6) AS repetition "
-            "FROM sh GROUP BY doc_id"
+            "FROM sh GROUP BY doc_id), "
+            # spans: 20-token rolling windows, df>=2 across distinct docs;
+            # coverage union via lag difference (fixed width => monotone ends)
+            "w1 AS (SELECT doc_id, list_transform("
+            "range(1, greatest(len(toks) - 19, 0) + 1), "
+            "i -> array_to_string(toks[i:i+19], ' ')) AS ws FROM toks_by_doc), "
+            "wnd AS (SELECT doc_id, unnest(ws) AS w, "
+            "generate_subscripts(ws, 1) AS pos FROM w1), "
+            "dupw AS (SELECT w FROM wnd GROUP BY w "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "dw AS (SELECT doc_id, pos FROM wnd "
+            "WHERE w IN (SELECT w FROM dupw)), "
+            "c1 AS (SELECT doc_id, coalesce(least(20, pos - lag(pos) OVER ("
+            "PARTITION BY doc_id ORDER BY pos)), 20) AS step FROM dw), "
+            "cov AS (SELECT doc_id, count(*)::BIGINT AS n_dup_windows, "
+            "sum(step)::BIGINT AS covered_tokens FROM c1 GROUP BY doc_id), "
+            "tc AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens "
+            "FROM toks_by_doc) "
+            "SELECT 'intra' AS op, doc_id, n_grams, distinct_ratio, "
+            "repetition, NULL::BIGINT AS n_dup_windows, "
+            "NULL::BIGINT AS covered_tokens, NULL::DOUBLE AS dup_fraction "
+            "FROM intra "
+            "UNION ALL SELECT 'spans' AS op, tc.doc_id, tc.n_tokens AS n_grams, "
+            "NULL::DOUBLE AS distinct_ratio, NULL::DOUBLE AS repetition, "
+            "coalesce(cov.n_dup_windows, 0) AS n_dup_windows, "
+            "coalesce(cov.covered_tokens, 0) AS covered_tokens, "
+            "round(coalesce(cov.covered_tokens, 0) * 1.0 / "
+            "greatest(tc.n_tokens, 1), 6) AS dup_fraction "
+            "FROM tc LEFT JOIN cov ON cov.doc_id = tc.doc_id"
         ),
         "phrase_slop": (
             "WITH t AS (SELECT doc_id, "

@@ -332,3 +332,58 @@ def line_dedup(documents: DataFrame, min_df: int = 2,
         .cast("long").alias("n_lines_kept"),
         F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0))
         .cast("long").alias("n_lines_removed")))
+
+
+def dup_span_fraction(documents: DataFrame, window: int = 20,
+                      min_df: int = 2, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): hash every ``window``-token
+    rolling span; a span whose hash occurs in ≥ ``min_df`` DISTINCT documents
+    is duplicated; per document report how many token positions at least one
+    duplicated span covers (merged-interval union, not Σ window — overlapping
+    spans don't double-count) and the covered fraction — the filter signal
+    the paper thresholds.
+
+    Scale shape: spans shuffle as xxhash64 longs only (the span TEXT never
+    leaves the map side); one groupBy(hash) df-count with map-side partials;
+    a hash-keyed semi-join back; the interval union is one lag() window
+    partitioned by doc (coverage added by a span at pos after a span at
+    prev is min(window, pos - prev) — ends are monotone for fixed width, so
+    the classic running-max sweep degenerates to a lag difference).  Never
+    all-pairs, never a span-text shuffle."""
+    from pyspark.sql import Window as W
+
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit("[a-z0-9]+"), 0)
+    base = documents.select(F.col(id_col).alias("doc_id"),
+                            F.posexplode(toks).alias("pos", "t"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("t").alias("t0")] + [
+        F.lead("t", i).over(w).alias(f"t{i}") for i in range(1, window)]
+    spans = (base.select("doc_id", "pos", *parts)
+             .filter(F.col(f"t{window - 1}").isNotNull())
+             .select("doc_id", "pos", F.xxhash64(F.concat_ws(
+                 " ", *[f"t{i}" for i in range(window)])).alias("h")))
+    dup = (spans.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("span_df"))
+           .filter(F.col("span_df") >= int(min_df)).select("h"))
+    hits = spans.join(dup, "h", "semi")
+    add = F.coalesce(
+        F.least(F.lit(window), F.col("pos") - F.lag("pos").over(w)),
+        F.lit(window))
+    cov = (hits.select("doc_id", "pos").withColumn("add", add)
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_dup_windows"),
+                F.sum("add").cast("long").alias("covered_tokens")))
+    tc = documents.select(F.col(id_col).alias("doc_id"),
+                          F.size(toks).cast("long").alias("n_tokens"))
+    return (tc.join(cov, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+                    .alias("n_dup_windows"),
+                    F.coalesce("covered_tokens", F.lit(0)).cast("long")
+                    .alias("covered_tokens"),
+                    F.round(F.coalesce("covered_tokens", F.lit(0))
+                            / F.greatest("n_tokens", F.lit(1)), 6)
+                    .alias("dup_fraction")))

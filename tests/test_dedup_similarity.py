@@ -290,3 +290,25 @@ def test_neardup_clusters_transitive_components(spark):
     assert {out[i]["cluster_id"] for i in range(20, 27)} == {20}
     assert out[26]["cluster_size"] == 7
     assert sum(1 for r in out.values() if r["is_canonical"]) == 3
+
+
+def test_dup_span_fraction_coverage_union(spark):
+    from elasticsearch_data_import_handler_spark.operators.textquality import (
+        dup_span_fraction)
+
+    shared = "a b c d e f g h"          # 8 tokens shared by d1/d2
+    docs = spark.createDataFrame(
+        [("d1", shared + " x1 y1 z1 w1"),   # 12 tokens, spans at pos 0..4
+         ("d2", "p2 q2 " + shared),         # 10 tokens
+         ("d3", "unique words only here nothing shared at all ok fine")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dup_span_fraction(docs, window=4, min_df=2).collect()}
+    # d1: windows at pos 0..4 of the shared run are duplicated (pos 4 window
+    # 'e f g h' also in d2); union covers tokens 0..7 => 8 covered of 12
+    assert out["d1"]["n_dup_windows"] == 5
+    assert out["d1"]["covered_tokens"] == 8
+    assert abs(out["d1"]["dup_fraction"] - 8 / 12) < 1e-6
+    assert out["d2"]["covered_tokens"] == 8
+    assert out["d3"]["n_dup_windows"] == 0
+    assert out["d3"]["dup_fraction"] == 0.0
