@@ -1003,11 +1003,13 @@ def _facet_meta_full(spark, sf_dir, reader):
 def _facet_aggs_only(spark, sf_dir, scored=None):
     """Round-5 ES agg long-tail over the SAME matched set: range, filters,
     multi_terms, rare_terms, composite (true after-key paging: page 2's
-    cursor is page 1's last key), weighted_avg / value_count / missing.
+    cursor is page 1's last key), weighted_avg / value_count / missing,
+    plus extended_stats / percentile_ranks / top_metrics.
     All stack into the shared (facet, value, doc_count, sum_score) schema."""
     from elasticsearch_data_import_handler_spark.operators.search import (
-        composite_agg, filters_agg, metric_aggs, multi_terms_agg,
-        range_agg, rare_terms_agg)
+        composite_agg, extended_stats_agg, filters_agg, metric_aggs,
+        multi_terms_agg, percentile_ranks_agg, range_agg, rare_terms_agg,
+        top_metrics_agg)
 
     reader = _gate_index(spark, sf_dir)
     sc = scored if scored is not None else _facet_scored(spark, reader)
@@ -1026,8 +1028,15 @@ def _facet_aggs_only(spark, sf_dir, scored=None):
     p2 = (composite_agg(sc, meta, ["lang", "source"], size=5, after=after)
           if after else p1.limit(0))
     me = metric_aggs(sc, meta, "score", "n_chars", "lang")
+    xs = extended_stats_agg(sc, meta, "n_chars", sigma=2.0)
+    pr = percentile_ranks_agg(sc, meta, "n_chars", [200.0, 350.0])
+    # top_metrics ranks on NATIVE ids (the identity oracles see), so its
+    # meta side is the raw documents table keyed by native doc_id
+    tm = top_metrics_agg(sc, _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"), "lang", "n_chars",
+        id_map=_native_map(reader))
     out = rg
-    for f in (fl, mt, rt, p1, p2, me):
+    for f in (fl, mt, rt, p1, p2, me, xs, pr, tm):
         out = out.unionByName(f)
     return out
 
@@ -2806,7 +2815,43 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'vcount:score', 'all', vc, NULL::DOUBLE "
             "FROM mx "
             "UNION ALL SELECT 'missing:lang', 'missing', miss, "
-            "NULL::DOUBLE FROM mx) "
+            "NULL::DOUBLE FROM mx), "
+            # extended_stats: moments from exact integer sums, fixed op
+            # order (mean = s/n; var = ss/n - mean*mean; std = sqrt —
+            # correctly rounded per IEEE so engine-portable), outputs 6dp
+            "xsx AS (SELECT count(n_chars)::BIGINT AS n, "
+            "min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx2, "
+            "sum(n_chars)::DOUBLE AS s, "
+            "sum(n_chars * n_chars)::DOUBLE AS ssq FROM m), "
+            "xs AS (SELECT 'xstats:n_chars' AS facet, u.value, n AS "
+            "doc_count, round(CASE u.value WHEN 'count' THEN n::DOUBLE "
+            "WHEN 'min' THEN mn WHEN 'max' THEN mx2 WHEN 'sum' THEN s "
+            "WHEN 'avg' THEN s / n WHEN 'sum_of_squares' THEN ssq "
+            "WHEN 'variance' THEN ssq / n - (s / n) * (s / n) "
+            "WHEN 'std_deviation' THEN sqrt(ssq / n - (s / n) * (s / n)) "
+            "WHEN 'std_upper' THEN s / n + 2.0 * "
+            "sqrt(ssq / n - (s / n) * (s / n)) "
+            "ELSE s / n - 2.0 * sqrt(ssq / n - (s / n) * (s / n)) END, 6) "
+            "AS sum_score FROM xsx, (VALUES ('count'), ('min'), ('max'), "
+            "('sum'), ('avg'), ('sum_of_squares'), ('variance'), "
+            "('std_deviation'), ('std_upper'), ('std_lower')) u(value)), "
+            # percentile_ranks: exact count ratios
+            "prx AS (SELECT count(*)::BIGINT AS n, "
+            "sum(CASE WHEN n_chars <= 200.0 THEN 1 ELSE 0 END)::BIGINT AS "
+            "c200, sum(CASE WHEN n_chars <= 350.0 THEN 1 ELSE 0 END)"
+            "::BIGINT AS c350 FROM m), "
+            "pr AS (SELECT 'prank:n_chars' AS facet, '200.0' AS value, n AS "
+            "doc_count, round(100.0 * c200 / n, 6) AS sum_score FROM prx "
+            "UNION ALL SELECT 'prank:n_chars', '350.0', n, "
+            "round(100.0 * c350 / n, 6) FROM prx), "
+            # top_metrics: per-lang best hit's n_chars (score DESC, native
+            # doc_id ASC — scores pre-rounded 4dp so ties are engine-stable)
+            "tmr AS (SELECT lang, n_chars, row_number() OVER (PARTITION BY "
+            "lang ORDER BY score DESC, doc_id ASC) AS rn, count(*) OVER ("
+            "PARTITION BY lang)::BIGINT AS bn FROM m), "
+            "tm AS (SELECT 'topm:lang~n_chars' AS facet, lang AS value, "
+            "bn AS doc_count, n_chars::DOUBLE AS sum_score FROM tmr "
+            "WHERE rn = 1) "
             "SELECT facet, value, doc_count, sum_score, sc_min, sc_max, "
             "sc_sum, sc_avg, NULL::BIGINT AS doc_id, "
             "NULL::DOUBLE AS score, NULL::BIGINT AS rank "
@@ -2843,6 +2888,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT facet, value, doc_count, sum_score, "
             "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
             "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM me "
+            "UNION ALL SELECT facet, value, doc_count, sum_score, "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
+            "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM xs "
+            "UNION ALL SELECT facet, value, doc_count, sum_score, "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
+            "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM pr "
+            "UNION ALL SELECT facet, value, doc_count, sum_score, "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
+            "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM tm "
             # top_hits sub-agg: best 3 matching docs per lang bucket
             "UNION ALL SELECT 'th:lang', lang, NULL::BIGINT, NULL::DOUBLE, "
             "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "

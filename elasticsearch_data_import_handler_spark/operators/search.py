@@ -1056,3 +1056,98 @@ def auto_date_histogram_search(spark, reader, target_buckets: int = 10,
     out = date_histogram_search(spark, reader, interval_s=int(chosen),
                                 scored=scored)
     return out.withColumn("facet", F.lit(f"adh:{int(chosen)}s"))
+
+
+def extended_stats_agg(scored: DataFrame, meta: DataFrame, field: str,
+                       sigma: float = 2.0,
+                       id_col: str = "doc_id") -> DataFrame:
+    """ES ``extended_stats`` aggregation: count/min/max/sum/avg/
+    sum_of_squares/variance/std_deviation and the ±sigma std bounds, in ONE
+    aggregation pass over the matched set (ES computes exactly these moments
+    from the same three running sums).
+
+    Determinism: ``field`` sums are exact (integer doc values), the derived
+    moments use one fixed op order (mean = s/n; var = ss/n − mean·mean;
+    std = sqrt(var) — IEEE sqrt is correctly rounded, so engine-portable)
+    and every OUTPUT rounds 6dp.  Rows stack into the shared
+    (facet, value, doc_count, sum_score) agg schema, one row per metric."""
+    j = _facet_join(scored, meta, id_col)
+    one = j.agg(
+        F.count(field).cast("long").alias("n"),
+        F.min(field).cast("double").alias("mn"),
+        F.max(field).cast("double").alias("mx"),
+        F.sum(field).cast("double").alias("s"),
+        F.sum(F.col(field) * F.col(field)).cast("double").alias("ss"))
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    std = F.sqrt(var)
+    sig = float(sigma)
+    metrics = [
+        ("count", F.col("n").cast("double")),
+        ("min", F.col("mn")), ("max", F.col("mx")),
+        ("sum", F.col("s")), ("avg", mean),
+        ("sum_of_squares", F.col("ss")), ("variance", var),
+        ("std_deviation", std),
+        ("std_upper", mean + sig * std), ("std_lower", mean - sig * std),
+    ]
+    rows = F.array(*[
+        F.struct(F.lit(f"xstats:{field}").alias("facet"),
+                 F.lit(name).alias("value"),
+                 F.col("n").alias("doc_count"),
+                 F.round(expr, 6).alias("sum_score"))
+        for name, expr in metrics])
+    return (one.select(F.explode(rows).alias("b"))
+            .select("b.facet", "b.value", "b.doc_count", "b.sum_score"))
+
+
+def percentile_ranks_agg(scored: DataFrame, meta: DataFrame, field: str,
+                         values: list[float],
+                         id_col: str = "doc_id") -> DataFrame:
+    """ES ``percentile_ranks``: for each requested value, the percentage of
+    matched docs with ``field`` ≤ value — one conditional-aggregate pass,
+    exact counts (no TDigest approximation needed where the rank is a
+    count ratio; at 100 TB the same one-pass shape holds since the output
+    is |values| rows)."""
+    j = _facet_join(scored, meta, id_col)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")] + [
+        F.sum(F.when(F.col(field) <= v, 1).otherwise(0)).cast("long")
+        .alias(f"c{i}") for i, v in enumerate(values)]
+    one = j.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(f"prank:{field}").alias("facet"),
+                 F.lit(str(v)).alias("value"),
+                 F.col("n").alias("doc_count"),
+                 F.round(F.lit(100.0) * F.col(f"c{i}") / F.col("n"), 6)
+                 .alias("sum_score"))
+        for i, v in enumerate(values)])
+    return (one.select(F.explode(rows).alias("b"))
+            .select("b.facet", "b.value", "b.doc_count", "b.sum_score"))
+
+
+def top_metrics_agg(scored: DataFrame, meta: DataFrame, bucket_col: str,
+                    metric_col: str, id_col: str = "doc_id",
+                    id_map: DataFrame | None = None) -> DataFrame:
+    """ES ``top_metrics`` sub-agg per bucket: the ``metric_col`` value of
+    each bucket's best hit (score DESC, doc id ASC — ranked on the CALLER's
+    ids when ``id_map`` (doc_id, __nid) is given, so ties break on the ids
+    consumers and oracles see).  One bucket-partitioned window over the
+    matched candidates — never a global sort."""
+    from pyspark.sql import Window
+
+    sc = scored.select("doc_id", "score")
+    if id_map is not None:
+        # remap to the caller's doc identity BEFORE ranking (same contract
+        # as top_hits_facets); ``meta`` must then be keyed by those ids
+        sc = (sc.join(id_map, "doc_id")
+              .select(F.col("__nid").alias("doc_id"), "score"))
+    j = sc.join(meta.withColumnRenamed(id_col, "doc_id"), "doc_id")
+    w = Window.partitionBy(bucket_col).orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    wc = Window.partitionBy(bucket_col)
+    return (j.withColumn("rn", F.row_number().over(w))
+            .withColumn("bn", F.count(F.lit(1)).over(wc).cast("long"))
+            .filter(F.col("rn") == 1)
+            .select(F.lit(f"topm:{bucket_col}~{metric_col}").alias("facet"),
+                    F.col(bucket_col).alias("value"),
+                    F.col("bn").alias("doc_count"),
+                    F.col(metric_col).cast("double").alias("sum_score")))
