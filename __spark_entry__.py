@@ -1428,8 +1428,33 @@ def q_geo(spark, sf_dir):
           .select(F.col("geohash").alias("key"),
                   F.col("doc_count").cast("long").alias("n"),
                   F.lit("hash").alias("op")))
+    # op='bounds'/'centroid' (round 5): geo_bounds & geo_centroid per
+    # segment, values rendered as integer MILLI-degrees — the md5 coords
+    # have exactly 3 decimals, so round(x·1000) recovers the exact integer
+    # on both engines (min/max are order-free; the centroid means differ
+    # only at the last ulp, measure-zero at the rounding boundary)
+    from elasticsearch_data_import_handler_spark.operators.geo import (
+        geo_bounds_agg, geo_centroid_agg)
+
+    def _milli(c):
+        return F.round(F.col(c) * 1000.0, 0).cast("long")
+
+    gb = (geo_bounds_agg(pts, "lat", "lon", by="c_mktsegment")
+          .select(F.explode(F.array(*[
+              F.struct(F.concat("c_mktsegment", F.lit("|" + side))
+                       .alias("key"), _milli(side).alias("n"))
+              for side in ("top", "left", "bottom", "right")])).alias("b"))
+          .select("b.key", "b.n", F.lit("bounds").alias("op")))
+    gc = (geo_centroid_agg(pts, "lat", "lon", by="c_mktsegment")
+          .select(F.explode(F.array(
+              F.struct(F.concat("c_mktsegment", F.lit("|lat")).alias("key"),
+                       _milli("centroid_lat").alias("n")),
+              F.struct(F.concat("c_mktsegment", F.lit("|lon")).alias("key"),
+                       _milli("centroid_lon").alias("n")))).alias("b"))
+          .select("b.key", "b.n", F.lit("centroid").alias("op")))
     return (di.unionByName(bx).unionByName(ti).unionByName(ba)
-            .unionByName(dl).unionByName(db).unionByName(gh))
+            .unionByName(dl).unionByName(db).unionByName(gh)
+            .unionByName(gb).unionByName(gc))
 
 
 def q_minhash_verified(spark, sf_dir):
@@ -3218,7 +3243,25 @@ def oracle_sql() -> dict[str, str]:
             # libm, bit-identical by construction on both engines
             "UNION ALL SELECT 'hash', key, n FROM (SELECT "
             f"{_GEOHASH_SQL} AS key, count(*)::BIGINT AS n FROM pts "
-            "GROUP BY 1 ORDER BY n DESC, key ASC LIMIT 10)"
+            "GROUP BY 1 ORDER BY n DESC, key ASC LIMIT 10) "
+            # geo_bounds / geo_centroid (round 5): integer milli-degrees —
+            # min/max are order-free doubles, the centroid means round to
+            # the exact md5-grid integer (boundary flip measure-zero)
+            "UNION ALL SELECT 'bounds', seg || '|' || u.m, "
+            "CASE u.m WHEN 'top' THEN tv WHEN 'left' THEN lv "
+            "WHEN 'bottom' THEN bv ELSE rv END FROM ("
+            "SELECT c_mktsegment AS seg, "
+            "round(max(lat) * 1000.0)::BIGINT AS tv, "
+            "round(min(lon) * 1000.0)::BIGINT AS lv, "
+            "round(min(lat) * 1000.0)::BIGINT AS bv, "
+            "round(max(lon) * 1000.0)::BIGINT AS rv FROM pts GROUP BY 1) b, "
+            "(VALUES ('top'), ('left'), ('bottom'), ('right')) u(m) "
+            "UNION ALL SELECT 'centroid', seg || '|' || u.m, "
+            "CASE u.m WHEN 'lat' THEN clat ELSE clon END FROM ("
+            "SELECT c_mktsegment AS seg, "
+            "round(avg(lat) * 1000.0)::BIGINT AS clat, "
+            "round(avg(lon) * 1000.0)::BIGINT AS clon "
+            "FROM pts GROUP BY 1) c, (VALUES ('lat'), ('lon')) u(m)"
         ),
         "range_join": (
             "WITH p AS (SELECT user_id, event_id, epoch(ts)::BIGINT AS t "

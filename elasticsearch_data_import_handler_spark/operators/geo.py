@@ -251,3 +251,35 @@ def geohash_grid(df: DataFrame, lat_col: str, lon_col: str,
            .groupBy("geohash").agg(F.count(F.lit(1)).alias("doc_count")))
     return (agg.orderBy(F.desc("doc_count"), F.asc("geohash"))
             .limit(int(size)))
+
+
+def geo_bounds_agg(df: DataFrame, lat_col: str, lon_col: str,
+                   by: str | list | None = None) -> DataFrame:
+    """ES ``geo_bounds`` aggregation: the smallest lat/lon box enclosing
+    the points — top = max lat, bottom = min lat, left = min lon,
+    right = max lon — per ``by`` bucket (or one global row).  min/max are
+    order-free, so the outputs are bit-identical across engines on
+    identical point doubles.  (ES's optional dateline-crossing shrink-wrap
+    ``wrap_longitude`` is out of scope, same seam policy as
+    :func:`geo_bounding_box` pre-round-5.)  Map-side-combined single agg."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    g = df.groupBy(*keys) if keys else df.groupBy()
+    return g.agg(F.max(lat_col).cast("double").alias("top"),
+                 F.min(lon_col).cast("double").alias("left"),
+                 F.min(lat_col).cast("double").alias("bottom"),
+                 F.max(lon_col).cast("double").alias("right"),
+                 F.count(F.lit(1)).cast("long").alias("doc_count"))
+
+
+def geo_centroid_agg(df: DataFrame, lat_col: str, lon_col: str,
+                     by: str | list | None = None) -> DataFrame:
+    """ES ``geo_centroid`` aggregation: arithmetic mean of lat/lon over the
+    bucket's points (ES's planar centroid) + count, one map-side-combined
+    pass.  The means are float sums whose order is engine-dependent at the
+    last ulp — presentation code should round (the gate rounds to integer
+    milli-degrees, where an md5-scattered boundary flip is measure-zero)."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    g = df.groupBy(*keys) if keys else df.groupBy()
+    return g.agg(F.avg(lat_col).alias("centroid_lat"),
+                 F.avg(lon_col).alias("centroid_lon"),
+                 F.count(F.lit(1)).cast("long").alias("doc_count"))

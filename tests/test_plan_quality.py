@@ -496,3 +496,70 @@ def test_bucket_agg_longtail_plan_shapes(spark):
     cp = composite_agg(scored, meta, ["lang", "source"], size=3,
                        after=("l1", "s5"))
     assert "TakeOrderedAndProject" in _plan(cp)
+
+
+def test_line_dedup_shuffles_hashes_not_line_text(spark):
+    """line_dedup's df-count aggregation must shuffle the xxhash64 key, not
+    the line text: the pre-shuffle partial aggregate's grouping expressions
+    contain only the hash column."""
+    from elasticsearch_data_import_handler_spark.operators.textquality import (
+        line_dedup)
+
+    docs = spark.createDataFrame(
+        [("a", "x\ny"), ("b", "x\nz")], ["doc_id", "text"])
+    out = line_dedup(docs, min_df=2)
+    out.collect()
+    plan = _plan(out)
+    # the boilerplate-df branch aggregates count(distinct doc_id) keyed by h
+    assert "xxhash64" in plan
+    key_sets = [seg.split("keys=[")[1].split("]")[0]
+                for seg in plan.split("HashAggregate")[1:] if "keys=[" in seg]
+    assert any(ks.startswith("h#") for ks in key_sets), key_sets
+
+
+def test_dup_span_fraction_single_df_shuffle_on_hash(spark):
+    """dup_span_fraction: the duplicated-span df count groups by the span
+    HASH (longs on the wire), and the span string column never appears in
+    any exchange."""
+    from elasticsearch_data_import_handler_spark.operators.textquality import (
+        dup_span_fraction)
+
+    docs = spark.createDataFrame(
+        [("a", "one two three four five six"),
+         ("b", "one two three four seven eight")], ["doc_id", "text"])
+    out = dup_span_fraction(docs, window=4, min_df=2)
+    out.collect()
+    plan = _plan(out)
+    assert "xxhash64" in plan
+    for ex in plan.split("Exchange")[1:]:
+        head = ex.split("\n")[0]
+        assert "concat_ws" not in head
+
+
+def test_neardup_clusters_bounded_rounds_and_no_cartesian(spark):
+    from elasticsearch_data_import_handler_spark.operators.dedup import (
+        neardup_clusters)
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], ["id_a", "id_b"])
+    out = neardup_clusters(pairs, max_iter=6)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    rows = out.collect()
+    # 20 two-node components, each canonical = the even (min) id
+    assert len(rows) == 40
+    assert sum(1 for r in rows if r["is_canonical"]) == 20
+
+
+def test_search_after_broadcasts_cursor(spark):
+    from elasticsearch_data_import_handler_spark.operators.scoring import (
+        search_after)
+
+    scored = spark.createDataFrame(
+        [(1, i, float(i % 7), 3) for i in range(50)],
+        ["query_id", "doc_id", "score", "k"])
+    cur = spark.createDataFrame([(1, 5.0, 10)], ["query_id", "cs", "cid"])
+    out = search_after(scored, cur)
+    out.collect()
+    plan = _plan(out)
+    assert "BroadcastExchange" in plan
