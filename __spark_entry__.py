@@ -460,6 +460,11 @@ def q_bm25_topk_wand(spark, sf_dir):
         .unionByName(_bm25_rescore(spark, sf_dir).select(
             F.lit("rescore").alias("op"), "query_id", "rank", "doc_id",
             "score"))
+        .unionByName(_bm25_rank_eval(spark, sf_dir).select(
+            F.concat(F.lit("eval_"), "metric").alias("op"), "query_id",
+            F.lit(None).cast("long").alias("rank"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.col("value").alias("score")))
         .orderBy("op", "query_id", "rank")
     )
 
@@ -514,18 +519,41 @@ def _bm25_after(spark, sf_dir):
     return search_after(pool2, cursor)
 
 
+def _bm25_rank_eval(spark, sf_dir):
+    """ES _rank_eval over the page-1 ranking (ops eval_precision /
+    eval_recall / eval_mrr): binary judgments are deterministic — a doc is
+    relevant to a query iff it contains ALL the query's terms (AND
+    containment), so the oracle re-derives identical judgments from the raw
+    corpus."""
+    from elasticsearch_data_import_handler_spark.operators.scoring import (
+        query_terms_df)
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        rank_eval)
+
+    page1 = _bm25_page1(spark, sf_dir)
+    qt = query_terms_df(spark).select("query_id", "term").distinct()
+    tf = I.term_freqs(_docs(spark, sf_dir)).select("term", "doc_id")
+    nt = qt.groupBy("query_id").agg(F.count_distinct("term").alias("nt"))
+    dq = (qt.join(tf, "term")
+          .groupBy("query_id", "doc_id")
+          .agg(F.count_distinct("term").alias("mt")))
+    rel = (dq.join(F.broadcast(nt), "query_id")
+           .filter(F.col("mt") == F.col("nt")).select("query_id", "doc_id"))
+    return rank_eval(page1.select("query_id", "rank", "doc_id"), rel)
+
+
 def _bm25_rescore(spark, sf_dir):
     """rescore: phrase proximity evaluated only on the bounded window."""
     from elasticsearch_data_import_handler_spark.operators.scoring import (
-        rescore_topk)
+        rescore_windows)
     from elasticsearch_data_import_handler_spark.operators.textsearch import (
         phrase_match)
 
     ph = phrase_match(_read(spark, sf_dir, "documents"), "the spark") \
         .select("doc_id",
                 F.col("n_occurrences").cast("double").alias("sec_score"))
-    return rescore_topk(_bm25_page1(spark, sf_dir).drop("k"), ph,
-                        query_weight=1.0, rescore_query_weight=0.5)
+    return rescore_windows(_bm25_page1(spark, sf_dir).drop("k"), ph,
+                           query_weight=1.0, rescore_query_weight=0.5)
 
 
 def q_windowed_events(spark, sf_dir):
@@ -2183,7 +2211,25 @@ def q_query_combinators(spark, sf_dir):
     pg = paginate_after(dm, (cur["score"], cur["doc_id"]), page_size=20)
     pg_b = pg.select(F.lit("page2").alias("op"), "doc_id", "score",
                      (F.col("page_rank") + 20).cast("long").alias("rank"))
-    return dm_b.unionByName(cs_b).unionByName(bq_b).unionByName(pg_b)
+    # pinned (round 5): ids [3, 11, 7] promoted in that order above the
+    # dis_max organic ranking (pinned rows carry NULL scores like ES's
+    # synthetic pin scores; organic ranks shift by the pin count)
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        pinned_query)
+
+    pin_b = pinned_query(dm.select("doc_id", "score"), [3, 11, 7],
+                         k=20).select(
+        F.lit("pinned").alias("op"), "doc_id", "score", "rank")
+    return (dm_b.unionByName(cs_b).unionByName(bq_b).unionByName(pg_b)
+            .unionByName(pin_b))
+
+
+def _pinned_only(spark, sf_dir):
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        pinned_query)
+
+    return pinned_query(q_dis_max(spark, sf_dir).select("doc_id", "score"),
+                        [3, 11, 7], k=20)
 
 
 def q_sessionize(spark, sf_dir):
@@ -2299,7 +2345,9 @@ BENCH_SUBOPS: dict[str, dict[str, Callable]] = {
         "cluster": lambda s, d: D.neardup_clusters(_minhash_pairs_only(s, d)),
     },
     "bm25_topk_wand": {"topk": lambda s, d: _bm25_page1(s, d).drop("k"),
-                       "after": _bm25_after, "rescore": _bm25_rescore},
+                       "after": _bm25_after, "rescore": _bm25_rescore,
+                       "eval": _bm25_rank_eval},
+    "query_combinators": {"dis_max": q_dis_max, "pinned": _pinned_only},
     "repetition_metrics": {
         "intra": lambda s, d: TQ.repetition_metrics(_read(s, d, "documents"),
                                                     n=2),
@@ -2512,12 +2560,41 @@ def oracle_sql() -> dict[str, str]:
             "FROM r1 LEFT JOIN ph USING (doc_id)), "
             "rsr AS (SELECT query_id, row_number() OVER (PARTITION BY "
             "query_id ORDER BY new_score DESC, doc_id ASC) AS rank, doc_id, "
-            "new_score AS score FROM rsb) "
+            "new_score AS score FROM rsb), "
+            # _rank_eval: binary judgments = AND containment of the query's
+            # terms; precision/recall/MRR are exact integer ratios
+            "qtn AS (SELECT query_id, count(DISTINCT term) AS nt FROM q "
+            "GROUP BY 1), "
+            "dqx AS (SELECT q.query_id, t.doc_id, "
+            "count(DISTINCT t.term) AS mt FROM q JOIN (SELECT DISTINCT "
+            "doc_id, term FROM tok) t USING (term) GROUP BY 1, 2), "
+            "relx AS (SELECT dqx.query_id, dqx.doc_id FROM dqx "
+            "JOIN qtn USING (query_id) WHERE mt = nt), "
+            "evh AS (SELECT r1.query_id, r1.rank, CASE WHEN relx.doc_id "
+            "IS NOT NULL THEN 1 ELSE 0 END AS isrel FROM r1 LEFT JOIN relx "
+            "ON relx.query_id = r1.query_id AND relx.doc_id = r1.doc_id), "
+            "pqx AS (SELECT query_id, sum(isrel)::BIGINT AS nrelk, "
+            "count(*)::BIGINT AS nret, min(CASE WHEN isrel = 1 THEN rank "
+            "END) AS fr FROM evh GROUP BY 1), "
+            "totx AS (SELECT query_id, count(*)::BIGINT AS nrel FROM relx "
+            "GROUP BY 1), "
+            "evm AS (SELECT p.query_id, "
+            "round(nrelk * 1.0 / nret, 6) AS prec, "
+            "coalesce(round(nrelk * 1.0 / t.nrel, 6), 0.0) AS rec, "
+            "coalesce(round(1.0 / fr, 6), 0.0) AS mrr "
+            "FROM pqx p LEFT JOIN totx t USING (query_id)) "
             "SELECT 'topk' AS op, query_id, rank, doc_id, score FROM r1 "
             "UNION ALL SELECT 'after' AS op, query_id, rank, doc_id, score "
             "FROM r2 WHERE rank <= k "
             "UNION ALL SELECT 'rescore' AS op, query_id, rank, doc_id, score "
-            "FROM rsr"
+            "FROM rsr "
+            "UNION ALL SELECT 'eval_precision' AS op, query_id, "
+            "NULL::BIGINT AS rank, NULL::BIGINT AS doc_id, prec AS score "
+            "FROM evm "
+            "UNION ALL SELECT 'eval_recall', query_id, NULL::BIGINT, "
+            "NULL::BIGINT, rec FROM evm "
+            "UNION ALL SELECT 'eval_mrr', query_id, NULL::BIGINT, "
+            "NULL::BIGINT, mrr FROM evm"
         ),
         "windowed_events": (
             "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') "
@@ -3651,7 +3728,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'page2', doc_id, score, rank FROM ("
             "SELECT doc_id, score, row_number() OVER ("
             "ORDER BY score DESC, doc_id ASC) AS rank FROM dmx) r "
-            "WHERE rank BETWEEN 21 AND 40"
+            "WHERE rank BETWEEN 21 AND 40 "
+            # pinned (round 5): promoted ids first in the given order with
+            # NULL scores, dis_max organic after (pinned ids removed)
+            "UNION ALL SELECT 'pinned', doc_id, score, rank FROM ("
+            "SELECT doc_id, NULL::DOUBLE AS score, rn AS rank "
+            "FROM (VALUES (3, 1), (11, 2), (7, 3)) p(doc_id, rn) "
+            "UNION ALL SELECT doc_id, score, 3 + row_number() OVER ("
+            "ORDER BY score DESC, doc_id ASC) FROM dmx "
+            "WHERE doc_id NOT IN (3, 11, 7)) t WHERE rank <= 20"
         ),
         "sessionize_stateful": (
             "WITH g AS (SELECT user_id, ts, CASE WHEN "

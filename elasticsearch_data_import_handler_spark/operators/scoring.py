@@ -109,16 +109,20 @@ def search_after(scored: DataFrame, cursor: DataFrame, k_col: str = "k",
             .select("query_id", "rank", id_col, score_col))
 
 
-def rescore_topk(hits: DataFrame, secondary: DataFrame,
-                 query_weight: float = 1.0, rescore_query_weight: float = 0.5,
-                 score_col: str = "score", id_col: str = "doc_id",
-                 round_to: int = 4) -> DataFrame:
-    """ES ``rescore``: re-rank ONLY the top-window hits of the primary query
-    with a (more expensive) secondary query, combining scores as
-    ``query_weight·primary + rescore_query_weight·secondary``
-    (score_mode=total).  The canonical ES use: BM25 primary + match_phrase
-    secondary so proximity only has to be evaluated on the window, never the
-    corpus.
+def rescore_windows(hits: DataFrame, secondary: DataFrame,
+                    query_weight: float = 1.0,
+                    rescore_query_weight: float = 0.5,
+                    score_col: str = "score", id_col: str = "doc_id",
+                    round_to: int = 4) -> DataFrame:
+    """ES ``rescore`` over a QUERY BATCH: re-rank each query's
+    already-bounded top window with a (more expensive) secondary query,
+    combining scores as ``query_weight·primary +
+    rescore_query_weight·secondary`` (score_mode=total), windows
+    partitioned by query_id.  The single-query two-frame composition lives
+    in operators/search.py:rescore_topk; this is its batched sibling for
+    the WAND msearch path.  The canonical ES use: BM25 primary +
+    match_phrase secondary so proximity only has to be evaluated on the
+    window, never the corpus.
 
     ``hits`` is the already-bounded window (query_id, rank, doc_id, score) —
     ≤ window_size rows per query; ``secondary`` is (doc_id, sec_score).  The

@@ -1151,3 +1151,40 @@ def top_metrics_agg(scored: DataFrame, meta: DataFrame, bucket_col: str,
                     F.col(bucket_col).alias("value"),
                     F.col("bn").alias("doc_count"),
                     F.col(metric_col).cast("double").alias("sum_score")))
+
+
+def rank_eval(hits: DataFrame, relevant: DataFrame,
+              round_to: int = 6) -> DataFrame:
+    """ES ``_rank_eval`` API over binary relevance judgments: per query,
+    precision@k (relevant-retrieved / retrieved), recall@k
+    (relevant-retrieved / total relevant) and MRR (1 / rank of the first
+    relevant hit; 0 when none) — the three exact-ratio metrics (NDCG is
+    deliberately out: its log2 discounts are not correctly-rounded-libm
+    portable across engines, while these are integer ratios).
+
+    ``hits`` = (query_id, rank, doc_id) already bounded to the page;
+    ``relevant`` = (query_id, doc_id) judgments.  One candidate-keyed left
+    join + two grouped aggregations — O(|hits| + |judgments|), never the
+    corpus.  → (query_id, metric, value)."""
+    rel = relevant.select("query_id", "doc_id").withColumn("__rel", F.lit(1))
+    j = hits.select("query_id", "rank", "doc_id") \
+        .join(rel, ["query_id", "doc_id"], "left")
+    per_q = j.groupBy("query_id").agg(
+        F.sum(F.coalesce("__rel", F.lit(0))).cast("long").alias("nrel_k"),
+        F.count(F.lit(1)).cast("long").alias("nret"),
+        F.min(F.when(F.col("__rel").isNotNull(), F.col("rank"))).alias("fr"))
+    tot = relevant.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nrel"))
+    m = per_q.join(tot, "query_id", "left")
+    rows = F.array(
+        F.struct(F.lit("precision").alias("metric"),
+                 F.round(F.col("nrel_k") / F.col("nret"), round_to)
+                 .alias("value")),
+        F.struct(F.lit("recall").alias("metric"),
+                 F.coalesce(F.round(F.col("nrel_k") / F.col("nrel"),
+                                    round_to), F.lit(0.0)).alias("value")),
+        F.struct(F.lit("mrr").alias("metric"),
+                 F.coalesce(F.round(F.lit(1.0) / F.col("fr"), round_to),
+                            F.lit(0.0)).alias("value")))
+    return (m.select("query_id", F.explode(rows).alias("b"))
+            .select("query_id", "b.metric", "b.value"))

@@ -1042,3 +1042,35 @@ def match_bool_prefix(spark, reader, text: str, max_expansions: int = 50,
         raise ValueError(f"no lexicon term matches prefix {last!r}")
     return bool_query(spark, reader, should=clauses, min_should=1,
                       round_to=round_to)
+
+
+def pinned_query(organic: DataFrame, pinned_ids: list, k: int = 20,
+                 id_col: str = "doc_id",
+                 round_to: int | None = None) -> DataFrame:
+    """ES ``pinned`` query: the given ids rank FIRST in the given order
+    (whether or not they match the organic query — ES returns them
+    regardless), the organic ranking follows with the pinned ids removed;
+    ranks are absolute.  → (doc_id, score, rank), pinned rows carry a NULL
+    score like ES's synthetic pin scores carry no relevance meaning.
+
+    Plan shape: the pinned frame is |ids| literal rows (broadcast);
+    the organic side anti-joins it and TakeOrdered-bounds to k BEFORE the
+    rank window, so the global row_number only ever sees ≤ k rows."""
+    from pyspark.sql import Window
+
+    spark = organic.sparkSession
+    n_pin = len(pinned_ids)
+    pin = spark.createDataFrame(
+        [(int(i), r + 1) for r, i in enumerate(pinned_ids)],
+        f"{id_col} long, rank long").withColumn(
+        "score", F.lit(None).cast("double"))
+    org = organic.join(F.broadcast(pin.select(id_col)), id_col, "anti") \
+        .orderBy(F.desc("score"), F.asc(id_col)).limit(max(int(k) - n_pin, 0))
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    score = (F.round("score", round_to) if round_to is not None
+             else F.col("score").cast("double"))
+    orgr = org.withColumn(
+        "rank", (F.row_number().over(w) + n_pin).cast("long"))
+    return (pin.select(id_col, "score", "rank")
+            .unionByName(orgr.select(id_col, score.alias("score"), "rank"))
+            .filter(F.col("rank") <= int(k)))

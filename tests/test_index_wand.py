@@ -177,14 +177,14 @@ def test_search_after_keyset_equals_rank_offset(spark):
 
 def test_rescore_only_reorders_window(spark):
     from elasticsearch_data_import_handler_spark.operators.scoring import (
-        rescore_topk)
+        rescore_windows)
 
     hits = spark.createDataFrame(
         [(1, 1, 10, 3.0), (1, 2, 11, 2.0), (1, 3, 12, 1.0)],
         ["query_id", "rank", "doc_id", "score"])
     sec = spark.createDataFrame([(12, 5.0)], ["doc_id", "sec_score"])
     out = {r["doc_id"]: (r["rank"], r["score"]) for r in
-           rescore_topk(hits, sec, rescore_query_weight=0.5).collect()}
+           rescore_windows(hits, sec, rescore_query_weight=0.5).collect()}
     # doc 12: 1.0 + 2.5 = 3.5 → promoted to rank 1; same 3 docs, no growth
     assert out[12] == (1, 3.5) and out[10] == (2, 3.0) and out[11] == (3, 2.0)
     assert len(out) == 3

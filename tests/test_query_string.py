@@ -224,3 +224,37 @@ def test_phrase_suggest_corrects_misspelled_phrase(spark):
     ok = phrase_suggest(docs, "spark sql", max_dist=1, per_token=4,
                         size=2).collect()
     assert ok[0]["suggestion"] == "spark sql"
+
+
+def test_pinned_query_order_and_exclusion(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        pinned_query)
+
+    organic = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0), (4, 6.0)], ["doc_id", "score"])
+    out = pinned_query(organic, [4, 2], k=4).orderBy("rank").collect()
+    # pinned first in the GIVEN order with NULL scores, organic after
+    # with the pinned ids removed, absolute ranks
+    assert [(r["doc_id"], r["rank"]) for r in out] == [
+        (4, 1), (2, 2), (1, 3), (3, 4)]
+    assert out[0]["score"] is None and out[2]["score"] == 9.0
+
+
+def test_rank_eval_metrics(spark):
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        rank_eval)
+
+    hits = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11), (1, 3, 12),
+         (2, 1, 20), (2, 2, 21)], ["query_id", "rank", "doc_id"])
+    rel = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 99), (2, 77)], ["query_id", "doc_id"])
+    out = {(r["query_id"], r["metric"]): r["value"]
+           for r in rank_eval(hits, rel).collect()}
+    assert out[(1, "precision")] == round(2 / 3, 6)
+    assert out[(1, "recall")] == round(2 / 3, 6)
+    assert out[(1, "mrr")] == 0.5          # first relevant at rank 2
+    assert out[(2, "precision")] == 0.0
+    assert out[(2, "recall")] == 0.0 and out[(2, "mrr")] == 0.0
