@@ -201,6 +201,19 @@ def _bench_index_and_query(cpus: int, corpus_path: str,
             assert len(rows) > 0
         n_queries = 15 * QUERY_COPIES
         best_batch = min(batch_secs[1:])
+        # per-batch FIXED constant (upper bound): a 1-query/1-term batch
+        # still pays the whole O(1) path — query planning, lexicon join +
+        # broadcast, job scheduling, driver collect — while its scoring
+        # work is one tau-bounded postings group.  Itemized like the build
+        # commit constant so eff_query separates Amdahl constant from the
+        # distributed portion.
+        q1 = query_terms_df(spark, [(99991, "spark", 1)])
+        const_secs = []
+        for _ in range(QUERY_REPS + 1):
+            t0 = time.time()
+            bm25_topk_wand(spark, reader, qterms=q1).collect()
+            const_secs.append(time.time() - t0)
+        query_constant = min(const_secs[1:])
         return {
             "build_sec": build_sec,
             "build_secs_all": [round(x, 2) for x in build_secs],
@@ -209,6 +222,7 @@ def _bench_index_and_query(cpus: int, corpus_path: str,
             "query_batch_p50_sec": best_batch,
             "query_qps": n_queries / best_batch,
             "query_p50_latency_ms": best_batch / n_queries * 1000,
+            "query_constant_sec": query_constant,
             **half,
         }
     finally:
@@ -359,6 +373,7 @@ def _measure_pinned_pair(corpus_path: str) -> dict | None:
         "eff_build": (hi["build_docs_per_sec"]
                       / lo["build_docs_per_sec"]) / ratio,
         "eff_query": (hi["query_qps"] / lo["query_qps"]) / ratio,
+        "eff_query_marginal": _marginal_query_eff(lo, hi, ratio),
         "pinned": {"lo_cores": PIN_LO, "hi_cores": PIN_HI,
                    "concurrent": True,
                    "overlap_sec": round(min(lo["t_end"], hi["t_end"])
@@ -408,6 +423,21 @@ def _marginal_eff(lo: dict, hi: dict, ratio: float):
         return None, None, None
 
 
+def _marginal_query_eff(lo: dict, hi: dict, ratio: float):
+    """eff_query with the per-batch O(1) constant removed from BOTH sides
+    (batch = c + distributed scoring; the 1-query probe bounds c), i.e. the
+    scaling of the distributed scoring portion alone — the query-side
+    analog of `_marginal_eff`'s Amdahl-corrected build number."""
+    try:
+        ml = lo["query_batch_p50_sec"] - lo["query_constant_sec"]
+        mh = hi["query_batch_p50_sec"] - hi["query_constant_sec"]
+        if ml <= 0 or mh <= 0:
+            return None
+        return (ml / mh) / ratio
+    except (KeyError, TypeError, ZeroDivisionError):
+        return None
+
+
 def _att_score(att: dict) -> float:
     """Joint pick/stop criterion: judge the worst of build and query
     efficiency (one side great + other collapsed = tenancy noise, not the
@@ -418,7 +448,10 @@ def _att_score(att: dict) -> float:
     eb = att["eff_build"]
     if att.get("eff_build_marginal"):
         eb = max(eb, min(1.0, att["eff_build_marginal"]))
-    return min(eb, min(1.0, att["eff_query"]))
+    eq = att["eff_query"]
+    if att.get("eff_query_marginal"):
+        eq = max(eq, min(1.0, att["eff_query_marginal"]))
+    return min(eb, min(1.0, eq))
 
 
 def _measure_scaling_pair(corpus_path: str, max_attempts: int | None = None,
@@ -489,6 +522,7 @@ def _measure_scaling_pair(corpus_path: str, max_attempts: int | None = None,
             "eff_build": (hi["build_docs_per_sec"]
                           / lo["build_docs_per_sec"]) / ratio,
             "eff_query": (hi["query_qps"] / lo["query_qps"]) / ratio,
+            "eff_query_marginal": _marginal_query_eff(lo, hi, ratio),
         }
         (att["eff_build_marginal"], att["marginal_docs_per_sec_lo"],
          att["marginal_docs_per_sec_hi"]) = _marginal_eff(lo, hi, ratio)
@@ -599,6 +633,15 @@ def main():
             if best.get("eff_build_marginal") else None,
             f"commit_constant_sec_c{SCALE_LOW}": _commit_constant(lo),
             f"commit_constant_sec_c{SCALE_HIGH}": _commit_constant(hi),
+            f"query_constant_sec_c{SCALE_LOW}":
+                round(lo["query_constant_sec"], 3)
+                if lo.get("query_constant_sec") is not None else None,
+            f"query_constant_sec_c{SCALE_HIGH}":
+                round(hi["query_constant_sec"], 3)
+                if hi.get("query_constant_sec") is not None else None,
+            "scaling_efficiency_query_marginal":
+                round(best["eff_query_marginal"], 3)
+                if best.get("eff_query_marginal") else None,
             "pair_window_calm": best.get("calm"),
             "best_pair_pinned": bool(best.get("pinned")),
             # the pinned pair's own summary, always present when it ran —
@@ -609,6 +652,8 @@ def main():
                 "eff_build_marginal": round(pinned["eff_build_marginal"], 3)
                 if pinned.get("eff_build_marginal") else None,
                 "eff_query": round(pinned["eff_query"], 3),
+                "eff_query_marginal": round(pinned["eff_query_marginal"], 3)
+                if pinned.get("eff_query_marginal") else None,
                 "build_docs_per_sec_lo": round(
                     pinned["lo"]["build_docs_per_sec"], 1),
                 "build_docs_per_sec_hi": round(
