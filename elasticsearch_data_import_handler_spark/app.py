@@ -279,6 +279,44 @@ def _apply_quality_filter(df: DataFrame, stmt: Statement) -> DataFrame:
 
 def run_statement(spark: SparkSession, cfg: PipelineConfig, stmt: Statement) -> dict:
     t0 = time.time()
+    if stmt.update_by_query:
+        # ES _update_by_query as a config statement (round 5): the
+        # statement's SQL yields the SOURCE pages frame (the _source
+        # analog), the bool query selects victims in the committed index,
+        # and transformSql — the painless-script analog — rewrites textCol.
+        # update_by_query manages the index's own BuildLock and commits as
+        # a regular upsert batch, so it runs OUTSIDE this function's
+        # statement lock (same dir → would self-deadlock).
+        if not stmt.target_index:
+            raise ValueError(
+                f"statement {stmt.id}: updateByQuery needs targetIndex")
+        sql = stmt.sql_query
+        if not sql and stmt.sql_file:
+            with open(stmt.sql_file) as f:
+                sql = f.read()
+        if not sql:
+            raise ValueError(
+                f"statement {stmt.id}: updateByQuery needs the source SQL")
+        q = stmt.update_by_query
+        tsql = q.get("transformSql")
+        if not tsql:
+            raise ValueError(
+                f"statement {stmt.id}: updateByQuery needs transformSql")
+        from .plans.build import update_by_query
+
+        last_run = get_last_run(cfg, stmt.id)
+        this_run = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+        pages = spark.sql(sql.replace("{lastRun}", last_run))
+        m = update_by_query(spark, stmt.target_index, pages,
+                            lambda c: F.expr(tsql),
+                            must=q.get("must"), should=q.get("should"),
+                            must_not=q.get("mustNot"),
+                            min_should=int(q.get("minShould", 0)),
+                            text_col=q.get("textCol", "text"))
+        set_last_run(cfg, stmt.id, this_run)  # only on success (A6)
+        return {"id": stmt.id, "rows": m.get("n_updated") or 0,
+                "sec": round(time.time() - t0, 2), "lastRun": this_run,
+                "status": "ok"}
     if stmt.delete_by_query:
         # ES _delete_by_query as a config statement (round-4 advice #9):
         # no SQL — the bool query tombstones matching docs in the target

@@ -90,6 +90,9 @@ class Statement:
     # ES _delete_by_query as a statement (targetIndex required, no SQL):
     # {"must": [...], "should": [...], "mustNot": [...], "minShould": n}
     delete_by_query: dict = field(default_factory=dict)
+    # ES _update_by_query as a statement (targetIndex + source SQL):
+    # {"must": ..., "transformSql": "<expr over textCol>", "textCol": "text"}
+    update_by_query: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -168,6 +171,7 @@ def load_config(path: str) -> PipelineConfig:
                 new_index_settings=s.get("newIndexSettings", {}),
                 quality_filter=s.get("qualityFilter", {}),
                 delete_by_query=s.get("deleteByQuery", {}),
+                update_by_query=s.get("updateByQuery", {}),
             )
             for s in step.get("statements", [])
         ]

@@ -926,6 +926,57 @@ def build_incremental(spark: SparkSession, batches: list[DataFrame], index_dir: 
     return out
 
 
+def update_by_query(spark: SparkSession, index_dir: str, pages: DataFrame,
+                    transform, must=None, should=None, must_not=None,
+                    min_should: int = 0, tau: int = 100_000,
+                    text_col: str = "text") -> dict:
+    """ES ``_update_by_query``: re-index every ACTIVE document matching a
+    bool query with ``transform`` (a Column → Column expression over the
+    source ``text_col`` — the painless-script analog) applied, committed as
+    ONE regular upsert batch: the new versions append, the standard upsert
+    path tombstones the old versions by url, df corrections / corpus-stats
+    delta / lexicon generation / lineage / state all flow through the same
+    crash-safe commit protocol as any ingest batch.
+
+    Like ES (which requires ``_source``), the raw document source lives
+    outside the inverted index — ``pages`` is the source-of-truth frame
+    (url, warc_ts, ``text_col``) the import pipeline reads from;
+    ``text_col`` defaults to the column ``docs_versioned`` analyzes (a
+    transform on any other column would never reach the index).  Only the
+    matched urls are read, transformed, and re-committed
+    (O(matches), never a corpus re-index).  ``warc_ts`` is bumped by one
+    second so latest-wins keyed dedup deterministically prefers the updated
+    version over the original in the same or any later batch."""
+    from ..operators.textsearch import bool_query
+
+    t0 = time.time()
+    with BuildLock(index_dir):
+        st = read_state(index_dir)
+        if st is None or not st.committed_batches:
+            raise ValueError(f"no committed index at {index_dir}")
+        reader = IndexReader(spark, index_dir)
+        victims = bool_query(spark, reader, must=must, should=should,
+                             must_not=must_not,
+                             min_should=min_should).select("doc_id")
+        urls = victims.join(reader.doc_stats().select("doc_id", "url"),
+                            "doc_id").select("url")
+        upd = (pages.join(urls, "url", "semi")
+               .withColumn(text_col, transform(F.col(text_col)))
+               .withColumn("warc_ts",
+                           F.col("warc_ts") + F.expr("INTERVAL 1 SECOND")))
+        if upd.limit(1).count() == 0:
+            return {"n_updated": 0, "batch_id": None,
+                    "wall_ms": int((time.time() - t0) * 1000)}
+        batch_id = st.last_indexed_batch + 1
+        res = commit_batch(spark, upd, index_dir, batch_id=batch_id,
+                           tau=tau, n_buckets=st.n_buckets,
+                           s_shards=st.s_shards,
+                           positions=st.has_positions)
+        res["n_updated"] = res.get("n_docs", None)
+        res["wall_ms"] = int((time.time() - t0) * 1000)
+        return res
+
+
 def delete_by_query(spark: SparkSession, index_dir: str, must=None,
                     should=None, must_not=None, min_should: int = 0) -> dict:
     """ES ``_delete_by_query``: tombstone every ACTIVE document matching a

@@ -348,3 +348,50 @@ def test_delete_by_query_statement_validation(spark, tmp_path):
         run_statement(spark, pc, Statement(
             id="d2", sql_query="SELECT 1", target_index=str(tmp_path / "i"),
             delete_by_query={"must": ["x"]}))
+
+
+def test_pipeline_update_by_query(spark, tmp_path, sf_dir):
+    """updateByQuery as a config-declared step (round 5): build an index,
+    then a second statement rewrites every 'spark' doc through transformSql
+    (the painless analog) and commits as an upsert batch; the marker term
+    then matches exactly the victim count and active-doc accounting holds."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        bool_query)
+    from elasticsearch_data_import_handler_spark.plans.build import IndexReader
+
+    idx = str(tmp_path / "out" / "uidx")
+    src_sql = ("SELECT concat('doc://', source, '/', doc_id) AS url, "
+               "timestamp '2026-01-01 00:00:00' + "
+               "make_interval(0,0,0,0,0,0,doc_id) AS warc_ts, "
+               "cast(concat('<html><body>', text, '</body></html>') "
+               "AS binary) AS html, text, lang FROM documents")
+    cfg_d = {
+        "stateDir": str(tmp_path / "state"),
+        "sources": {"table": [
+            {"path": f"{sf_dir}/documents.parquet", "sparkTable": "documents"},
+        ]},
+        "importSteps": [
+            {"statements": [
+                {"id": "base_index", "sqlQuery": src_sql, "idField": "url",
+                 "targetIndex": idx,
+                 "newIndexSettings": {"tau": 1000, "nBuckets": 4}}]},
+            {"statements": [
+                {"id": "mark_spark_docs", "sqlQuery": src_sql,
+                 "targetIndex": idx,
+                 "updateByQuery": {
+                     "must": ["spark"],
+                     "transformSql": "concat(text, ' zzpipelinemark')"}}]},
+        ],
+    }
+    p = tmp_path / "ucfg.json"
+    p.write_text(json.dumps(cfg_d))
+    cfg = load_config(str(p))
+    report = run_pipeline(spark, cfg)
+    assert [r["status"] for r in report] == ["ok", "ok"], report
+    assert report[1]["rows"] > 0
+
+    reader = IndexReader(spark, idx)
+    assert (bool_query(spark, reader, must=["zzpipelinemark"]).count()
+            == report[1]["rows"])
+    # upsert, not insert: active-doc count unchanged
+    assert reader.corpus_stats().first()["n_docs"] == report[0]["rows"]
