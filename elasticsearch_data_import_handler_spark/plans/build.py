@@ -926,6 +926,33 @@ def build_incremental(spark: SparkSession, batches: list[DataFrame], index_dir: 
     return out
 
 
+def reindex(spark: SparkSession, src_index: str, pages: DataFrame,
+            dst_index: str, tau: int = 100_000, n_buckets: int = 8,
+            analyzer: dict | None = None, positions: bool = False,
+            dedup: bool = True) -> dict:
+    """ES ``_reindex``: rebuild a NEW index from the source index's ACTIVE
+    document set — deleted and superseded versions excluded — under new
+    settings.  This is the only way to change an analyzer or the positions
+    setting (``commit_batch`` deliberately raises on conflicts: an index
+    has one analysis chain), and composes with the alias catalog for the
+    standard ES zero-downtime migration: reindex → flip alias.
+
+    Like ES (which reads ``_source``), document text lives outside the
+    inverted index: ``pages`` is the source-of-truth frame; it is
+    semi-joined to the source's active urls (doc_stats ⊖ tombstones — an
+    O(active) column-pruned scan, no postings decode) and built into
+    ``dst_index`` through the standard full-build path."""
+    reader = IndexReader(spark, src_index)
+    ds = reader.doc_stats().select("doc_id", "url")
+    tomb = reader.tombstones_df()
+    if tomb is not None:
+        ds = ds.join(tomb, "doc_id", "anti")
+    active = ds.select("url").distinct()
+    return build_index(spark, pages.join(active, "url", "semi"), dst_index,
+                       tau=tau, n_buckets=n_buckets, dedup=dedup,
+                       analyzer=analyzer, positions=positions)
+
+
 def update_by_query(spark: SparkSession, index_dir: str, pages: DataFrame,
                     transform, must=None, should=None, must_not=None,
                     min_should: int = 0, tau: int = 100_000,

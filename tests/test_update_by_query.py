@@ -67,3 +67,40 @@ def test_update_by_query_no_matches_is_noop(spark, tmp_path):
     res = update_by_query(spark, d, synth_pages(spark, 60, seed=3),
                           _transform, must=["zzzznotaterm"])
     assert res["n_updated"] == 0 and res["batch_id"] is None
+
+
+def test_reindex_active_set_new_analyzer_alias_flip(spark, tmp_path):
+    """_reindex: the new index holds EXACTLY the source's active set (the
+    delete's victims stay gone), under a NEW analyzer the source could
+    never switch to in place; the alias flip completes the ES
+    zero-downtime migration pattern."""
+    from elasticsearch_data_import_handler_spark.plans.aliases import (
+        AliasCatalog, search_alias)
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        delete_by_query, reindex)
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    pages = synth_pages(spark, 150, seed=11)
+    build_index(spark, pages, src, tau=100, n_buckets=4)
+    d = delete_by_query(spark, src, must=["merge"])
+    assert d["n_tombstones"] > 0
+    active = 150 - d["n_tombstones"]
+
+    res = reindex(spark, src, pages, dst, tau=100, n_buckets=4,
+                  analyzer={"stemmer": "porter"})
+    assert res["n_docs"] == active
+    r2 = IndexReader(spark, dst)
+    assert r2.state.analyzer.get("stemmer") == "porter"
+    assert r2.corpus_stats().first()["n_docs"] == active
+    # the victims stayed gone: 'merge' stems to 'merg' under porter, and
+    # every doc containing it was deleted upstream
+    assert bool_query(spark, r2, must=["merge"]).count() == 0
+
+    # zero-downtime flip: alias points at src, then atomically at dst
+    cat = AliasCatalog(str(tmp_path))
+    cat.add("docs", src)
+    cat.actions([{"remove": {"alias": "docs", "index": src}},
+                 {"add": {"alias": "docs", "index": dst}}])
+    hits = search_alias(spark, cat, "docs", must=["data"])
+    assert hits.count() > 0
