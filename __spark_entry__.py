@@ -1035,9 +1035,9 @@ def _facet_aggs_only(spark, sf_dir, scored=None):
     plus extended_stats / percentile_ranks / top_metrics.
     All stack into the shared (facet, value, doc_count, sum_score) schema."""
     from elasticsearch_data_import_handler_spark.operators.search import (
-        composite_agg, extended_stats_agg, filters_agg, metric_aggs,
-        multi_terms_agg, percentile_ranks_agg, range_agg, rare_terms_agg,
-        top_metrics_agg)
+        composite_agg, diversified_sampler_agg, extended_stats_agg,
+        filters_agg, metric_aggs, multi_terms_agg, percentile_ranks_agg,
+        range_agg, rare_terms_agg, top_metrics_agg)
 
     reader = _gate_index(spark, sf_dir)
     sc = scored if scored is not None else _facet_scored(spark, reader)
@@ -1063,8 +1063,14 @@ def _facet_aggs_only(spark, sf_dir, scored=None):
     tm = top_metrics_agg(sc, _read(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"), "lang", "n_chars",
         id_map=_native_map(reader))
+    # diversified_sampler: ≤3 docs per source in the top-40 sample, then a
+    # lang terms sub-agg over the sample (native-id ties for the cutoffs)
+    sm = diversified_sampler_agg(
+        sc, _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source"), "source", "lang",
+        shard_size=40, max_docs_per_value=3, id_map=_native_map(reader))
     out = rg
-    for f in (fl, mt, rt, p1, p2, me, xs, pr, tm):
+    for f in (fl, mt, rt, p1, p2, me, xs, pr, tm, sm):
         out = out.unionByName(f)
     return out
 
@@ -2953,7 +2959,16 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY lang)::BIGINT AS bn FROM m), "
             "tm AS (SELECT 'topm:lang~n_chars' AS facet, lang AS value, "
             "bn AS doc_count, n_chars::DOUBLE AS sum_score FROM tmr "
-            "WHERE rn = 1) "
+            "WHERE rn = 1), "
+            # diversified_sampler: <=3 per source, top-40 by (score desc,
+            # native id asc), lang terms sub-agg over the sample
+            "smp AS (SELECT lang, score FROM (SELECT lang, score, doc_id, "
+            "row_number() OVER (PARTITION BY source ORDER BY score DESC, "
+            "doc_id ASC) AS dr FROM m) c WHERE dr <= 3 "
+            "ORDER BY score DESC, doc_id ASC LIMIT 40), "
+            "sm AS (SELECT 'sampler:lang~source' AS facet, lang AS value, "
+            "count(*)::BIGINT AS doc_count, round(sum(score), 2) AS "
+            "sum_score FROM smp GROUP BY lang) "
             "SELECT facet, value, doc_count, sum_score, sc_min, sc_max, "
             "sc_sum, sc_avg, NULL::BIGINT AS doc_id, "
             "NULL::DOUBLE AS score, NULL::BIGINT AS rank "
@@ -2999,6 +3014,9 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT facet, value, doc_count, sum_score, "
             "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
             "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM tm "
+            "UNION ALL SELECT facet, value, doc_count, sum_score, "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "
+            "NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT FROM sm "
             # top_hits sub-agg: best 3 matching docs per lang bucket
             "UNION ALL SELECT 'th:lang', lang, NULL::BIGINT, NULL::DOUBLE, "
             "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, "

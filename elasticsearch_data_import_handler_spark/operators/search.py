@@ -1188,3 +1188,44 @@ def rank_eval(hits: DataFrame, relevant: DataFrame,
                             F.lit(0.0)).alias("value")))
     return (m.select("query_id", F.explode(rows).alias("b"))
             .select("query_id", "b.metric", "b.value"))
+
+
+def diversified_sampler_agg(scored: DataFrame, meta: DataFrame,
+                            diversify_col: str, agg_col: str,
+                            shard_size: int = 100,
+                            max_docs_per_value: int = 2,
+                            id_col: str = "doc_id",
+                            id_map: DataFrame | None = None) -> DataFrame:
+    """ES ``diversified_sampler`` + terms sub-agg: keep the top
+    ``shard_size`` matched docs by score with at most
+    ``max_docs_per_value`` per ``diversify_col`` value (so one dominant
+    host/domain can't swamp the sample), then bucket the SAMPLE by
+    ``agg_col`` — the standard "what else is in the best results, without
+    host bias" aggregation.
+
+    Plan shape: the de-dominance pass is one window partitioned by the
+    diversify value over the candidate set (never the corpus); the sample
+    cut is a distributed TakeOrdered (orderBy + limit, ≤ shard_size rows);
+    the sub-agg runs on ≤ shard_size rows.  Ranks use presentation-rounded
+    scores with id ASC ties (on the caller's ids when ``id_map`` is given),
+    so the cutoffs are engine-stable."""
+    from pyspark.sql import Window
+
+    sc = scored.select("doc_id", "score")
+    if id_map is not None:
+        sc = (sc.join(id_map, "doc_id")
+              .select(F.col("__nid").alias("doc_id"), "score"))
+    j = sc.join(meta.withColumnRenamed(id_col, "doc_id"), "doc_id")
+    w_div = Window.partitionBy(diversify_col).orderBy(F.desc("score"),
+                                                      F.asc("doc_id"))
+    capped = (j.withColumn("__dr", F.row_number().over(w_div))
+              .filter(F.col("__dr") <= int(max_docs_per_value)))
+    sample = capped.orderBy(F.desc("score"), F.asc("doc_id")) \
+        .limit(int(shard_size))
+    return (sample.groupBy(agg_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count"),
+                 F.round(F.sum("score"), 2).alias("sum_score"))
+            .select(F.lit(f"sampler:{agg_col}~{diversify_col}")
+                    .alias("facet"),
+                    F.col(agg_col).cast("string").alias("value"),
+                    "doc_count", "sum_score"))
