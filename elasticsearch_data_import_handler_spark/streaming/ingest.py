@@ -176,3 +176,43 @@ def dedup_stream(pages: DataFrame, key_col: str = "url",
         return pages.dropDuplicates([key_col])
     return (pages.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark([key_col]))
+
+
+def trending_terms(docs: DataFrame, window: str = "1 hour",
+                   watermark: str = "2 hours", ts_col: str = "ts",
+                   text_col: str = "text") -> DataFrame:
+    """Streaming "trending terms": watermarked event-time windowed term
+    counts over a document stream — (window_start, window_end, term, n).
+    Works identically on a static frame (the stream-equals-batch test
+    contract every operator in this module keeps).
+
+    The top-k cut CANNOT chain onto a streaming aggregation (rank windows
+    after a streaming groupBy are unsupported by design — results per
+    window finalize only at watermark expiry), so ranking belongs in the
+    sink: apply :func:`top_terms_batch` inside ``foreachBatch`` or over the
+    memory-sink table.  Scale shape: explode → one windowed groupBy with
+    map-side partials; state is bounded by watermark × vocabulary-per-
+    window, and the term key is the shuffle key (no per-doc state)."""
+    from ..functions.textanalysis import jvm_tokens_col
+
+    terms = docs.select(
+        F.col(ts_col).alias("ts"),
+        F.explode(jvm_tokens_col(text_col, None)).alias("term"))
+    if terms.isStreaming:
+        terms = terms.withWatermark("ts", watermark)
+    agg = (terms.groupBy(F.window("ts", window).alias("w"), "term")
+           .agg(F.count(F.lit(1)).alias("n")))
+    return agg.select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"), "term",
+                      F.col("n").cast("long").alias("n"))
+
+
+def top_terms_batch(counts: DataFrame, k: int = 10) -> DataFrame:
+    """Per-window top-k over a (window_start, …, term, n) counts frame —
+    the foreachBatch / post-sink companion of :func:`trending_terms`
+    (count DESC, term ASC ES tie order)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("term"))
+    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= int(k)))

@@ -203,3 +203,37 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     got = dedup_stream(df)
     assert got.count() == 3
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_trending_terms_stream_equals_batch(spark, tmp_path, sf_dir):
+    """Windowed term counts over 2 micro-batches + per-window top-k in the
+    sink must equal the same operators applied to the static frame."""
+    from elasticsearch_data_import_handler_spark.streaming.ingest import (
+        top_terms_batch, trending_terms)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_type").alias("text"))
+    median = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first()["m"]
+    src = str(tmp_path / "tt_stream")
+    ev.filter(F.col("ts") <= median).coalesce(1).write.mode("overwrite") \
+        .parquet(src)
+    ev.filter(F.col("ts") > median).coalesce(1).write.mode("append") \
+        .parquet(src)
+
+    stream = (spark.readStream.schema("ts timestamp, text string")
+              .format("parquet").option("maxFilesPerTrigger", 1).load(src))
+    out = trending_terms(stream, window="1 hour", watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("tt_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # update-mode emits per-batch revisions: latest count per key wins
+    emitted = (spark.table("tt_out")
+               .groupBy("window_start", "term").agg(F.max("n").alias("n")))
+    got = {(r["window_start"], r["rank"], r["term"], r["n"])
+           for r in top_terms_batch(emitted, k=3).collect()}
+    want = {(r["window_start"], r["rank"], r["term"], r["n"])
+            for r in top_terms_batch(
+                trending_terms(ev, window="1 hour"), k=3).collect()}
+    assert got == want and got
