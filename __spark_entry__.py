@@ -923,8 +923,23 @@ def q_query_string_tagged(spark, sf_dir):
         F.lit(None).cast("double").alias("score"), "rank",
         nulls.alias("method"), F.col("input").alias("term"),
         F.col("weight").alias("df"))
+    # op='boost' (round 5): ES clause boosts — '+spark^2 merge^0.5', each
+    # term's BM25 contribution scaled by its clause boost before the sum
+    bo = _boost_only(spark, sf_dir).select(
+        F.lit("boost").alias("op"), "doc_id", "score", "rank",
+        nulls.alias("method"), nulls.alias("term"), nulll.alias("df"))
     return (qs.unionByName(ex).unionByName(sg).unionByName(st)
-            .unionByName(cp))
+            .unionByName(cp).unionByName(bo))
+
+
+def _boost_only(spark, sf_dir):
+    from elasticsearch_data_import_handler_spark.operators.search import (
+        query_string_search)
+
+    reader = _gate_index(spark, sf_dir)
+    cand = query_string_search(spark, reader, "+spark^2 merge^0.5",
+                               k=3000, round_to=None)
+    return _rank_native(_native_doc_ids(reader, cand, ["score"]), 10)
 
 
 def _expand_only(spark, sf_dir):
@@ -2343,7 +2358,7 @@ BENCH_SUBOPS: dict[str, dict[str, Callable]] = {
     },
     "query_string": {"search": q_query_string, "expand": _expand_only,
                      "suggest": _suggest_only, "stemmed": _stemmed_only,
-                     "complete": _complete_only},
+                     "complete": _complete_only, "boost": _boost_only},
     "snippets": {"first": _snippets_first, "multi": _highlight_multi},
     "dedup_exact": {"exact": _dedup_exact_only, "line": _line_dedup_only},
     "minhash_verified": {
@@ -2839,7 +2854,20 @@ def oracle_sql() -> dict[str, str]:
             "cp.rank, NULL::VARCHAR, cp.term, cp.df FROM ("
             "SELECT term, df, row_number() OVER (ORDER BY df DESC, "
             "term ASC) AS rank FROM v WHERE term LIKE 's%') cp "
-            "WHERE cp.rank <= 5"
+            "WHERE cp.rank <= 5 "
+            # op='boost': '+spark^2 merge^0.5' — per-term boost multiplies
+            # the BM25 contribution inside the sum, must = spark
+            "UNION ALL SELECT 'boost', doc_id, round(score, 4), rank, "
+            "NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT FROM ("
+            "SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, "
+            "doc_id ASC) AS rank FROM ("
+            "SELECT tf.doc_id, "
+            f"sum({bm25_contrib} * CASE tf.term WHEN 'spark' THEN 2.0 "
+            "WHEN 'merge' THEN 0.5 ELSE 1.0 END) AS score, "
+            "max(CASE WHEN tf.term = 'spark' THEN 1 ELSE 0 END) AS bm "
+            "FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "CROSS JOIN stats s WHERE tf.term IN ('merge', 'spark') "
+            "GROUP BY tf.doc_id) b WHERE bm = 1) br WHERE rank <= 10"
         ),
         "search_facets": (
             f"WITH {_SQL_TOK}, {_SQL_TF}, {_SQL_DL}, {_SQL_STATS}, {_SQL_DF}, "

@@ -13,6 +13,7 @@ Mini-grammar (the common core of ES query_string):
     term                  should clause
     term* / te?m          prefix / wildcard expansion (lexicon-resolved)
     term~ / term~2        fuzzy expansion (edit distance 1 / 2)
+    term^2 / luce*^3      clause boost (expansions inherit it)
 
 Scale shape: expansion clauses resolve against the lexicon (vocab-metadata
 scale) with an ES-style ``max_expansions`` cap; scoring is the TAAT
@@ -42,7 +43,8 @@ SIG_TERMS_SAMPLE_THRESHOLD = 10_000_000
 def parse_query_string(q: str) -> dict:
     """→ {must, should, must_not: [clause...], phrases: [(text, slop)...]}
     where a clause is ('term', t) | ('prefix', p) | ('wildcard', w) |
-    ('fuzzy', t, dist)."""
+    ('fuzzy', t, dist), each with the clause BOOST appended as its last
+    element (ES ``term^2`` syntax; 1.0 when unboosted)."""
     phrases = [(m.group(1), int(m.group(2) or 0))
                for m in _PHRASE_RE.finditer(q)]
     rest = _PHRASE_RE.sub(" ", q)
@@ -53,18 +55,26 @@ def parse_query_string(q: str) -> dict:
             dest, raw = "must", raw[1:]
         elif raw.startswith("-"):
             dest, raw = "must_not", raw[1:]
+        boost = 1.0
+        if "^" in raw:
+            head, _, tail = raw.rpartition("^")
+            try:
+                boost = float(tail)
+                raw = head
+            except ValueError:
+                pass  # a literal '^' that isn't a boost suffix
         if not raw:
             continue
         m = _FUZZY_RE.match(raw)
         if m and "*" not in raw and "?" not in raw:
             out[dest].append(("fuzzy", m.group(1).lower(),
-                              int(m.group(2) or 1)))
+                              int(m.group(2) or 1), boost))
         elif raw.endswith("*") and "*" not in raw[:-1] and "?" not in raw:
-            out[dest].append(("prefix", raw[:-1].lower()))
+            out[dest].append(("prefix", raw[:-1].lower(), boost))
         elif "*" in raw or "?" in raw:
-            out[dest].append(("wildcard", raw.lower()))
+            out[dest].append(("wildcard", raw.lower(), boost))
         else:
-            out[dest].append(("term", raw.lower()))
+            out[dest].append(("term", raw.lower(), boost))
     return out
 
 
@@ -637,16 +647,27 @@ def query_string_search(spark, reader, q: str, k: int = 10,
     # expansions (ES multi-term semantics: any expansion satisfies it)
     groups: dict[str, list[list[str]]] = {
         "must": [], "should": [], "must_not": []}
+    boosts: dict[str, float] = {}
+
+    def _note_boost(ts, clause):
+        b = float(clause[-1])
+        if b != 1.0:
+            for t in ts:
+                boosts[t] = b  # expansions inherit their clause's boost
+
     ei = 0
     for dest in ("must", "should", "must_not"):
         for clause in parsed[dest]:
             if clause[0] == "term":
                 groups[dest].append([clause[1]])
+                _note_boost([clause[1]], clause)
                 continue
             exp = resolved.get(ei, [])
             ei += 1
             if exp:
-                groups[dest].append(sorted(set(exp)))
+                g = sorted(set(exp))
+                groups[dest].append(g)
+                _note_boost(g, clause)
             elif dest == "must":
                 return spark.createDataFrame(
                     [], "doc_id long, score double, rank long"
@@ -670,7 +691,8 @@ def query_string_search(spark, reader, q: str, k: int = 10,
         raise ValueError(f"query {q!r} has no scoring terms")
 
     scored = bool_query(spark, reader, must=must, should=should,
-                        must_not=must_not, min_should=min_should)
+                        must_not=must_not, min_should=min_should,
+                        boosts=boosts or None)
     for text, slop in parsed["phrases"]:
         if slop == 0:  # contiguous phrase: the cheaper array_intersect path
             hits = phrase_search_index(spark, reader, text, analyzer=an)

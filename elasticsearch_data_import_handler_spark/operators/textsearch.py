@@ -591,9 +591,16 @@ def dis_max_query(spark, reader, clauses, tie_breaker: float = 0.0,
         F.sum(F.when(F.col("term").isin(g), F.col("contrib"))
               .otherwise(F.lit(0.0))).alias(f"__c{i}")
         for i, g in enumerate(groups)]
+    contrib = bm25_score_expr()
+    if boosts:
+        # ES clause boosts (term^2): multiply the term's BM25 contribution.
+        # The map is |boosted terms|-sized — a closure literal, never data.
+        bmap = F.create_map(*[x for t, w in sorted(boosts.items())
+                              for x in (F.lit(t), F.lit(float(w)))])
+        contrib = contrib * F.coalesce(bmap[F.col("term")], F.lit(1.0))
     agg = (dec.join(F.broadcast(lex), "term")
            .crossJoin(F.broadcast(avgdl))
-           .withColumn("contrib", bm25_score_expr())
+           .withColumn("contrib", contrib)
            .groupBy("doc_id")
            .agg(*aggs))
     cols = [F.col(f"__c{i}") for i in range(len(groups))]
@@ -676,7 +683,8 @@ def paginate_after(ranked: DataFrame, cursor: tuple[float, int],
 
 def bool_query(spark, reader, must=None, should=None,
                must_not: list[str] | None = None,
-               min_should: int = 0, round_to: int | None = None) -> DataFrame:
+               min_should: int = 0, round_to: int | None = None,
+               boosts: dict | None = None) -> DataFrame:
     """ES bool-query combinator over the persisted index: (doc_id,
     should_hits, score) for every ACTIVE document that satisfies ALL
     ``must`` clauses, at least ``min_should`` ``should`` clauses, and NO
@@ -716,9 +724,16 @@ def bool_query(spark, reader, must=None, should=None,
     aggs = ([_flag(g).alias(f"__m{i}") for i, g in enumerate(mgroups)]
             + [_flag(g).alias(f"__s{i}") for i, g in enumerate(sgroups)]
             + [F.sum("contrib").alias("score")])
+    contrib = bm25_score_expr()
+    if boosts:
+        # ES clause boosts (term^2): multiply the term's BM25 contribution.
+        # The map is |boosted terms|-sized — a closure literal, never data.
+        bmap = F.create_map(*[x for t, w in sorted(boosts.items())
+                              for x in (F.lit(t), F.lit(float(w)))])
+        contrib = contrib * F.coalesce(bmap[F.col("term")], F.lit(1.0))
     agg = (dec.join(F.broadcast(lex), "term")
            .crossJoin(F.broadcast(avgdl))
-           .withColumn("contrib", bm25_score_expr())
+           .withColumn("contrib", contrib)
            .groupBy("doc_id")
            .agg(*aggs))
     should_hits = (sum((F.col(f"__s{i}") for i in range(len(sgroups))),

@@ -15,11 +15,14 @@ from elasticsearch_data_import_handler_spark.operators.search import (
 def test_parse_query_string():
     p = parse_query_string('"big data"~2 +spark -ocean luce* te?m fuzz~ deep~2 plain')
     assert p["phrases"] == [("big data", 2)]
-    assert p["must"] == [("term", "spark")]
-    assert p["must_not"] == [("term", "ocean")]
-    assert p["should"] == [("prefix", "luce"), ("wildcard", "te?m"),
-                           ("fuzzy", "fuzz", 1), ("fuzzy", "deep", 2),
-                           ("plain" and ("term", "plain"))]
+    assert p["must"] == [("term", "spark", 1.0)]
+    assert p["must_not"] == [("term", "ocean", 1.0)]
+    assert p["should"] == [("prefix", "luce", 1.0), ("wildcard", "te?m", 1.0),
+                           ("fuzzy", "fuzz", 1, 1.0), ("fuzzy", "deep", 2, 1.0),
+                           ("term", "plain", 1.0)]
+    b = parse_query_string('+spark^2 merge^0.5 luce*^3')
+    assert b["must"] == [("term", "spark", 2.0)]
+    assert b["should"] == [("term", "merge", 0.5), ("prefix", "luce", 3.0)]
     assert parse_query_string('"exact phrase"')["phrases"] == [("exact phrase", 0)]
 
 
@@ -258,3 +261,30 @@ def test_rank_eval_metrics(spark):
     assert out[(1, "mrr")] == 0.5          # first relevant at rank 2
     assert out[(2, "precision")] == 0.0
     assert out[(2, "recall")] == 0.0 and out[(2, "mrr")] == 0.0
+
+
+def test_clause_boosts_scale_contributions(spark, tmp_path):
+    """bool_query boosts: a term's BM25 contribution scales by its clause
+    boost — boosted query score == unboosted contributions recombined."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        bool_query)
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        build_index, IndexReader)
+    from elasticsearch_data_import_handler_spark.sources.corpus import (
+        synth_pages)
+
+    d = str(tmp_path / "bq")
+    build_index(spark, synth_pages(spark, 120, seed=9), d, tau=100,
+                n_buckets=4)
+    reader = IndexReader(spark, d)
+    a = {r["doc_id"]: r["score"] for r in
+         bool_query(spark, reader, should=["spark"], min_should=1).collect()}
+    b = {r["doc_id"]: r["score"] for r in
+         bool_query(spark, reader, should=["merge"], min_should=1).collect()}
+    both = {r["doc_id"]: r["score"] for r in
+            bool_query(spark, reader, should=["spark", "merge"],
+                       min_should=1,
+                       boosts={"spark": 2.0, "merge": 0.5}).collect()}
+    for doc, sc in both.items():
+        want = 2.0 * a.get(doc, 0.0) + 0.5 * b.get(doc, 0.0)
+        assert abs(sc - want) < 1e-9
