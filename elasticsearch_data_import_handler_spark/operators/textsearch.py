@@ -561,7 +561,8 @@ def function_score_query(spark, reader, must=None, should=None,
 
 
 def dis_max_query(spark, reader, clauses, tie_breaker: float = 0.0,
-                  round_to: int | None = None) -> DataFrame:
+                  round_to: int | None = None,
+                  boosts: dict | None = None) -> DataFrame:
     """ES dis_max combinator over the persisted index: (doc_id, score)
     where each clause's score is the BM25 sum over its matched terms and
     the doc score is best_clause + tie_breaker × (sum of the other clause

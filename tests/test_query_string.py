@@ -288,3 +288,26 @@ def test_clause_boosts_scale_contributions(spark, tmp_path):
     for doc, sc in both.items():
         want = 2.0 * a.get(doc, 0.0) + 0.5 * b.get(doc, 0.0)
         assert abs(sc - want) < 1e-9
+
+
+def test_dis_max_clause_boosts(spark, tmp_path):
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        dis_max_query)
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        build_index, IndexReader)
+    from elasticsearch_data_import_handler_spark.sources.corpus import (
+        synth_pages)
+
+    d = str(tmp_path / "dmb")
+    build_index(spark, synth_pages(spark, 100, seed=4), d, tau=100,
+                n_buckets=4)
+    reader = IndexReader(spark, d)
+    plain = {r["doc_id"]: r["score"] for r in
+             dis_max_query(spark, reader, [["spark"], ["merge"]],
+                           tie_breaker=0.0).collect()}
+    doubled = {r["doc_id"]: r["score"] for r in
+               dis_max_query(spark, reader, [["spark"], ["merge"]],
+                             tie_breaker=0.0,
+                             boosts={"spark": 2.0, "merge": 2.0}).collect()}
+    for doc, sc in doubled.items():
+        assert abs(sc - 2.0 * plain[doc]) < 1e-9
