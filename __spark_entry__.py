@@ -1340,20 +1340,33 @@ def q_sampling(spark, sf_dir):
     sampling (op='strat', the previously-gated stratified_sample verbatim),
     target-mixture balancing (op='mixture': lang weights en:de:fr:es =
     5:3:1:1, integer-exact thresholds — the binding stratum keeps all, the
-    rest downsample to the target proportions), and the C4-style per-key
-    cap (op='cap': ≤ 15 docs per source, md5-ranked unbiased selection)."""
+    rest downsample to the target proportions), the C4-style per-key
+    cap (op='cap': ≤ 15 docs per source, md5-ranked unbiased selection),
+    and temperature mixture reweighting (op='temp', round 5: the
+    GPT-3/LLaMA n^0.5 data-recipe weights per lang stratum)."""
     from elasticsearch_data_import_handler_spark.operators.trainprep import (
-        cap_per_key, mixture_sample)
+        cap_per_key, mixture_sample, temperature_weights)
 
+    nulll = F.lit(None).cast("long")
+    nulld = F.lit(None).cast("double")
     docs = _read(spark, sf_dir, "documents")
     st = q_stratified_sample(spark, sf_dir).select(
-        F.lit("strat").alias("op"), "doc_id", "lang", "source")
+        F.lit("strat").alias("op"), "doc_id", "lang", "source",
+        nulll.alias("n_docs"), nulld.alias("weight"))
     mix = mixture_sample(docs, {"en": 5, "de": 3, "fr": 1, "es": 1},
                          stratum_col="lang").select(
-        F.lit("mixture").alias("op"), "doc_id", "lang", "source")
+        F.lit("mixture").alias("op"), "doc_id", "lang", "source",
+        nulll.alias("n_docs"), nulld.alias("weight"))
     cap = cap_per_key(docs, "source", 15).select(
-        F.lit("cap").alias("op"), "doc_id", "lang", "source")
-    return st.unionByName(mix).unionByName(cap)
+        F.lit("cap").alias("op"), "doc_id", "lang", "source",
+        nulll.alias("n_docs"), nulld.alias("weight"))
+    # op='temp' (round 5): temperature mixture reweighting (alpha=0.5 —
+    # sqrt is IEEE-correctly-rounded, hence oracle-portable)
+    tw = temperature_weights(docs, "lang", alpha=0.5).select(
+        F.lit("temp").alias("op"), nulll.alias("doc_id"),
+        F.col("stratum").alias("lang"),
+        F.lit(None).cast("string").alias("source"), "n_docs", "weight")
+    return st.unionByName(mix).unionByName(cap).unionByName(tw)
 
 
 def q_repetition_metrics(spark, sf_dir):
@@ -3208,19 +3221,29 @@ def oracle_sql() -> dict[str, str]:
             "mb AS (SELECT s AS bs, n AS bn, w AS bw FROM mw "
             "ORDER BY (n * 1000000) // w, s LIMIT 1), "
             "mr AS (SELECT s, least(10000, (10000 * bn * w) // (bw * n)) "
-            "AS bps FROM mw CROSS JOIN mb) "
-            "SELECT 'strat' AS op, doc_id, lang, source FROM documents "
+            "AS bps FROM mw CROSS JOIN mb), "
+            "tcnt AS (SELECT lang AS stratum, count(*)::BIGINT AS n "
+            "FROM documents GROUP BY 1), "
+            "tt AS (SELECT sum(sqrt(n)) AS tot FROM tcnt) "
+            "SELECT 'strat' AS op, doc_id, lang, source, "
+            "NULL::BIGINT AS n_docs, NULL::DOUBLE AS weight FROM documents "
             "WHERE (('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000) < "
             "(CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000 "
             "WHEN 'fr' THEN 2500 ELSE 1000 END) "
-            "UNION ALL SELECT 'mixture', doc_id, lang, source "
+            "UNION ALL SELECT 'mixture', doc_id, lang, source, "
+            "NULL::BIGINT, NULL::DOUBLE "
             "FROM documents d JOIN mr ON d.lang = mr.s "
             "WHERE (('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000) "
             "< mr.bps "
-            "UNION ALL SELECT 'cap', doc_id, lang, source FROM ("
+            "UNION ALL SELECT 'cap', doc_id, lang, source, "
+            "NULL::BIGINT, NULL::DOUBLE FROM ("
             "SELECT doc_id, lang, source, row_number() OVER ("
             "PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) "
-            "AS rn FROM documents) c WHERE rn <= 15"
+            "AS rn FROM documents) c WHERE rn <= 15 "
+            # temperature mixture weights: n^0.5 via sqrt (IEEE-portable)
+            "UNION ALL SELECT 'temp', NULL::BIGINT, stratum AS lang, "
+            "NULL::VARCHAR, n AS n_docs, round(sqrt(n) / tot, 6) AS weight "
+            "FROM tcnt CROSS JOIN tt"
         ),
         "unigram_loglik": (
             f"WITH {_SQL_TOK}, "

@@ -284,3 +284,28 @@ def cap_per_key(df: DataFrame, key_col: str, cap: int,
     w = Window.partitionBy(key_col).orderBy(F.col("__h"), F.col(id_col))
     return (dfh.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= cap).drop("__rn", "__h"))
+
+
+def temperature_weights(documents: DataFrame, stratum_col: str = "lang",
+                        alpha: float = 0.5) -> DataFrame:
+    """Temperature-based mixture reweighting — the GPT-3 / LLaMA data-recipe
+    step: a stratum's sampling weight ∝ n^alpha, normalized over strata;
+    alpha < 1 upweights low-resource strata (alpha = 1 is natural
+    proportions, alpha = 0 is uniform).  Feed the result to
+    :func:`mixture_sample` as the target weights.
+
+    One map-side-combined count (|strata| rows) + a broadcast normalize —
+    never touches documents twice.  alpha = 0.5 lowers to F.sqrt (IEEE
+    correctly-rounded, engine-portable); other alphas use pow, whose last
+    ulp is libm-specific — presentation-round accordingly.
+    → (stratum, n_docs, weight[6dp])."""
+    n = F.col("n_docs").cast("double")
+    powed = F.sqrt(n) if alpha == 0.5 else F.pow(n, float(alpha))
+    counts = (documents.groupBy(F.col(stratum_col).alias("stratum"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+              .withColumn("__p", powed))
+    tot = counts.agg(F.sum("__p").alias("__tot"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("stratum", "n_docs",
+                    F.round(F.col("__p") / F.col("__tot"), 6)
+                    .alias("weight")))

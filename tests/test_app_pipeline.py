@@ -395,3 +395,24 @@ def test_pipeline_update_by_query(spark, tmp_path, sf_dir):
             == report[1]["rows"])
     # upsert, not insert: active-doc count unchanged
     assert reader.corpus_stats().first()["n_docs"] == report[0]["rows"]
+
+
+def test_temperature_weights_recipe(spark):
+    from elasticsearch_data_import_handler_spark.operators.trainprep import (
+        temperature_weights)
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 90 else "mi") for i in range(100)],
+        ["doc_id", "lang"])
+    w = {r["stratum"]: r for r in
+         temperature_weights(docs, "lang", alpha=0.5).collect()}
+    import math
+    tot = math.sqrt(90) + math.sqrt(10)
+    assert abs(w["en"]["weight"] - round(math.sqrt(90) / tot, 6)) < 1e-9
+    assert w["en"]["n_docs"] == 90
+    # alpha<1 upweights the low-resource stratum vs natural proportions
+    assert w["mi"]["weight"] > 0.10
+    # alpha=1 → natural proportions
+    w1 = {r["stratum"]: r["weight"] for r in
+          temperature_weights(docs, "lang", alpha=1.0).collect()}
+    assert abs(w1["en"] - 0.9) < 1e-9
