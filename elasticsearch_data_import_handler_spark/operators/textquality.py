@@ -309,7 +309,11 @@ def line_dedup(documents: DataFrame, min_df: int = 2,
     structs.  Two inherent shuffles (line-keyed, doc-keyed), both on
     compact keys; never an all-pairs comparison.  Blank lines are kept
     verbatim (they carry no boilerplate signal and C4 treats them as
-    layout)."""
+    layout).
+
+    ``sep`` is a REGEX for the split but a literal for the rejoin — pass a
+    metacharacter-free separator (the default newline is); a regex like
+    ``'[.!?]'`` would not round-trip."""
     lines = (documents.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), F.lit(sep)))
