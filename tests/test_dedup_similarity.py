@@ -312,3 +312,45 @@ def test_dup_span_fraction_coverage_union(spark):
     assert out["d2"]["covered_tokens"] == 8
     assert out["d3"]["n_dup_windows"] == 0
     assert out["d3"]["dup_fraction"] == 0.0
+
+
+def test_neardup_clusters_property_vs_union_find(spark):
+    """Property check: on md5-seeded random graphs the distributed
+    components equal a pure-Python union-find ground truth exactly."""
+    import hashlib
+
+    from elasticsearch_data_import_handler_spark.operators.dedup import (
+        neardup_clusters)
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    for seed, n_nodes, n_edges in ((1, 40, 30), (2, 60, 80), (3, 25, 12)):
+        pairs = [((h(seed * 1000 + i) % n_nodes),
+                  (h(seed * 2000 + i) % n_nodes)) for i in range(n_edges)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {a for p in pairs for a in p}
+        want = {x: find(x) for x in touched}
+        # canonical = min member of the component
+        comp_min = {}
+        for x, r in want.items():
+            comp_min.setdefault(r, x)
+            comp_min[r] = min(comp_min[r], x)
+        want_lab = {x: comp_min[find(x)] for x in touched}
+
+        df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in neardup_clusters(df).collect()}
+        assert got == want_lab, f"seed {seed}"
