@@ -707,6 +707,9 @@ def bool_query(spark, reader, must=None, should=None,
 
     mgroups = _clause_groups(must)
     sgroups = _clause_groups(should)
+    if isinstance(min_should, str):
+        # ES minimum_should_match spec string ("75%", "-1", "2<75%")
+        min_should = msm_to_int(min_should, len(sgroups))
     must_not = list(must_not or [])
     mflat = {t for g in mgroups for t in g}
     sflat = {t for g in sgroups for t in g}
@@ -1118,3 +1121,32 @@ def terms_lookup_query(spark, reader, lookup: DataFrame,
         return spark.createDataFrame([], "doc_id long, score double")
     return bool_query(spark, reader, should=terms, min_should=1,
                       round_to=round_to)
+
+
+def msm_to_int(spec, n_clauses: int) -> int:
+    """ES ``minimum_should_match`` spec → concrete clause count for a query
+    with ``n_clauses`` optional clauses.  Supports the documented forms:
+    integer (``3``), negative integer (``-1`` = all but one), percentage
+    (``"75%"``, rounded DOWN as ES does), negative percentage (``"-25%"`` =
+    all minus that fraction rounded down), and conditional
+    ``"N<spec"`` (spec applies only when n_clauses > N; otherwise all
+    required).  Clamped to [0, n_clauses]."""
+    n = int(n_clauses)
+
+    def _one(s):
+        s = str(s).strip()
+        if "%" in s:
+            pct = int(s.rstrip("%"))
+            if pct < 0:
+                return n - (-pct * n) // 100
+            return (pct * n) // 100
+        v = int(s)
+        return n + v if v < 0 else v
+
+    s = str(spec).strip()
+    if "<" in s:
+        head, _, tail = s.partition("<")
+        if n <= int(head):
+            return n  # ES: at or below the threshold, ALL are required
+        return max(0, min(n, _one(tail)))
+    return max(0, min(n, _one(s)))

@@ -518,3 +518,37 @@ def test_terms_lookup_matches_any_shared_term(spark, tmp_path):
         spark, reader,
         spark.createDataFrame([("zzznoterm",)], ["term"]))
     assert empty.count() == 0
+
+
+def test_msm_spec_forms():
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        msm_to_int)
+
+    assert msm_to_int(3, 5) == 3
+    assert msm_to_int(-1, 5) == 4          # all but one
+    assert msm_to_int("75%", 4) == 3       # rounded down
+    assert msm_to_int("75%", 5) == 3       # 3.75 -> 3 (ES rounds down)
+    assert msm_to_int("-25%", 4) == 3      # all minus floor(25%)
+    assert msm_to_int("2<75%", 2) == 2     # at/below threshold: all
+    assert msm_to_int("2<75%", 8) == 6
+    assert msm_to_int("200%", 3) == 3      # clamped
+    assert msm_to_int(-99, 3) == 0
+
+
+def test_bool_query_msm_percentage(spark, tmp_path):
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        bool_query)
+    from elasticsearch_data_import_handler_spark.plans.build import (
+        IndexReader, build_index)
+    from elasticsearch_data_import_handler_spark.sources.corpus import (
+        synth_pages)
+
+    d = str(tmp_path / "msm")
+    build_index(spark, synth_pages(spark, 80, seed=2), d, tau=100,
+                n_buckets=4)
+    reader = IndexReader(spark, d)
+    should = ["spark", "merge", "batch", "data"]
+    pct = bool_query(spark, reader, should=should, min_should="50%")
+    exact = bool_query(spark, reader, should=should, min_should=2)
+    assert ({r["doc_id"] for r in pct.collect()}
+            == {r["doc_id"] for r in exact.collect()})
