@@ -1150,3 +1150,70 @@ def msm_to_int(spec, n_clauses: int) -> int:
             return n  # ES: at or below the threshold, ALL are required
         return max(0, min(n, _one(tail)))
     return max(0, min(n, _one(s)))
+
+
+def _osa_udf(query: str):
+    """Vectorized optimal-string-alignment (Lucene/ES 'transpositions')
+    distance to ``query`` — classic Levenshtein plus ADJACENT-swap as one
+    edit (OSA, not unrestricted Damerau: each substring edits once, exactly
+    Lucene's fuzzy automaton semantics).  Runs only on SymSpell-bounded
+    candidate sets, so the Python kernel is off the hot path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q = query
+
+    def _osa(s: str) -> int:
+        m, n = len(q), len(s)
+        if m == 0 or n == 0:
+            return max(m, n)
+        prev2 = None
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cost = 0 if q[i - 1] == s[j - 1] else 1
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+                if (i > 1 and j > 1 and q[i - 1] == s[j - 2]
+                        and q[i - 2] == s[j - 1]):
+                    cur[j] = min(cur[j], prev2[j - 2] + 1)
+            prev2, prev = prev, cur
+        return prev[n]
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them and pyspark's hint inspection can't resolve local
+    # names; the explicit returnType carries the schema
+    @pandas_udf("int")
+    def osa(col):
+        return pd.Series(np.fromiter((_osa(x) for x in col), dtype="int32"),
+                         index=col.index)
+
+    return osa
+
+
+def fuzzy_terms_osa(documents: DataFrame, query_term: str, max_dist: int = 1,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    vocab: DataFrame | None = None) -> DataFrame:
+    """ES fuzzy expansion WITH ``transpositions: true`` (the ES default):
+    OSA distance, where an adjacent swap costs ONE edit — 'form'~1 matches
+    'from', which classic Levenshtein puts at distance 2.  SymSpell
+    deletion neighborhoods still pre-bucket the candidates (an OSA match at
+    distance d always shares a ≤d deletion variant, since a transposition
+    is reachable by one deletion on each side), so the Python kernel only
+    ever sees the bounded candidate set."""
+    if max_dist > 2:
+        raise ValueError("fuzzy_terms_osa supports max_dist ≤ 2")
+    q = query_term.lower()
+    qvars = sorted(_py_deletion_variants(q, max_dist))
+    vocab = vocab if vocab is not None else corpus_vocab(documents, id_col,
+                                                         text_col)
+    cand = (vocab
+            .withColumn("__v", _deletion_variants_expr("term", max_dist))
+            .filter(F.arrays_overlap(
+                "__v", F.array(*[F.lit(v) for v in qvars]))))
+    osa = _osa_udf(q)
+    return (cand.withColumn("dist", osa(F.col("term")))
+            .filter(F.col("dist") <= max_dist)
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("dist").cast("int").alias("dist")))

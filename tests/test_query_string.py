@@ -311,3 +311,51 @@ def test_dis_max_clause_boosts(spark, tmp_path):
                              boosts={"spark": 2.0, "merge": 2.0}).collect()}
     for doc, sc in doubled.items():
         assert abs(sc - 2.0 * plain[doc]) < 1e-9
+
+
+def test_fuzzy_osa_transpositions(spark):
+    """OSA counts an adjacent swap as one edit (ES transpositions default);
+    classic Levenshtein counts two — 'from' at distance 1 vs 2 from 'form'."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        fuzzy_terms, fuzzy_terms_osa)
+
+    docs = spark.createDataFrame(
+        [(1, "from whence it came"), (2, "form of the thing"),
+         (3, "fort on the hill")], ["doc_id", "text"])
+    osa1 = {r["term"]: r["dist"] for r in
+            fuzzy_terms_osa(docs, "form", max_dist=1).collect()}
+    assert osa1["from"] == 1 and osa1["form"] == 0 and osa1["fort"] == 1
+    lev1 = {r["term"] for r in
+            fuzzy_terms(docs, "form", max_dist=1).collect()}
+    assert "from" not in lev1          # classic distance 2
+
+    # pure-Python OSA reference over adversarial pairs
+    def ref(a, b):
+        import itertools
+        m, n = len(a), len(b)
+        d = [[0] * (n + 1) for _ in range(m + 1)]
+        for i, j in itertools.product(range(m + 1), range(n + 1)):
+            if i == 0 or j == 0:
+                d[i][j] = max(i, j)
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                c = 0 if a[i - 1] == b[j - 1] else 1
+                d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                              d[i - 1][j - 1] + c)
+                if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                        and a[i - 2] == b[j - 1]):
+                    d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+        return d[m][n]
+
+    assert ref("ca", "abc") == 3       # OSA, not unrestricted Damerau (2)
+    words = ["batch", "bacth", "bathc", "btach", "batch1", "abtch"]
+    docs2 = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], ["doc_id", "text"])
+    got = {r["term"]: r["dist"] for r in
+           fuzzy_terms_osa(docs2, "batch", max_dist=2).collect()}
+    for w in words:
+        rd = ref("batch", w)
+        if rd <= 2:
+            assert got[w] == rd, w
+        else:
+            assert w not in got
