@@ -60,9 +60,16 @@ def cosine_pairs(pairs: DataFrame, a_col: str, b_col: str, out_cols: list[str],
 
 def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                method: str = "matmul") -> DataFrame:
+                method: str = "matmul",
+                similarity: float | None = None) -> DataFrame:
     """Brute-force cosine top-k: the first ``n_queries`` vec_ids are the query
     set, scored against all other vectors.  → (query_id, rank, vec_id, cos).
+
+    ``similarity`` is the ES 8.x knn parameter: the minimum cosine a vector
+    needs to count as a match at all — applied BEFORE the top-k cut (ES
+    semantics: below-threshold vectors are not matches, so they can't
+    occupy ranks), on the presentation-rounded value so the cut is
+    engine-portable.
 
     ``method="matmul"`` (default, the scale path): the query matrix — bounded
     by n_queries, the one legitimate driver-side collect — is normalized once
@@ -113,6 +120,8 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         scored = embeddings.filter(F.col(id_col) >= n_queries).select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
         ).mapInPandas(_score, schema="query_id long, vec_id long, cos double")
+    if similarity is not None:
+        scored = scored.filter(F.round("cos", 4) >= float(similarity))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -204,7 +213,8 @@ def srp_signatures(embeddings: DataFrame, n_planes: int = 4, n_tables: int = 8,
 
 def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                       n_planes: int = 4, n_tables: int = 8,
-                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      similarity: float | None = None) -> DataFrame:
     """Sign-random-projection LSH ANN with L hash tables (multi-table LSH).
 
     Each table buckets by the sign bits of ``n_planes`` deterministic
@@ -215,7 +225,9 @@ def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     summation-order drift), so bucket assignment is bit-reproducible in the
     DuckDB oracle; the final cosine re-rank uses full float precision.  At
     100 TB the bucketed table is persisted partitioned by (table, sig) so a
-    query prunes to L partitions."""
+    query prunes to L partitions.  ``similarity`` is the ES knn minimum-
+    cosine match threshold, applied before the top-k cut (see
+    :func:`cosine_topk`)."""
     e = srp_signatures(embeddings, n_planes, n_tables, id_col, vec_col)
     q = F.broadcast(
         e.filter(F.col(id_col) < n_queries).select(
@@ -232,6 +244,8 @@ def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                            F.col(vec_col).alias("cvec"))
     scored = cosine_pairs(cand.join(qe, "query_id").join(ce, "vec_id"),
                           "qvec", "cvec", ["query_id", "vec_id"])
+    if similarity is not None:
+        scored = scored.filter(F.round("cos", 4) >= float(similarity))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

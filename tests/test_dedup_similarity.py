@@ -354,3 +354,23 @@ def test_neardup_clusters_property_vs_union_find(spark):
         got = {r["doc_id"]: r["cluster_id"]
                for r in neardup_clusters(df).collect()}
         assert got == want_lab, f"seed {seed}"
+
+
+def test_knn_similarity_threshold(spark, sf_dir):
+    """ES knn `similarity`: below-threshold vectors are not matches — the
+    filtered top-k equals the unfiltered one with sub-threshold hits
+    REMOVED and ranks recompacted (never just truncated)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    full = cosine_topk(emb, n_queries=2, k=10)
+    thr = sorted(r["cos"] for r in full.collect())[len(full.collect()) // 2]
+    cut = cosine_topk(emb, n_queries=2, k=10, similarity=thr)
+    got = [(r["query_id"], r["vec_id"], r["cos"])
+           for r in cut.orderBy("query_id", "rank").collect()]
+    want = []
+    for qid in (0, 1):
+        kept = [(r["vec_id"], r["cos"]) for r in
+                full.filter(F.col("query_id") == qid)
+                .orderBy("rank").collect() if r["cos"] >= thr]
+        want += [(qid, v, c) for v, c in kept]
+    assert got == want and got
+    assert all(r["cos"] >= thr for r in cut.collect())
