@@ -998,18 +998,26 @@ def q_multi_match(spark, sf_dir):
     indexes share version doc_ids by construction, so legs combine with
     one groupBy; results remap to native ids through the body index."""
     from elasticsearch_data_import_handler_spark.operators.search import (
-        multi_match)
+        multi_match_fields_agg)
 
-    b = _mm_leg(spark, sf_dir, "best_fields").select(
+    # best_fields and most_fields are scalar combines over the SAME
+    # per-field aggregate — compute the field legs once, persist, derive
+    # both modes (round-6: two identical TAAT passes collapsed to one)
+    body = _gate_index(spark, sf_dir)
+    title = _gate_title_index(spark, sf_dir)
+    agg = multi_match_fields_agg(
+        spark, {"title": title, "body": body}, ["spark", "merge"],
+        boosts={"title": 2.0, "body": 1.0}).persist()
+    b = _mm_leg(spark, sf_dir, "best_fields", fields_agg=agg).select(
         F.lit("best").alias("op"), "doc_id", "score")
-    m = _mm_leg(spark, sf_dir, "most_fields").select(
+    m = _mm_leg(spark, sf_dir, "most_fields", fields_agg=agg).select(
         F.lit("most").alias("op"), "doc_id", "score")
     c = _mm_leg(spark, sf_dir, "cross_fields").select(
         F.lit("cross").alias("op"), "doc_id", "score")
     return b.unionByName(m).unionByName(c)
 
 
-def _mm_leg(spark, sf_dir, match_type):
+def _mm_leg(spark, sf_dir, match_type, fields_agg=None):
     """One multi_match combine mode, standalone (bench times it per-op)."""
     from elasticsearch_data_import_handler_spark.operators.search import (
         multi_match)
@@ -1020,7 +1028,8 @@ def _mm_leg(spark, sf_dir, match_type):
     boosts = {"title": 2.0, "body": 1.0}
     tb = 0.3 if match_type == "best_fields" else 0.0
     out = multi_match(spark, readers, ["spark", "merge"], boosts=boosts,
-                      match_type=match_type, tie_breaker=tb, round_to=4)
+                      match_type=match_type, tie_breaker=tb, round_to=4,
+                      fields_agg=fields_agg)
     return _native_doc_ids(body, out, ["score"])
 
 
@@ -1530,7 +1539,11 @@ def q_minhash_verified(spark, sf_dir):
     set."""
     nulld = F.lit(None).cast("double")
     nulll = F.lit(None).cast("long")
-    pairs = _minhash_pairs_only(spark, sf_dir)
+    # persist: the verified pair set feeds BOTH the op='pairs' branch and
+    # the connected-components branch — without it the whole LSH+verify
+    # pipeline executes twice (guide §5: reuse > recompute when the reused
+    # frame is output-scale, as the verified pairs are)
+    pairs = _minhash_pairs_only(spark, sf_dir).persist()
     pr = pairs.select(F.lit("pairs").alias("op"), "id_a", "id_b", "jaccard",
                       nulll.alias("cluster_id"), nulll.alias("cluster_size"),
                       nulll.alias("is_canonical"))
@@ -1918,12 +1931,15 @@ FS_REF = 1767229200  # 2026-01-01 01:00:00 UTC
 FS_RAND_SEED = 42
 
 
-def _fs_leg(spark, sf_dir, op: str):
+def _fs_leg(spark, sf_dir, op: str, scored=None):
     """One function_score variant, standalone (bench times each per-op).
     warc_ts = 2026-01-01 + native_doc_id s in the synthetic corpus, so the
     oracle reconstructs every decay from doc_id; doc_len is the analyzer
     token count the oracle's dl CTE replays; random_score hashes the
-    NATIVE id so both engines derive the same jitter."""
+    NATIVE id so both engines derive the same jitter.  ``scored`` is the
+    shared bool-query frame when the caller evaluates several variants of
+    ONE query (the gate row scores the query once, like an ES request with
+    one query and N rescoring variants)."""
     from elasticsearch_data_import_handler_spark.operators.textsearch import (
         bool_query, function_score_query, random_score_expr)
 
@@ -1931,10 +1947,12 @@ def _fs_leg(spark, sf_dir, op: str):
     kw = dict(must=["spark"], should=["merge"], min_should=0)
     if op == "exp":  # the legacy one-sided recency decay, verbatim
         out = function_score_query(spark, reader, ref_epoch=FS_REF,
-                                   half_life_s=900, round_to=4, **kw)
+                                   half_life_s=900, round_to=4,
+                                   scored=scored, **kw)
         return _native_doc_ids(reader, out, ["score"])
     if op == "rand":
-        scored = bool_query(spark, reader, **kw)
+        if scored is None:
+            scored = bool_query(spark, reader, **kw)
         nat = _native_doc_ids(reader, scored, ["score"])
         return nat.select("doc_id", F.round(
             F.col("score") * random_score_expr("doc_id", FS_RAND_SEED),
@@ -1948,7 +1966,7 @@ def _fs_leg(spark, sf_dir, op: str):
                  "factor": 0.1, "modifier": "sqrt"}],
     }[op]
     out = function_score_query(spark, reader, functions=fns, round_to=4,
-                               **kw)
+                               scored=scored, **kw)
     return _native_doc_ids(reader, out, ["score"])
 
 
@@ -1957,8 +1975,17 @@ def q_function_score(spark, sf_dir):
     previously-gated one-sided recency decay, verbatim), op='gauss' /
     'linear' (two-sided ES decay shapes on warc_ts), op='fvf'
     (field_value_factor 0.1·sqrt(doc_len)), op='rand' (seeded
-    deterministic random_score) — boost_mode=multiply throughout."""
-    legs = [_fs_leg(spark, sf_dir, op).select(
+    deterministic random_score) — boost_mode=multiply throughout.
+    The bool query is scored ONCE and persisted; each op is a multiplier
+    over the shared candidate frame (exactly how ES evaluates one query
+    with N functions — and the round-6 fix for 5 identical TAAT passes)."""
+    from elasticsearch_data_import_handler_spark.operators.textsearch import (
+        bool_query)
+
+    reader = _gate_index(spark, sf_dir)
+    scored = bool_query(spark, reader, must=["spark"], should=["merge"],
+                        min_should=0).persist()
+    legs = [_fs_leg(spark, sf_dir, op, scored=scored).select(
         F.lit(op).alias("op"), "doc_id", "score")
         for op in ("exp", "gauss", "linear", "fvf", "rand")]
     out = legs[0]

@@ -299,8 +299,13 @@ def minhash_verified_pairs(df: DataFrame, id_col: str = "doc_id",
     shingle sets, so the verify stage is O(|candidates| × shingles/doc).
     """
     rows_per_band = num_hashes // bands
-    sh_occ = shingles_exploded(df, id_col, text_col, n=n)
-    sig = minhash_signatures(sh_occ, num_hashes)
+    # ONE distinct-shingle subtree feeds BOTH the signature build and the
+    # exact verification below: duplicate shingles can't bias a min, so
+    # signatures over the distinct set are bit-identical to signatures over
+    # occurrences, and sharing the plan lets Spark's ReuseExchange compute
+    # the shingle pipeline once instead of twice (guide §2.4).
+    sh_dist = shingles_exploded(df, id_col, text_col, n=n, distinct=True)
+    sig = minhash_signatures(sh_dist, num_hashes)
     banded = sig.select(
         "id",
         F.explode(
@@ -323,9 +328,8 @@ def minhash_verified_pairs(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    # exact verification on candidates only
-    sh = (shingles_exploded(df, id_col, text_col, n=n, distinct=True)
-          .select("id", F.xxhash64("shingle").alias("h")))
+    # exact verification on candidates only (same shared distinct subtree)
+    sh = sh_dist.select("id", F.xxhash64("shingle").alias("h"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("id").alias("id_a"), "h")
     sb = sh.select(F.col("id").alias("id_b"), "h")

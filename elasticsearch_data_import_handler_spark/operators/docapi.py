@@ -90,9 +90,8 @@ def explain_score(spark: SparkSession, reader, doc_id: int,
            .filter(F.col("doc_id") == int(doc_id)))
     lex = reader.lexicon().filter(F.col("term").isin(ts)).select(
         "term", "df", "idf")
-    avgdl = reader.corpus_stats().select("avgdl")
     rows = (dec.join(F.broadcast(lex), "term")
-            .crossJoin(F.broadcast(avgdl))
+            .withColumn("avgdl", F.lit(reader.avgdl_value()))
             .withColumn("contribution", F.round(bm25_score_expr(), round_to))
             .select("term", F.col("tf").cast("long").alias("tf"),
                     F.col("df").cast("long").alias("df"),

@@ -348,9 +348,49 @@ def facet_cardinality(spark, reader, meta: DataFrame, group_col: str,
     return kmv_distinct(j, group_col, distinct_col, k=k)
 
 
+def multi_match_fields_agg(spark, readers: dict, terms,
+                           boosts: dict | None = None) -> DataFrame:
+    """The shared per-field aggregation of :func:`multi_match`:
+    (doc_id, best, total) over the boosted per-field BM25 legs.
+    ``best_fields`` and ``most_fields`` are pure scalar combines over this
+    frame, so a request evaluating both modes (the gate row) computes the
+    field legs ONCE and derives each mode from the same aggregate."""
+    from functools import reduce
+
+    from .textsearch import bool_query
+
+    boosts = boosts or {}
+    legs = []
+    for field, rd in sorted(readers.items()):
+        leg = bool_query(spark, rd, should=terms, min_should=1)
+        b = float(boosts.get(field, 1.0))
+        legs.append(leg.select(
+            "doc_id", (F.col("score") * F.lit(b)).alias("fs")))
+    u = reduce(lambda a, b: a.unionByName(b), legs)
+    return u.groupBy("doc_id").agg(F.max("fs").alias("best"),
+                                   F.sum("fs").alias("total"))
+
+
+def multi_match_combine(agg: DataFrame, match_type: str = "best_fields",
+                        tie_breaker: float = 0.0,
+                        round_to: int | None = None) -> DataFrame:
+    """Scalar combine of a :func:`multi_match_fields_agg` frame into the
+    requested multi_match mode's (doc_id, score)."""
+    if match_type == "best_fields":
+        score = (F.col("best")
+                 + F.lit(float(tie_breaker)) * (F.col("total") - F.col("best")))
+    else:
+        score = F.col("total")
+    out = agg.select("doc_id", score.alias("score"))
+    if round_to is not None:
+        out = out.select("doc_id", F.round("score", round_to).alias("score"))
+    return out
+
+
 def multi_match(spark, readers: dict, terms, boosts: dict | None = None,
                 match_type: str = "best_fields", tie_breaker: float = 0.0,
-                round_to: int | None = None) -> DataFrame:
+                round_to: int | None = None,
+                fields_agg: DataFrame | None = None) -> DataFrame:
     """ES ``multi_match`` across document fields, each field backed by its
     OWN index (per-field postings with per-field df/doc_len/avgdl — how ES
     itself stores fields): per-field score = boost_f × BM25 over the
@@ -390,10 +430,9 @@ def multi_match(spark, readers: dict, terms, boosts: dict | None = None,
             dec = rd.decoded_postings_for_terms(ts)
             lex = rd.lexicon().filter(F.col("term").isin(ts)) \
                 .select("term", "idf")
-            avgdl = rd.corpus_stats().select("avgdl")
             b = float(boosts.get(field, 1.0))
             leg = (dec.join(F.broadcast(lex), "term")
-                   .crossJoin(F.broadcast(avgdl))
+                   .withColumn("avgdl", F.lit(rd.avgdl_value()))
                    .withColumn("contrib", bm25_score_expr() * F.lit(b))
                    .select("doc_id", "term", "contrib"))
             tomb = rd.tombstones_df()
@@ -408,24 +447,10 @@ def multi_match(spark, readers: dict, terms, boosts: dict | None = None,
             out = out.select("doc_id",
                              F.round("score", round_to).alias("score"))
         return out
-    legs = []
-    for field, rd in sorted(readers.items()):
-        leg = bool_query(spark, rd, should=terms, min_should=1)
-        b = float(boosts.get(field, 1.0))
-        legs.append(leg.select(
-            "doc_id", (F.col("score") * F.lit(b)).alias("fs")))
-    u = reduce(lambda a, b: a.unionByName(b), legs)
-    agg = u.groupBy("doc_id").agg(F.max("fs").alias("best"),
-                                  F.sum("fs").alias("total"))
-    if match_type == "best_fields":
-        score = (F.col("best")
-                 + F.lit(float(tie_breaker)) * (F.col("total") - F.col("best")))
-    else:
-        score = F.col("total")
-    out = agg.select("doc_id", score.alias("score"))
-    if round_to is not None:
-        out = out.select("doc_id", F.round("score", round_to).alias("score"))
-    return out
+    agg = (fields_agg if fields_agg is not None
+           else multi_match_fields_agg(spark, readers, terms, boosts))
+    return multi_match_combine(agg, match_type=match_type,
+                               tie_breaker=tie_breaker, round_to=round_to)
 
 
 def top_hits_facets(spark, reader, meta: DataFrame, facet_col: str,
@@ -741,7 +766,10 @@ def significant_terms(spark, reader, must=None, should=None, must_not=None,
     matched = bool_query(spark, reader, must=must, should=should,
                          must_not=must_not,
                          min_should=min_should).select("doc_id")
-    n_docs = reader.corpus_stats().first()["n_docs"]
+    # n_docs is a driver-side snapshot scalar (committed cstats files) — the
+    # former corpus_stats().first() spent a Spark job on a 1-row local frame
+    from ..plans.build import _read_cstats
+    n_docs, _ = _read_cstats(reader.index_dir, reader.state.committed_batches)
     if sample_mod is None and n_docs >= SIG_TERMS_SAMPLE_THRESHOLD:
         # ES samples this agg by default on large indices for the same
         # reason: the foreground df pass decodes full postings. 1/16 of

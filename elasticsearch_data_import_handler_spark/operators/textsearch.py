@@ -489,7 +489,8 @@ def function_score_query(spark, reader, must=None, should=None,
                          must_not=None, min_should: int = 0,
                          ref_epoch: int = 0, half_life_s: int = 86_400,
                          round_to: int | None = None,
-                         functions: list[dict] | None = None) -> DataFrame:
+                         functions: list[dict] | None = None,
+                         scored: DataFrame | None = None) -> DataFrame:
     """ES function_score over the persisted index: (doc_id, score) where
     score = bool-query BM25 × the product of the requested function
     multipliers (``boost_mode``/``score_mode`` = multiply, the ES
@@ -512,11 +513,17 @@ def function_score_query(spark, reader, must=None, should=None,
     All fields come from the INDEX's doc_stats (doc-values role — stored
     per document at commit time), so scoring never touches the corpus:
     candidate set O(Σ df of query terms), ONE doc-keyed join against doc
-    metadata, scalar multiplier combines, no extra shuffle per function."""
+    metadata, scalar multiplier combines, no extra shuffle per function.
+
+    ``scored`` short-circuits the bool query with an existing (doc_id,
+    score) frame — the facet_search idiom, so a request evaluating several
+    function variants over ONE query (the gate row) scores the query
+    once."""
     import math
 
-    scored = bool_query(spark, reader, must=must, should=should,
-                        must_not=must_not, min_should=min_should)
+    if scored is None:
+        scored = bool_query(spark, reader, must=must, should=should,
+                            must_not=must_not, min_should=min_should)
     ds = reader.doc_stats()
     if functions is None:
         # legacy recency form: ONE-SIDED age (future docs don't decay),
@@ -587,7 +594,9 @@ def dis_max_query(spark, reader, clauses, tie_breaker: float = 0.0,
     terms = sorted(flat)
     dec = reader.decoded_postings_for_terms(terms)
     lex = reader.lexicon().filter(F.col("term").isin(terms)).select("term", "idf")
-    avgdl = reader.corpus_stats().select("avgdl")
+    # avgdl as a literal (driver-known snapshot scalar): same double
+    # as the former 1-row crossJoin, minus a BroadcastExchange per query
+    avgdl = F.lit(reader.avgdl_value())
     aggs = [
         F.sum(F.when(F.col("term").isin(g), F.col("contrib"))
               .otherwise(F.lit(0.0))).alias(f"__c{i}")
@@ -600,7 +609,7 @@ def dis_max_query(spark, reader, clauses, tie_breaker: float = 0.0,
                               for x in (F.lit(t), F.lit(float(w)))])
         contrib = contrib * F.coalesce(bmap[F.col("term")], F.lit(1.0))
     agg = (dec.join(F.broadcast(lex), "term")
-           .crossJoin(F.broadcast(avgdl))
+           .withColumn("avgdl", avgdl)
            .withColumn("contrib", contrib)
            .groupBy("doc_id")
            .agg(*aggs))
@@ -720,7 +729,9 @@ def bool_query(spark, reader, must=None, should=None,
         raise ValueError("bool_query needs at least one must or should term")
     dec = reader.decoded_postings_for_terms(terms)
     lex = reader.lexicon().filter(F.col("term").isin(terms)).select("term", "idf")
-    avgdl = reader.corpus_stats().select("avgdl")
+    # avgdl as a literal (driver-known snapshot scalar): same double
+    # as the former 1-row crossJoin, minus a BroadcastExchange per query
+    avgdl = F.lit(reader.avgdl_value())
 
     def _flag(group):
         return F.max(F.when(F.col("term").isin(group), 1).otherwise(0))
@@ -736,7 +747,7 @@ def bool_query(spark, reader, must=None, should=None,
                               for x in (F.lit(t), F.lit(float(w)))])
         contrib = contrib * F.coalesce(bmap[F.col("term")], F.lit(1.0))
     agg = (dec.join(F.broadcast(lex), "term")
-           .crossJoin(F.broadcast(avgdl))
+           .withColumn("avgdl", avgdl)
            .withColumn("contrib", contrib)
            .groupBy("doc_id")
            .agg(*aggs))
@@ -859,7 +870,9 @@ def terms_set_query(spark, reader, terms: list[str],
         raise ValueError("terms_set_query needs at least one term")
     dec = reader.decoded_postings_for_terms(ts)
     lex = reader.lexicon().filter(F.col("term").isin(ts)).select("term", "idf")
-    avgdl = reader.corpus_stats().select("avgdl")
+    # avgdl as a literal (driver-known snapshot scalar): same double
+    # as the former 1-row crossJoin, minus a BroadcastExchange per query
+    avgdl = F.lit(reader.avgdl_value())
     # distinct-matched-term count as a SUM of per-term max-flags (the
     # bool_query idiom) — count_distinct would expand into a second
     # (doc_id, term) exchange of the whole decoded set; |terms| is small
@@ -867,7 +880,7 @@ def terms_set_query(spark, reader, terms: list[str],
     flags = [F.max(F.when(F.col("term") == t, 1).otherwise(0))
              .alias(f"__t{i}") for i, t in enumerate(ts)]
     agg = (dec.join(F.broadcast(lex), "term")
-           .crossJoin(F.broadcast(avgdl))
+           .withColumn("avgdl", avgdl)
            .withColumn("contrib", bm25_score_expr())
            .groupBy("doc_id")
            .agg(*flags, F.sum("contrib").alias("score")))

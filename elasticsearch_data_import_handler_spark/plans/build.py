@@ -827,13 +827,21 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
     # spark.sql.files.maxPartitionBytes-driven sizing on a cluster.
     occ_bytes = sum_dl_new * 48
     dp = spark.sparkContext.defaultParallelism
-    p_enc = max(dp, occ_bytes // (128 << 20) + 1)
-    # round UP to a full multiple of the slot count: wave quantization is a
-    # scaling killer, not a nicety — 11 partitions on 8 slots is 2 waves
-    # with the second wave 5/8 idle (measured: the encode stage scaled
-    # 2.08× going 2→8 cores until this line; partitions-as-k×slots is the
-    # standard cluster sizing rule and costs nothing at any scale)
-    p_enc = ((p_enc + dp - 1) // dp) * dp
+    # tiny-input floor (guide §6): below ~16 MB/partition the dp floor only
+    # fragments the output — a 5k-doc index came out as ~240 files whose
+    # listing/open overhead dominated every query-time scan.  Small builds
+    # get partitions sized to the data; once the input justifies ≥ dp
+    # partitions the sizing (and the written layout) is exactly as before.
+    p_enc = max(min(dp, occ_bytes // (16 << 20) + 1),
+                occ_bytes // (128 << 20) + 1)
+    if p_enc >= dp:
+        # round UP to a full multiple of the slot count: wave quantization
+        # is a scaling killer, not a nicety — 11 partitions on 8 slots is 2
+        # waves with the second wave 5/8 idle (measured: the encode stage
+        # scaled 2.08× going 2→8 cores until this line; partitions-as-
+        # k×slots is the standard cluster sizing rule, costs nothing at
+        # any scale)
+        p_enc = ((p_enc + dp - 1) // dp) * dp
     postings = build_postings(kept, s_shards, n_buckets,
                               shuffle_partitions=int(p_enc))
     if positions:
@@ -1216,7 +1224,14 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
 
 class IndexReader:
     """Query-side handle: partition-pruned postings scan + broadcast lexicon.
-    Only committed batches are visible (uncommitted partial writes invisible)."""
+    Only committed batches are visible (uncommitted partial writes invisible).
+
+    A reader is a handle onto ONE committed snapshot (state read at
+    construction), so every derived DataFrame is immutable for the reader's
+    lifetime — they are built once and memoized (guide §1: the per-query
+    constant was dominated by re-constructing identical scans, re-reading
+    cstats files, and re-materializing the 1-row corpus-stats frame on every
+    operator call).  Writers commit through new readers, unaffected."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -1225,33 +1240,58 @@ class IndexReader:
         if st is None:
             raise FileNotFoundError(f"no committed index at {index_dir}")
         self.state = st
+        self._memo: dict = {}
+
+    def _cstats_tuple(self) -> tuple[int, int]:
+        if "cstats" not in self._memo:
+            self._memo["cstats"] = _read_cstats(
+                self.index_dir, self.state.committed_batches)
+        return self._memo["cstats"]
+
+    def avgdl_value(self) -> float:
+        """The corpus avgdl as a driver-side float — exactly the value
+        ``corpus_stats()`` carries (same Python division), usable as a
+        literal column instead of a 1-row crossJoin."""
+        n_docs, sum_dl = self._cstats_tuple()
+        return (sum_dl / n_docs) if n_docs else 0.0
 
     def lexicon(self) -> DataFrame:
         """(term, df, idf) — df from the max committed lexicon generation,
         idf computed here from current corpus stats (exact, always fresh)."""
-        gen = _latest_lexicon_gen(self.index_dir, self.state.committed_batches)
-        if gen is None:
-            raise FileNotFoundError(f"no lexicon generation in {self.index_dir}")
-        n_docs, _ = _read_cstats(self.index_dir, self.state.committed_batches)
-        return (self.spark.read.parquet(_lexicon_gen_dir(self.index_dir, gen))
+        if "lexicon" not in self._memo:
+            gen = _latest_lexicon_gen(self.index_dir,
+                                      self.state.committed_batches)
+            if gen is None:
+                raise FileNotFoundError(
+                    f"no lexicon generation in {self.index_dir}")
+            n_docs, _ = self._cstats_tuple()
+            self._memo["lexicon"] = (
+                self.spark.read.parquet(_lexicon_gen_dir(self.index_dir, gen))
                 .select("term", "df", _idf_expr(n_docs).alias("idf")))
+        return self._memo["lexicon"]
 
     def corpus_stats(self) -> DataFrame:
-        n_docs, sum_dl = _read_cstats(self.index_dir,
-                                      self.state.committed_batches)
-        avgdl = (sum_dl / n_docs) if n_docs else 0.0
-        return self.spark.createDataFrame(
-            [(n_docs, sum_dl, avgdl)], "n_docs long, sum_dl long, avgdl double")
+        if "corpus_stats" not in self._memo:
+            n_docs, sum_dl = self._cstats_tuple()
+            avgdl = (sum_dl / n_docs) if n_docs else 0.0
+            self._memo["corpus_stats"] = self.spark.createDataFrame(
+                [(n_docs, sum_dl, avgdl)],
+                "n_docs long, sum_dl long, avgdl double")
+        return self._memo["corpus_stats"]
 
     def doc_stats(self) -> DataFrame:
-        return _read_doc_stats(self.spark, self.index_dir,
-                               self.state.committed_batches)
+        if "doc_stats" not in self._memo:
+            self._memo["doc_stats"] = _read_doc_stats(
+                self.spark, self.index_dir, self.state.committed_batches)
+        return self._memo["doc_stats"]
 
     def tombstones_df(self) -> DataFrame | None:
         """Distinct tombstoned doc_ids as a DataFrame (None when there are
         none) — consumers join/anti-join it; nothing is collected."""
-        return _read_tombstones(self.spark, self.index_dir,
-                                self.state.committed_batches)
+        if "tombstones" not in self._memo:
+            self._memo["tombstones"] = _read_tombstones(
+                self.spark, self.index_dir, self.state.committed_batches)
+        return self._memo["tombstones"]
 
     def stats(self) -> dict:
         """The ES ``_stats`` / ``_segments`` analog: corpus totals, segment
@@ -1309,9 +1349,12 @@ class IndexReader:
                              "positions=True")
         tids = sorted({xxhash64_str(t) for t in terms})  # signed, Spark parity
         buckets = sorted({tid % self.state.n_buckets for tid in tids})
-        df = self.spark.read.option(
-            "basePath", f"{self.index_dir}/positions").parquet(
-            *_batch_dirs(self.index_dir, "positions", self.state.committed_batches))
+        if "positions_base" not in self._memo:
+            self._memo["positions_base"] = self.spark.read.option(
+                "basePath", f"{self.index_dir}/positions").parquet(
+                *_batch_dirs(self.index_dir, "positions",
+                             self.state.committed_batches))
+        df = self._memo["positions_base"]
         pruned = df.filter(F.col("bucket").isin(buckets)
                            & F.col("term_id").isin(tids))
 
@@ -1334,8 +1377,12 @@ class IndexReader:
         from ..functions.hashing import xxhash64_str
 
         buckets = sorted({xxhash64_str(t) % self.state.n_buckets for t in terms})
-        df = self.spark.read.option("basePath", f"{self.index_dir}/postings").parquet(
-            *_batch_dirs(self.index_dir, "postings", self.state.committed_batches))
+        if "postings_base" not in self._memo:
+            self._memo["postings_base"] = self.spark.read.option(
+                "basePath", f"{self.index_dir}/postings").parquet(
+                *_batch_dirs(self.index_dir, "postings",
+                             self.state.committed_batches))
+        df = self._memo["postings_base"]
         return df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
     def decoded_postings_for_terms(self, terms: list[str]) -> DataFrame:
