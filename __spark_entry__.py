@@ -1052,7 +1052,7 @@ def _facet_meta_full(spark, sf_dir, reader):
         "__nid").select("doc_id", "lang", "source", "n_chars")
 
 
-def _facet_aggs_only(spark, sf_dir, scored=None):
+def _facet_aggs_only(spark, sf_dir, scored=None, meta=None):
     """Round-5 ES agg long-tail over the SAME matched set: range, filters,
     multi_terms, rare_terms, composite (true after-key paging: page 2's
     cursor is page 1's last key), weighted_avg / value_count / missing,
@@ -1065,7 +1065,8 @@ def _facet_aggs_only(spark, sf_dir, scored=None):
 
     reader = _gate_index(spark, sf_dir)
     sc = scored if scored is not None else _facet_scored(spark, reader)
-    meta = _facet_meta_full(spark, sf_dir, reader)
+    if meta is None:
+        meta = _facet_meta_full(spark, sf_dir, reader)
     rg = range_agg(sc, meta, "n_chars",
                    [(None, 200), (200, 350), (350, None)])
     fl = filters_agg(sc, meta,
@@ -1111,12 +1112,15 @@ _FACET_SUB_AGGS = {"sc": ("stats", "score")}
 _FACET_SUB_COLS = ["sc_min", "sc_max", "sc_sum", "sc_avg"]
 
 
-def _facet_terms_only(spark, sf_dir, scored=None):
+def _facet_terms_only(spark, sf_dir, scored=None, meta=None):
     from elasticsearch_data_import_handler_spark.operators.search import (
         facet_search)
 
     reader = _gate_index(spark, sf_dir)
-    return facet_search(spark, reader, _facet_meta(spark, sf_dir, reader),
+    if meta is None:
+        meta = _facet_meta(spark, sf_dir, reader)
+    return facet_search(spark, reader, meta.select("doc_id", "lang",
+                                                   "source"),
                         ["lang", "source"], top_n=8,
                         scored=scored or _facet_scored(spark, reader),
                         sub_aggs=_FACET_SUB_AGGS)
@@ -1175,12 +1179,15 @@ def q_search_facets(spark, sf_dir):
     # ONE bool-query pass feeds all four aggregation kinds — exactly how
     # an ES request with a query + an aggs dict runs the query once
     # persist: the agg branches UNION over this subtree, and an
-    # unpersisted plan would re-execute the postings scan per branch
+    # unpersisted plan would re-execute the postings scan per branch;
+    # the doc-values side (meta) is persisted for the same reason — a
+    # dozen agg branches each re-joined documents to the native-id map
     scored = _facet_scored(spark, reader).persist()
-    terms = _facet_terms_only(spark, sf_dir, scored=scored)
+    meta = _facet_meta_full(spark, sf_dir, reader).persist()
+    terms = _facet_terms_only(spark, sf_dir, scored=scored, meta=meta)
     dh = _facet_dh_only(spark, sf_dir, scored=scored)
     pl = _facet_pl_only(spark, sf_dir, scored=scored)
-    extra = _facet_aggs_only(spark, sf_dir, scored=scored)
+    extra = _facet_aggs_only(spark, sf_dir, scored=scored, meta=meta)
     counts = (terms.select("facet", "value", "doc_count", "sum_score",
                            *_FACET_SUB_COLS, nulll.alias("doc_id"),
                            nulld.alias("score"), nulll.alias("rank"))

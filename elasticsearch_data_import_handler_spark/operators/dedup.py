@@ -354,42 +354,48 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a",
     cluster structure can.
 
     Algorithm: hash-min label propagation fused with pointer jumping
-    (label ← label(label)) every round, so convergence is O(log diameter)
-    rounds instead of O(diameter); each round is two shuffles over compact
-    (long, long) rows and the driver sees only a one-row SUM per round
-    (labels only ever decrease, so an unchanged sum IS the fixpoint — no
-    row-level change join needed).  ``labels`` is localCheckpoint()ed every
-    round to truncate the iterative lineage (the classic iterative-Spark
-    plan-explosion fix).  Edges are persisted for reuse across rounds and
-    released before returning.
+    (label ← label(label), applied twice per round) so convergence is
+    O(log diameter) rounds; each round is one join+groupBy over compact
+    (long, long) rows plus two jump joins, and the driver sees only a
+    one-row SUM per round (labels only ever decrease, so an unchanged sum
+    IS the fixpoint — no row-level change join needed).  Self-loop edges
+    fold the "keep own label" term into the SAME neighbor-min aggregation
+    (round 6: the separate labels-side left join was one of three shuffle
+    joins per round; the fixpoint — component-min labels — is unchanged).
+    ``labels`` is localCheckpoint()ed every round to truncate the
+    iterative lineage (the classic iterative-Spark plan-explosion fix).
+    Edges are persisted for reuse across rounds and released before
+    returning.
 
     Returns (doc_id, cluster_id, cluster_size, is_canonical) for every node
     that appears in ≥1 pair; singleton documents never enter the graph and
     are by definition their own canonical.
     """
-    edges = pairs.select(F.col(id_a).cast("long").alias("src"),
-                         F.col(id_b).cast("long").alias("dst"))
-    edges = (edges.union(edges.select(F.col("dst").alias("src"),
-                                      F.col("src").alias("dst")))
-             .distinct().persist())
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .select("node", F.col("node").alias("label"))
+    e = pairs.select(F.col(id_a).cast("long").alias("src"),
+                     F.col(id_b).cast("long").alias("dst"))
+    und = e.union(e.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst"))).distinct()
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    # self-loops: min over {label(self)} ∪ {label(neighbors)} in ONE agg
+    edges = und.union(nodes.select(F.col("node").alias("src"),
+                                   F.col("node").alias("dst"))).persist()
+    labels = (nodes.select("node", F.col("node").alias("label"))
               .localCheckpoint())
     prev_sum = None
     for _ in range(max_iter):
-        nbr_min = (edges
-                   .join(labels.select(F.col("node").alias("dst"),
-                                       F.col("label").alias("dlab")), "dst")
-                   .groupBy("src").agg(F.min("dlab").alias("nmin")))
-        new = (labels
-               .join(nbr_min.select(F.col("src").alias("node"), "nmin"),
-                     "node", "left")
-               .select("node", F.least(
-                   "label", F.coalesce("nmin", "label")).alias("label")))
-        # pointer jump: label(label) is always defined — labels only take
-        # node-id values — and only decreases (v = label(k) ≤ k invariant)
+        new = (edges
+               .join(labels.select(F.col("node").alias("dst"),
+                                   F.col("label").alias("dlab")), "dst")
+               .groupBy("src").agg(F.min("dlab").alias("label"))
+               .select(F.col("src").alias("node"), "label"))
+        # pointer jump ×2: label(label) is always defined — labels only
+        # take node-id values — and only decreases (v = label(k) ≤ k
+        # invariant); the second application costs one more tiny join and
+        # roughly halves the rounds to the fixpoint
         dic = new.select(F.col("node").alias("k"), F.col("label").alias("v"))
-        labels = (new.join(dic, new["label"] == dic["k"], "left")
+        j1 = (new.join(dic, new["label"] == dic["k"], "left")
+              .select("node", F.coalesce("v", "label").alias("label")))
+        labels = (j1.join(dic, j1["label"] == dic["k"], "left")
                   .select("node", F.coalesce("v", "label").alias("label"))
                   .localCheckpoint())
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]

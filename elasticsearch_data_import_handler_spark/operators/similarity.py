@@ -353,14 +353,18 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, iters: int = 3,
       summation-order-free, so engines can't drift; an emptied cell keeps
       its previous centroid.
 
-    Per iteration: one kernel pass + one (cell, pos) aggregation shuffle +
-    a k×dim driver collect (metadata-scale at any corpus size — this is the
-    standard scalable Lloyd formulation)."""
+    Per iteration: one fused assign+partial-sum kernel pass whose output is
+    ≤ k partial rows per task (cell, Σ quantized vec, count) — integer sums
+    are summation-order-free, so folding the partials on the driver lands on
+    the same centroids as any grouping (round 6: the former
+    assign → join → posexplode(dim) → groupBy(cell, pos) plan shuffled
+    n·dim rows per iteration to compute the same k×dim integers)."""
     import numpy as np
+    import pandas as pd
 
     cand = embeddings.filter(F.col(id_col) >= n_queries).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
-        quantized_vec(vec_col).alias("__q"))
+        quantized_vec(vec_col).alias("__q")).persist()
     # one TakeOrdered job collects ids AND quantized vectors for the k seeds
     seed_rows = (cand.select("__id", "__q",
                              F.md5(F.col("__id").cast("string")).alias("__h"))
@@ -368,24 +372,43 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, iters: int = 3,
     C = np.array([list(r["__q"]) for r in seed_rows], dtype=np.int64)
     dim = C.shape[1]
     for _ in range(iters):
-        assigned = _assign_cells(cand, C, n_probe=1, id_col="__id",
-                                 vec_col="__v")
-        sums = (assigned.join(cand.select("__id", "__q"), "__id")
-                .select("cell", F.posexplode("__q").alias("pos", "val"))
-                .groupBy("cell", "pos")
-                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-                .collect())  # ≤ k×dim rows
+        Cm = C.copy()
+        norms = _cell_norms(Cm)
+        k_cells = Cm.shape[0]
+
+        def _partials(it):
+            acc = np.zeros((k_cells, dim), dtype=np.int64)
+            cnt = np.zeros(k_cells, dtype=np.int64)
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                V = np.floor(np.array(pdf["__v"].tolist(), dtype=np.float64)
+                             * 1000.0).astype(np.int64)
+                S = (V @ Cm.T) / norms
+                # argmax = first (lowest) cell on ties — identical to the
+                # stable argsort rank-1 assignment in _assign_cells
+                cells = np.argmax(S, axis=1)
+                np.add.at(acc, cells, V)
+                np.add.at(cnt, cells, 1)
+            nz = np.nonzero(cnt)[0]
+            if nz.size:
+                yield pd.DataFrame({"cell": nz.astype(np.int32),
+                                    "s": list(acc[nz]), "n": cnt[nz]})
+
+        parts = cand.select("__v").mapInPandas(
+            _partials, schema="cell int, s array<long>, n long").collect()
         Cn = C.copy()  # emptied cells keep their previous centroid
-        acc = {}
-        for r in sums:
-            acc.setdefault(r["cell"], ([0] * dim, [0] * dim))
-            acc[r["cell"]][0][r["pos"]] = r["s"]
-            acc[r["cell"]][1][r["pos"]] = r["n"]
-        for cell, (s, n) in acc.items():
-            s = np.array(s, dtype=np.float64)
-            n = np.array(n, dtype=np.float64)
-            Cn[cell] = np.floor(s / n).astype(np.int64)
+        s_tot = np.zeros((k_cells, dim), dtype=np.int64)
+        n_tot = np.zeros(k_cells, dtype=np.int64)
+        for r in parts:  # ≤ k rows per task — metadata-scale
+            s_tot[r["cell"]] += np.array(r["s"], dtype=np.int64)
+            n_tot[r["cell"]] += r["n"]
+        for cell in np.nonzero(n_tot)[0]:
+            Cn[cell] = np.floor(
+                s_tot[cell].astype(np.float64) / float(n_tot[cell])
+            ).astype(np.int64)
         C = Cn
+    cand.unpersist()
     return C
 
 
@@ -500,8 +523,41 @@ def _pq_assign_codes(residuals: DataFrame, CB) -> DataFrame:
         _assign, schema="id long, m int, code int")
 
 
+def _pq_codes_rows(residuals: DataFrame, CB) -> DataFrame:
+    """(id, cell, codes array<int>): every subspace's nearest sub-codebook
+    entry per residual row in ONE kernel pass — the m-ordered array
+    _pq_assign_codes emits as (id, m, code) rows, without the reassembly
+    groupBy + join.  Same integer objective, same first-(low)-code
+    tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    CBm = CB.copy()               # (M, k_pq, dsub) int64
+    M, k_pq, dsub = CBm.shape
+    cb_sq = (CBm * CBm).sum(axis=2)     # (M, k_pq)
+
+    def _assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            R = np.array(pdf["r"].tolist(), dtype=np.int64).reshape(
+                len(pdf), M, dsub)
+            codes = np.empty((len(pdf), M), dtype=np.int32)
+            for m in range(M):
+                obj = cb_sq[m][None, :] - 2 * (R[:, m, :] @ CBm[m].T)
+                codes[:, m] = np.argmin(obj, axis=1)
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(np.int64),
+                "cell": pdf["cell"].to_numpy(np.int32),
+                "codes": list(codes),
+            })
+
+    return residuals.select("id", "cell", "r").mapInPandas(
+        _assign, schema="id long, cell int, codes array<int>")
+
+
 def pq_codebooks(residuals: DataFrame, M: int = 8, k_pq: int = 16,
-                 iters: int = 1):
+                 iters: int = 1, dim: int | None = None):
     """Deterministic product-quantization codebooks over IVF cell residuals
     (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
     Search", TPAMI 2011 — public).  Returns the (M, k_pq, dsub) int64
@@ -510,13 +566,20 @@ def pq_codebooks(residuals: DataFrame, M: int = 8, k_pq: int = 16,
     Same scalable-Lloyd shape as kmeans_centroids: seeds are the k_pq
     candidates with smallest md5(id) (one bounded collect of k_pq residual
     vectors, sliced into subvectors — shared seed ids across subspaces keep
-    the oracle replay to ONE seed ranking); each iteration is one assignment
-    kernel pass + one (m, code, spos) aggregation shuffle + a ≤ M·k_pq·dsub
-    driver collect.  Integer floor-of-mean updates are summation-order-free,
-    so any engine lands on bit-identical codebooks."""
+    the oracle replay to ONE seed ranking); each iteration is one fused
+    assign+partial-sum kernel pass whose output is ≤ M·k_pq partial rows per
+    task (m, code, Σ subvector, count) folded on the driver — integer sums
+    are summation-order-free, so any engine (and any partial grouping) lands
+    on bit-identical codebooks (round 6: the former codes ⋈ posexploded-
+    residuals → groupBy(m, code, spos) plan shuffled n·dim rows per
+    iteration for the same integers).  ``dim`` skips the 1-row dimension
+    probe when the caller already knows it (ivf_pq_topk passes the centroid
+    width)."""
     import numpy as np
+    import pandas as pd
 
-    dim = len(residuals.select("r").head()["r"])
+    if dim is None:
+        dim = len(residuals.select("r").head()["r"])
     if dim % M:
         raise ValueError(f"dim {dim} not divisible by M={M}")
     dsub = dim // M
@@ -525,20 +588,44 @@ def pq_codebooks(residuals: DataFrame, M: int = 8, k_pq: int = 16,
                  .orderBy("__h", "id").limit(k_pq).collect())
     S = np.array([list(r["r"]) for r in seed_rows], dtype=np.int64)
     CB = np.stack([S[:, m * dsub:(m + 1) * dsub] for m in range(M)])
-    rex = residuals.select(
-        "id", F.posexplode("r").alias("pos", "val")).select(
-        "id", (F.col("pos") / dsub).cast("int").alias("m"),
-        (F.col("pos") % dsub).alias("spos"), "val")
     for _ in range(iters):
-        codes = _pq_assign_codes(residuals, CB)
-        sums = (codes.join(rex, ["id", "m"])
-                .groupBy("m", "code", "spos")
-                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-                .collect())  # ≤ M·k_pq·dsub rows
+        CBm = CB.copy()
+        cb_sq = (CBm * CBm).sum(axis=2)
+
+        def _partials(it):
+            acc = np.zeros((M, k_pq, dsub), dtype=np.int64)
+            cnt = np.zeros((M, k_pq), dtype=np.int64)
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                R = np.array(pdf["r"].tolist(), dtype=np.int64).reshape(
+                    len(pdf), M, dsub)
+                for m in range(M):
+                    # same integer objective + first-(low)-code tie-break
+                    # as _pq_assign_codes
+                    obj = cb_sq[m][None, :] - 2 * (R[:, m, :] @ CBm[m].T)
+                    codes = np.argmin(obj, axis=1)
+                    np.add.at(acc[m], codes, R[:, m, :])
+                    np.add.at(cnt[m], codes, 1)
+            ms, cs = np.nonzero(cnt)
+            if ms.size:
+                yield pd.DataFrame({"m": ms.astype(np.int32),
+                                    "code": cs.astype(np.int32),
+                                    "s": list(acc[ms, cs]),
+                                    "n": cnt[ms, cs]})
+
+        parts = residuals.select("r").mapInPandas(
+            _partials, schema="m int, code int, s array<long>, n long"
+        ).collect()  # ≤ M·k_pq rows per task — metadata-scale
+        s_tot = np.zeros((M, k_pq, dsub), dtype=np.int64)
+        n_tot = np.zeros((M, k_pq), dtype=np.int64)
+        for r in parts:
+            s_tot[r["m"], r["code"]] += np.array(r["s"], dtype=np.int64)
+            n_tot[r["m"], r["code"]] += r["n"]
         CBn = CB.copy()     # emptied codes keep their previous entry
-        for r in sums:
-            CBn[r["m"], r["code"], r["spos"]] = int(
-                np.floor(r["s"] / r["n"]))
+        for m, code in zip(*np.nonzero(n_tot)):
+            CBn[m, code] = np.floor(
+                s_tot[m, code] / n_tot[m, code]).astype(np.int64)
         CB = CBn
     return CB
 
@@ -585,15 +672,13 @@ def ivf_pq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                               & (F.col("crank") == 1))
               .select(id_col, "cell"))
     res = _residuals(cand, cells1, Cq, id_col, vec_col).persist()
-    CB = pq_codebooks(res, M=M, k_pq=k_pq, iters=pq_iters)
-    codes = (_pq_assign_codes(res, CB)
-             .groupBy("id")
-             .agg(F.array_sort(F.collect_list(
-                 F.struct("m", "code"))).alias("mc"))
-             .select("id", F.col("mc.code").alias("codes")))
-    # the persisted 100-TB artifact shape: (vec_id, cell, codes[M])
-    coded = (res.select(F.col("id").alias(id_col), "cell")
-             .join(codes.withColumnRenamed("id", id_col), id_col))
+    CB = pq_codebooks(res, M=M, k_pq=k_pq, iters=pq_iters, dim=dim)
+    # the persisted 100-TB artifact shape: (vec_id, cell, codes[M]) — one
+    # kernel pass over the residual rows (round 6: the former per-(id, m)
+    # assignment → groupBy(id) collect_list → join(res) spent two shuffles
+    # re-assembling arrays the kernel emits directly; the code values are
+    # the same argmin per subspace)
+    coded = _pq_codes_rows(res, CB).withColumnRenamed("id", id_col)
     q_rows = (embeddings.filter(F.col(id_col) < n_queries)
               .select(id_col, quantized_vec(vec_col).alias("qz"))
               .collect())  # bounded by n_queries
