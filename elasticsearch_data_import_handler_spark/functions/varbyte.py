@@ -34,21 +34,16 @@ def varbyte_nbytes(values: np.ndarray) -> np.ndarray:
     return nbytes
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte encode of a non-negative int64/uint64 array."""
+def varbyte_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes:
+    """Vectorized varbyte encode of a non-negative int64/uint64 array.
+    ``nbytes`` (optional) is the precomputed ``varbyte_nbytes(values)`` —
+    callers that already need the widths for offset math pass them in so
+    the shift loop runs once, not twice."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # number of 7-bit groups per value (at least 1), found by repeated shifts
-    nbytes = np.ones(v.size, dtype=np.int64)
-    thresh = np.uint64(1 << 7)
-    work = v.copy()
-    for _ in range(9):
-        more = work >= thresh
-        if not more.any():
-            break
-        nbytes[more] += 1
-        work = work >> np.uint64(7)
+    if nbytes is None:
+        nbytes = varbyte_nbytes(v)
     offsets = np.concatenate(([0], np.cumsum(nbytes)))
     out = np.zeros(int(offsets[-1]), dtype=np.uint8)
     # write byte j of every value that has > j bytes
@@ -171,6 +166,70 @@ def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarr
         "tfs_vb": varbyte_encode(tu),
         "dls_vb": varbyte_encode(dlu),
     }
+
+
+def encode_posting_batch(d: np.ndarray, t: np.ndarray, dl: np.ndarray,
+                         gstarts: np.ndarray) -> list[dict]:
+    """Encode MANY (term, salt) posting lists in ONE vectorized pass over
+    the concatenated posting-level arrays (round 6: the per-group
+    ``encode_posting_list`` loop was the encode stage's dominant cost —
+    ~10^5 small-python-call groups per task at web-scale vocabularies).
+
+    ``d``/``t``/``dl`` are the concatenated sorted doc_id/tf/doc_len
+    streams; ``gstarts`` holds each group's start index (first element 0).
+    Returns one dict per group shaped exactly like
+    :func:`encode_posting_list`'s output and **byte-identical** to it:
+    varbyte byte boundaries align per value, every group start is a block
+    start (delta resets), so slicing the batch-level buffers at group
+    offsets reproduces the per-group encodes bit-for-bit (test-enforced).
+    """
+    n = d.size
+    gs = np.asarray(gstarts, dtype=np.int64)
+    ge = np.concatenate((gs[1:], [n]))
+    g_of = np.searchsorted(gs, np.arange(n), side="right") - 1
+    off_in_g = np.arange(n) - gs[g_of]
+    bs_idx = np.nonzero(off_in_g % BLOCK_SIZE == 0)[0]   # all block starts
+    u = d.astype(np.uint64) ^ np.uint64(1 << 63)
+    stream = u.copy()
+    if n > 1:
+        np.subtract(u[1:], u[:-1], out=stream[1:])
+    stream[bs_idx] = u[bs_idx]   # block-first absolute → independent blocks
+    tu = t.astype(np.uint64)
+    dlu = dl.astype(np.uint64)
+    bufs, cums = {}, {}
+    for name, vals in (("d", stream), ("t", tu), ("l", dlu)):
+        nb = varbyte_nbytes(vals)
+        cums[name] = np.concatenate(([0], np.cumsum(nb)))
+        bufs[name] = varbyte_encode(vals, nbytes=nb)
+    # block metadata over the concatenated arrays (blocks never span groups:
+    # consecutive block starts bound exactly one block, the last runs to n)
+    g_of_bs = g_of[bs_idx]
+    blk_end = np.minimum(bs_idx + BLOCK_SIZE, ge[g_of_bs])
+    max_doc = d[blk_end - 1].astype(np.int64)
+    max_tf = np.maximum.reduceat(t, bs_idx).astype(np.int32)
+    min_dl = np.minimum.reduceat(dl, bs_idx).astype(np.int32)
+    gb = np.searchsorted(bs_idx, gs)          # first block per group
+    gb_end = np.concatenate((gb[1:], [bs_idx.size]))
+    cd, ct, cl = cums["d"], cums["t"], cums["l"]
+    bd, bt, bl = bufs["d"], bufs["t"], bufs["l"]
+    out = []
+    for gi in range(gs.size):
+        s, e = gs[gi], ge[gi]
+        b0, b1 = gb[gi], gb_end[gi]
+        blocks = bs_idx[b0:b1]
+        out.append({
+            "n_docs": int(e - s),
+            "block_max_doc": max_doc[b0:b1],
+            "block_max_tf": max_tf[b0:b1],
+            "block_min_dl": min_dl[b0:b1],
+            "off_d": (cd[blocks] - cd[s]).astype(np.int64),
+            "off_t": (ct[blocks] - ct[s]).astype(np.int64),
+            "off_l": (cl[blocks] - cl[s]).astype(np.int64),
+            "doc_ids_vb": bd[cd[s]:cd[e]],
+            "tfs_vb": bt[ct[s]:ct[e]],
+            "dls_vb": bl[cl[s]:cl[e]],
+        })
+    return out
 
 
 def _cumsum_with_block_resets(vals: np.ndarray, starts_idx: np.ndarray) -> np.ndarray:

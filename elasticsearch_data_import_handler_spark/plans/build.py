@@ -155,37 +155,53 @@ def _encode_stream_factory(n_buckets: int, with_tf: bool = False):
     doc_len) — already one row per doc (compaction re-encode).
     """
 
+    from ..functions.varbyte import encode_posting_batch
+
     def encode_stream(batches):
         carry = None  # tuple of column numpy arrays
         out: list[dict] = []
 
-        def flush(tid: int, salt: int, d: np.ndarray, dl: np.ndarray,
-                  tf: np.ndarray | None) -> None:
+        def flush_groups(tid, salt, d, dl, tf, starts) -> None:
+            """Vectorized encode of every COMPLETE group in one pass:
+            postings derive from occurrences by run-length over the sorted
+            doc_id stream (group-reset boundaries), then the whole batch
+            encodes through one concatenated delta+varbyte pass with
+            per-group byte slicing (encode_posting_batch — byte-identical
+            to the former per-group encode_posting_list loop, which was
+            ~10^5 small Python calls per task and the encode stage's
+            dominant cost)."""
             if with_tf:
-                enc = encode_posting_list(d, tf, dl, assume_sorted=True)
+                d_p, tf_p, dl_p, gs_p = d, tf, dl, starts
             else:
-                # d is sorted (shuffle sortWithinPartitions) → run-length via
-                # diff boundaries, not np.unique (which would re-sort: the
-                # encode stage's dominant memory-bandwidth cost)
-                brk = np.nonzero(d[1:] != d[:-1])[0] + 1
-                starts = np.concatenate(([0], brk))
-                uniq = d[starts]
-                counts = np.diff(np.concatenate((starts, [d.size])))
-                enc = encode_posting_list(uniq, counts, dl[starts],
-                                          assume_sorted=True)
-            out.append({
-                "term_id": int(tid), "salt": int(salt),
-                "n_docs": enc["n_docs"],
-                "block_max_doc": enc["block_max_doc"],
-                "block_max_tf": enc["block_max_tf"],
-                "block_min_dl": enc["block_min_dl"],
-                "off_d": enc["off_d"], "off_t": enc["off_t"],
-                "off_l": enc["off_l"],
-                "doc_ids_vb": enc["doc_ids_vb"], "tfs_vb": enc["tfs_vb"],
-                "dls_vb": enc["dls_vb"],
-                # Python % is already non-negative for positive modulus (pmod)
-                "bucket": int(tid) % n_buckets,
-            })
+                # run-length per (group, doc_id): d is sorted within each
+                # group (shuffle sortWithinPartitions)
+                g_occ = np.searchsorted(starts, np.arange(d.size),
+                                        side="right") - 1
+                is_ps = np.ones(d.size, dtype=bool)
+                is_ps[1:] = (d[1:] != d[:-1]) | (g_occ[1:] != g_occ[:-1])
+                ps = np.nonzero(is_ps)[0]
+                d_p, dl_p = d[ps], dl[ps]
+                tf_p = np.diff(np.concatenate((ps, [d.size])))
+                gs_p = np.searchsorted(ps, starts)
+            rows = encode_posting_batch(d_p, tf_p, dl_p, gs_p)
+            tids = tid[starts]
+            salts = salt[starts]
+            for i, enc in enumerate(rows):
+                t_i = int(tids[i])
+                out.append({
+                    "term_id": t_i, "salt": int(salts[i]),
+                    "n_docs": enc["n_docs"],
+                    "block_max_doc": enc["block_max_doc"],
+                    "block_max_tf": enc["block_max_tf"],
+                    "block_min_dl": enc["block_min_dl"],
+                    "off_d": enc["off_d"], "off_t": enc["off_t"],
+                    "off_l": enc["off_l"],
+                    "doc_ids_vb": enc["doc_ids_vb"],
+                    "tfs_vb": enc["tfs_vb"],
+                    "dls_vb": enc["dls_vb"],
+                    # Python % is non-negative for positive modulus (pmod)
+                    "bucket": t_i % n_buckets,
+                })
 
         for pdf in batches:
             tid = pdf["term_id"].to_numpy(np.int64)
@@ -206,16 +222,18 @@ def _encode_stream_factory(n_buckets: int, with_tf: bool = False):
             change = np.nonzero((tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1]))[0] + 1
             starts = np.concatenate(([0], change))
             # last group may continue into the next Arrow batch → carry it
-            for i in range(starts.size - 1):
-                s, e = starts[i], starts[i + 1]
-                flush(tid[s], salt[s], d[s:e], dl[s:e],
-                      tf[s:e] if with_tf else None)
-            s = starts[-1]
+            if starts.size > 1:
+                s = starts[-1]
+                flush_groups(tid[:s], salt[:s], d[:s], dl[:s],
+                             tf[:s] if with_tf else None, starts[:-1])
+            else:
+                s = 0
             carry = (tid[s:], salt[s:], d[s:], dl[s:]) + \
                 ((tf[s:],) if with_tf else ())
         if carry is not None and carry[0].size:
-            flush(carry[0][0], carry[1][0], carry[2], carry[3],
-                  carry[4] if with_tf else None)
+            flush_groups(carry[0], carry[1], carry[2], carry[3],
+                         carry[4] if with_tf else None,
+                         np.array([0], dtype=np.int64))
         if out:
             yield pd.DataFrame(out)
 
@@ -756,7 +774,21 @@ def commit_batch(spark: SparkSession, pages_batch: DataFrame, index_dir: str,
         st.analyzer = analyzer or {}
         st.has_positions = bool(positions)
 
-    b = dedup_latest(pages_batch) if dedup else pages_batch
+    if dedup:
+        # project BEFORE the dedup window's exchange (guide §2.3): the
+        # downstream only needs (url, warc_ts, text), and the html payload
+        # — the fattest column — is only ever hashed for the tie-break, so
+        # shuffle the 8-byte hash instead of the bytes (same winner rows:
+        # desc(xxhash64(html)) ≡ desc(__tb))
+        if "html" in pages_batch.columns:
+            proj = pages_batch.select(
+                "url", "warc_ts", "text",
+                F.xxhash64("html").alias("__tb"))
+            b = dedup_latest(proj, tie_cols=["__tb"]).drop("__tb")
+        else:
+            b = dedup_latest(pages_batch)
+    else:
+        b = pages_batch
     docs = docs_versioned(b, analyzer)
     existing = None
     if committed:

@@ -146,3 +146,42 @@ def test_position_list_roundtrip(vals):
     vb = varbyte_encode(delta_encode(pos))
     back = delta_decode(varbyte_decode(vb)).astype(np.int64)
     assert back.tolist() == pos.tolist()
+
+
+def test_encode_posting_batch_matches_per_group():
+    """The round-6 batch encoder must be BYTE-identical to the per-group
+    encode_posting_list over every field, for many group shapes: 1-posting
+    groups, exact block multiples, >1 block, and a group spanning the
+    127/128/129 block boundaries."""
+    import numpy as np
+
+    from elasticsearch_data_import_handler_spark.functions.varbyte import (
+        encode_posting_batch, encode_posting_list)
+
+    rng = np.random.default_rng(7)
+    sizes = [1, 2, 127, 128, 129, 300, 5, 256, 1, 384]
+    ds, ts, dls, gstarts = [], [], [], []
+    pos = 0
+    for sz in sizes:
+        gstarts.append(pos)
+        d = np.sort(rng.integers(-(1 << 62), 1 << 62, sz, dtype=np.int64))
+        d = np.unique(d)  # strictly increasing like real doc_id streams
+        sz = d.size
+        ds.append(d)
+        ts.append(rng.integers(1, 1000, sz, dtype=np.int64))
+        dls.append(rng.integers(1, 3000, sz, dtype=np.int64))
+        pos += sz
+    d = np.concatenate(ds)
+    t = np.concatenate(ts)
+    dl = np.concatenate(dls)
+    rows = encode_posting_batch(d, t, dl, np.array(gstarts, dtype=np.int64))
+    assert len(rows) == len(sizes)
+    for i, (gd, gt, gdl) in enumerate(zip(ds, ts, dls)):
+        ref = encode_posting_list(gd, gt, gdl, assume_sorted=True)
+        got = rows[i]
+        assert got["n_docs"] == ref["n_docs"]
+        for k in ("block_max_doc", "block_max_tf", "block_min_dl",
+                  "off_d", "off_t", "off_l"):
+            assert np.array_equal(np.asarray(got[k]), np.asarray(ref[k])), k
+        for k in ("doc_ids_vb", "tfs_vb", "dls_vb"):
+            assert bytes(got[k]) == bytes(ref[k]), k
