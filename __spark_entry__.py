@@ -325,7 +325,10 @@ def q_salt_plan(spark, sf_dir):
 
 
 def q_bm25_topk(spark, sf_dir):
-    return S.bm25_topk(spark, _docs(spark, sf_dir), round_to=4)
+    # persist the tokenized docs: term_freqs, doc_stats and corpus_stats
+    # are three scan-rooted subtrees over the same tokenize (no exchange
+    # below them, so ReuseExchange can't dedupe the regexp tokenization)
+    return S.bm25_topk(spark, _docs(spark, sf_dir).persist(), round_to=4)
 
 
 # One shared positional index per sf_dir for the index-backed gate queries
@@ -1231,11 +1234,14 @@ def _mlt_only(spark, sf_dir):
     seed_text = (_read(spark, sf_dir, "documents")
                  .filter(F.col("doc_id") == seed_native)
                  .select("text").first()[0])
-    seed_idx = (_native_map(reader)
-                .filter(F.col("__nid") == seed_native).first()["doc_id"])
-    cand = more_like_this(spark, reader, seed_text, seed_doc_id=seed_idx,
+    # seed exclusion happens on the NATIVE id after the remap join — same
+    # rows as excluding the index doc_id pre-remap (ids map 1:1), minus
+    # the Spark job the seed_idx lookup used to spend
+    cand = more_like_this(spark, reader, seed_text, seed_doc_id=None,
                           candidates=True)
-    return _rank_native(_native_doc_ids(reader, cand, ["score"]), 10)
+    nat = _native_doc_ids(reader, cand, ["score"]).filter(
+        F.col("doc_id") != seed_native)
+    return _rank_native(nat, 10)
 
 
 def _sig_only(spark, sf_dir):

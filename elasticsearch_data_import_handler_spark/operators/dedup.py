@@ -380,7 +380,7 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a",
     edges = und.union(nodes.select(F.col("node").alias("src"),
                                    F.col("node").alias("dst"))).persist()
     labels = (nodes.select("node", F.col("node").alias("label"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     prev_sum = None
     for _ in range(max_iter):
         new = (edges
@@ -395,9 +395,13 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a",
         dic = new.select(F.col("node").alias("k"), F.col("label").alias("v"))
         j1 = (new.join(dic, new["label"] == dic["k"], "left")
               .select("node", F.coalesce("v", "label").alias("label")))
+        # lazy checkpoint: the convergence SUM below is the round's one
+        # action — it materializes the checkpoint and computes the scalar
+        # in the SAME job (an eager checkpoint spent a second job per
+        # round); lineage still truncates at first materialization
         labels = (j1.join(dic, j1["label"] == dic["k"], "left")
                   .select("node", F.coalesce("v", "label").alias("label"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
