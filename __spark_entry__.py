@@ -334,11 +334,28 @@ def q_bm25_topk(spark, sf_dir):
 # One shared positional index per sf_dir for the index-backed gate queries
 # (WAND / phrase / bool) — built once per process, reused across gate rows.
 _GATE_INDEX: dict[str, str] = {}
+# The READER is cached too (keyed by session identity — a reader holds
+# DataFrames of its session): IndexReader memoizes its lexicon/doc_stats/
+# postings frames per committed snapshot, and a fresh reader per operator
+# call was rebuilding those scans every time.  The gate index is immutable
+# once built, so a process-lifetime reader is exactly the committed-snapshot
+# contract.
+_GATE_READERS: dict[tuple, object] = {}
+
+
+def _gate_reader(spark, d):
+    from elasticsearch_data_import_handler_spark.plans.build import IndexReader
+
+    key = (d, id(spark))
+    r = _GATE_READERS.get(key)
+    if r is None:
+        r = IndexReader(spark, d)
+        _GATE_READERS[key] = r
+    return r
 
 
 def _gate_index(spark, sf_dir):
-    from elasticsearch_data_import_handler_spark.plans.build import (
-        IndexReader, build_index)
+    from elasticsearch_data_import_handler_spark.plans.build import build_index
     from elasticsearch_data_import_handler_spark.sources.corpus import (
         pages_from_documents)
 
@@ -350,7 +367,7 @@ def _gate_index(spark, sf_dir):
         build_index(spark, pages_from_documents(spark, sf_dir), d,
                     tau=200, n_buckets=8, positions=True)
         _GATE_INDEX[sf_dir] = d
-    return IndexReader(spark, d)
+    return _gate_reader(spark, d)
 
 
 _GATE_TITLE_INDEX: dict[str, str] = {}
@@ -378,7 +395,7 @@ def _gate_title_index(spark, sf_dir):
         build_index(spark, pages.withColumn("text", title), d,
                     tau=200, n_buckets=8)
         _GATE_TITLE_INDEX[sf_dir] = d
-    return IndexReader(spark, d)
+    return _gate_reader(spark, d)
 
 
 # Round-5 analyzer-sensitive gate index (A8 depth): stopwords + synonym
@@ -407,17 +424,24 @@ def _gate_stem_index(spark, sf_dir):
         build_index(spark, pages_from_documents(spark, sf_dir), d,
                     tau=200, n_buckets=8, analyzer=GATE_STEM_ANALYZER)
         _GATE_STEM_INDEX[sf_dir] = d
-    return IndexReader(spark, d)
+    return _gate_reader(spark, d)
 
 
 def _native_map(reader):
     """(doc_id, __nid): versioned index doc_id → the documents table's
     native id (the synthetic corpus encodes it in the url tail).  Single
     home for that encoding — every index-backed gate row remaps through
-    here so DuckDB oracles over the raw table can value-match."""
-    return reader.doc_stats().select(
+    here so DuckDB oracles over the raw table can value-match.  Memoized
+    on the reader (same committed-snapshot lifetime as its other frames)."""
+    memo = getattr(reader, "_memo", None)
+    if memo is not None and "native_map" in memo:
+        return memo["native_map"]
+    df = reader.doc_stats().select(
         "doc_id",
         F.element_at(F.split("url", "/"), -1).cast("long").alias("__nid"))
+    if memo is not None:
+        memo["native_map"] = df
+    return df
 
 
 def _native_doc_ids(reader, hits, cols):
