@@ -58,20 +58,34 @@ def varbyte_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> byte
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:
-    """Vectorized varbyte decode → uint64 array."""
+    """Vectorized varbyte decode → uint64 array.
+
+    Byte-position passes (mirror of the encoder): pass j ORs the j-th byte
+    of every value still wide enough — for the mostly-1-2-byte streams
+    delta coding produces this is a couple of dense vector ops, where the
+    former per-byte ``np.add.at`` scatter (round 6) paid an indirect write
+    per BYTE of the stream and dominated every posting decode."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
-    ends = (b & 0x80) == 0  # terminal byte of each value
-    n = int(ends.sum())
-    # value index for every byte: cumsum of ends shifted right by one
-    val_id = np.zeros(b.size, dtype=np.int64)
-    val_id[1:] = np.cumsum(ends[:-1])
-    starts = np.zeros(n, dtype=np.int64)
-    starts[1:] = np.nonzero(ends)[0][:-1] + 1
-    pos = np.arange(b.size, dtype=np.int64) - starts[val_id]
+    ends_idx = np.nonzero((b & 0x80) == 0)[0]   # terminal byte per value
+    n = ends_idx.size
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends_idx[:-1] + 1
+    nb = ends_idx - starts + 1
     vals = np.zeros(n, dtype=np.uint64)
-    np.add.at(vals, val_id, (b & np.uint8(0x7F)).astype(np.uint64) << (7 * pos).astype(np.uint64))
+    data = (b & np.uint8(0x7F))
+    maxb = int(nb.max())
+    if maxb == 1:
+        return data[starts].astype(np.uint64)
+    m = np.ones(n, dtype=bool)
+    for j in range(maxb):
+        if j:
+            m = nb > j
+            vals[m] |= data[starts[m] + j].astype(np.uint64) << np.uint64(7 * j)
+        else:
+            vals = data[starts].astype(np.uint64)
     return vals
 
 
