@@ -212,30 +212,30 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 60) -> DataFrame:
     """60-bit SimHash fingerprint per document, fully JVM-side.
 
-    Per distinct (doc, term): h = first 60 bits of md5(term) (15 hex chars →
+    Per term occurrence: h = first 60 bits of md5(term) (15 hex chars →
     bigint — the same value any SQL engine derives, so the driver's DuckDB
     oracle reproduces fingerprints bit-exactly; xxhash64 could not be
-    cross-checked).  Each bit of h votes ±tf; fingerprint bit i is set iff
-    the weighted vote is positive.  Expressed as explode → groupBy(doc) with
-    ``bits`` static conditional sums — one shuffle on doc_id, whole-stage
-    codegen, no Python boundary.
+    cross-checked).  Each bit of h votes ±1 per occurrence — Σ_terms(±tf)
+    ≡ Σ_occurrences(±1), so the per-(doc, term) tf aggregation the round-2
+    form spent a second shuffle on is unnecessary (round 6): ONE
+    groupBy(doc) with ``bits`` static conditional sums, map-side partial
+    combine, whole-stage codegen, no Python boundary — identical integer
+    votes, identical fingerprints.
     """
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-    tf = (
+    occ = (
         df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10)
                     .cast("long"))
     )
     votes = [
         F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-            .otherwise(-F.col("tf"))
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
         ).alias(f"v{i}")
         for i in range(bits)
     ]
-    voted = tf.groupBy("id").agg(*votes)
+    voted = occ.groupBy("id").agg(*votes)
     sim = None
     for i in range(bits):
         bit = F.when(F.col(f"v{i}") > 0,
